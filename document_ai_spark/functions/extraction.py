@@ -1,0 +1,357 @@
+"""Invoice field extraction: reference-parity semantics, two renderings.
+
+1. Pure-python functions (``extract_fields`` etc.) — used by the single-node
+   oracle (plans/oracle.py) to produce golden values. These mirror the
+   reference cascade exactly (reference backend/services/field_extractor.py:
+   118-268, 394-454): pattern pass -> fuzzy pass (strictly-greater confidence
+   wins) -> range/trim post-process -> master validation.
+
+2. Spark Column builders (``hp_col``/``cost_col``/``model_col``/``dealer_col``
+   and ``with_pattern_fields``) — the SAME semantics rendered as built-in
+   Catalyst expressions (regexp_extract(_all), higher-order array functions,
+   CASE), so the hot path is whole-stage-codegen JVM work, not Python.
+   Only the fuzzy master lookup (difflib scoring, field_extractor.py:244-266)
+   drops to an Arrow-vectorized pandas UDF.
+
+The reference applies ``re.IGNORECASE`` to HP/cost/model scans and
+case-sensitive matching to dealer header lines (field_extractor.py:175,189,
+206 vs 219); we prefix ``(?i)`` accordingly on the Spark side.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+from .. import constants as C
+from .fuzzy import best_full_match, best_partial_match
+
+# ---------------------------------------------------------------------------
+# Pure-python reference semantics (oracle side)
+# ---------------------------------------------------------------------------
+
+
+def extract_hp(text: str) -> Optional[int]:
+    """First pattern whose first match parses to an in-range HP
+    (field_extractor.py:174-184)."""
+    for pattern in C.HP_PATTERNS:
+        m = re.search(pattern, text, re.IGNORECASE)
+        if m:
+            try:
+                hp = int(m.group(1))
+            except (ValueError, IndexError):
+                continue
+            if C.HP_MIN <= hp <= C.HP_MAX:
+                return hp
+    return None
+
+
+def extract_cost(text: str) -> Optional[float]:
+    """All matches across all patterns, numeric > 10k, take max
+    (field_extractor.py:186-202)."""
+    candidates: List[float] = []
+    for pattern in C.COST_PATTERNS:
+        for m in re.findall(pattern, text, re.IGNORECASE):
+            try:
+                v = float(m.replace(",", "").replace(" ", ""))
+            except (ValueError, TypeError):
+                continue
+            if v > C.COST_MIN_CANDIDATE:
+                candidates.append(v)
+    return max(candidates) if candidates else None
+
+
+def extract_model(text: str) -> Optional[str]:
+    """First pattern match longer than 3 chars after strip
+    (field_extractor.py:204-213)."""
+    for pattern, n_groups in C.MODEL_PATTERNS:
+        m = re.search(pattern, text, re.IGNORECASE)
+        if m:
+            raw = m.group(1) if n_groups == 1 else " ".join(m.groups())
+            model = raw.strip()
+            if len(model) > C.MODEL_MIN_LEN:
+                return model
+    return None
+
+
+def extract_dealer(text: str) -> Optional[str]:
+    """Scan first 10 lines, patterns in order, case-SENSITIVE, len>5
+    (field_extractor.py:215-227)."""
+    for line in text.split("\n")[: C.DEALER_HEADER_LINES]:
+        stripped = line.strip()
+        for pattern in C.DEALER_PATTERNS:
+            m = re.search(pattern, stripped)
+            if m:
+                dealer = m.group(1).strip()
+                if len(dealer) > C.DEALER_MIN_LEN:
+                    return dealer
+    return None
+
+
+def extract_fields(text: str, kv_fields: Optional[Dict] = None
+                   ) -> Dict[str, Dict]:
+    """Full deterministic cascade: patterns -> fuzzy -> kv-fill ->
+    post-process (reference order: field_extractor.py:138-160, with the
+    label-value stage standing in for the conditional LLM stage — the LLM
+    itself is keyless/non-deterministic in the reference too,
+    field_extractor.py:111-113). Returns the reference's result shape
+    {field: {value, confidence, method}}.
+    """
+    hp = extract_hp(text)
+    cost = extract_cost(text)
+    model = extract_model(text)
+    dealer = extract_dealer(text)
+
+    result = {
+        "dealer_name": {
+            "value": dealer,
+            "confidence": C.CONF_DEALER_PATTERN if dealer else 0.0,
+            "method": "pattern" if dealer else None,
+        },
+        "model_name": {
+            "value": model,
+            "confidence": C.CONF_MODEL_PATTERN if model else 0.0,
+            "method": "pattern" if model else None,
+        },
+        "horse_power": {
+            "value": hp,
+            "confidence": C.CONF_HP_PATTERN if hp is not None else 0.0,
+            "method": "pattern" if hp is not None else None,
+        },
+        "asset_cost": {
+            "value": cost,
+            "confidence": C.CONF_COST_PATTERN if cost is not None else 0.0,
+            "method": "pattern" if cost is not None else None,
+        },
+    }
+
+    # Fuzzy pass overrides on strictly-greater confidence
+    # (field_extractor.py:144-148).
+    text_upper = text.upper()
+    fd, fd_score = best_partial_match(
+        text_upper, C.DEALER_MASTER, C.FUZZY_DEALER_EXTRACT_MIN
+    )
+    if fd is not None and fd_score / 100.0 > result["dealer_name"]["confidence"]:
+        result["dealer_name"] = {
+            "value": fd, "confidence": fd_score / 100.0, "method": "fuzzy",
+        }
+    fm, fm_score = best_partial_match(
+        text_upper, C.MODEL_MASTER, C.FUZZY_MODEL_EXTRACT_MIN
+    )
+    if fm is not None and fm_score / 100.0 > result["model_name"]["confidence"]:
+        result["model_name"] = {
+            "value": fm, "confidence": fm_score / 100.0, "method": "fuzzy",
+        }
+
+    if kv_fields:
+        result = ensemble_with_kv(result, kv_fields)
+
+    return post_process(result)
+
+
+def post_process(result: Dict[str, Dict]) -> Dict[str, Dict]:
+    """Range nulling + trim (field_extractor.py:394-419)."""
+    hp = result["horse_power"]["value"]
+    if hp is not None and not (C.HP_MIN <= hp <= C.HP_MAX):
+        result["horse_power"] = {"value": None, "confidence": 0.0,
+                                 "method": result["horse_power"]["method"]}
+    cost = result["asset_cost"]["value"]
+    if cost is not None and not (C.COST_MIN <= cost <= C.COST_MAX):
+        result["asset_cost"] = {"value": None, "confidence": 0.0,
+                                "method": result["asset_cost"]["method"]}
+    for f in ("dealer_name", "model_name"):
+        if result[f]["value"]:
+            result[f]["value"] = result[f]["value"].strip()
+    return result
+
+
+_KV_CONF = 0.8
+
+
+def normalize_kv_value(field: str, value: Optional[str]):
+    """Normalize a label-value-pair value to the field's type, mirroring the
+    reference's LLM-response parsing (field_extractor.py:377-387:
+    int() for HP, comma-stripped float() for cost)."""
+    if value is None:
+        return None
+    value = value.strip()
+    if not value:
+        return None
+    if field == "horse_power":
+        digits = re.sub(r"[^\d]", "", value)
+        return int(digits) if digits else None
+    if field == "asset_cost":
+        digits = re.sub(r"[^\d.]", "", value)
+        try:
+            return float(digits) if digits else None
+        except ValueError:
+            return None
+    return value
+
+
+def ensemble_with_kv(result: Dict[str, Dict],
+                     kv_fields: Dict[str, Optional[str]]) -> Dict[str, Dict]:
+    """Fill fields from label-value pairs when missing or low-confidence.
+
+    Plays the reference's conditional-LLM slot with identical gating
+    (field_extractor.py:150-157: fire only when value is None or
+    confidence < 0.5), but deterministic: the candidate comes from the
+    media layout stage's label-value pairing instead of a model call.
+    """
+    for field in ("dealer_name", "model_name", "horse_power", "asset_cost"):
+        cur = result[field]
+        if cur["value"] is None or cur["confidence"] < 0.5:
+            cand = normalize_kv_value(field, kv_fields.get(field))
+            if cand is not None:
+                result[field] = {
+                    "value": cand, "confidence": _KV_CONF, "method": "kv",
+                }
+    return result
+
+
+def validate_against_master(
+    dealer: Optional[str], model: Optional[str]
+) -> Dict[str, Dict]:
+    """First-master-over-threshold validation (field_extractor.py:421-454)."""
+    validation = {
+        "dealer_name": {"valid": False, "match_score": 0, "matched_to": None},
+        "model_name": {"valid": False, "match_score": 0, "matched_to": None},
+    }
+    if dealer:
+        m, s = best_full_match(dealer.upper(), C.DEALER_MASTER,
+                               C.FUZZY_DEALER_VALID_MIN)
+        if m is not None:
+            validation["dealer_name"] = {
+                "valid": True, "match_score": s, "matched_to": m}
+    if model:
+        m, s = best_full_match(model.upper(), C.MODEL_MASTER,
+                               C.FUZZY_MODEL_VALID_MIN)
+        if m is not None:
+            validation["model_name"] = {
+                "valid": True, "match_score": s, "matched_to": m}
+    return validation
+
+
+def overall_confidence(confidences: List[float]) -> Optional[float]:
+    """Null-skipping mean of field confidences (document_processor.py:196-204)."""
+    pos = [c for c in confidences if c > 0]
+    return sum(pos) / len(pos) if pos else None
+
+
+def conf_bucket(c: float) -> str:
+    """Confidence level bucketing (agentic_ai.py:391-402)."""
+    for threshold, name in C.CONF_BUCKETS:
+        if c >= threshold:
+            return name
+    return C.CONF_BUCKET_DEFAULT
+
+
+# ---------------------------------------------------------------------------
+# Spark Column builders (pipeline side) — same semantics, JVM execution.
+# Imported lazily so the pure functions stay importable without pyspark.
+# ---------------------------------------------------------------------------
+
+
+def _F():
+    from pyspark.sql import functions as F
+    return F
+
+
+def hp_col(text):
+    """HP cascade as coalesce over per-pattern validated extracts."""
+    F = _F()
+    candidates = []
+    for pat in C.HP_PATTERNS:
+        # try_cast: '' (no match) and malformed digits become NULL, matching
+        # the reference's swallowed ValueError (field_extractor.py:183).
+        v = F.regexp_extract(text, "(?i)" + pat, 1).try_cast("int")
+        candidates.append(F.when(v.between(C.HP_MIN, C.HP_MAX), v))
+    return F.coalesce(*candidates)
+
+
+def cost_col(text):
+    """All-pattern findall -> clean -> filter>10k -> max, as array exprs."""
+    F = _F()
+    arrays = [F.regexp_extract_all(text, F.lit("(?i)" + pat), 1)
+              for pat in C.COST_PATTERNS]
+    allm = F.concat(*arrays)
+    nums = F.transform(
+        allm,
+        lambda x: F.regexp_replace(F.regexp_replace(x, ",", ""), " ", "")
+        .try_cast("double"),
+    )
+    valid = F.filter(nums, lambda v: v > F.lit(float(C.COST_MIN_CANDIDATE)))
+    return F.array_max(valid)
+
+
+def model_col(text):
+    """Model cascade; 2-group pattern joins groups with a space."""
+    F = _F()
+    candidates = []
+    for pat, n_groups in C.MODEL_PATTERNS:
+        jpat = "(?i)" + pat
+        if n_groups == 1:
+            raw = F.regexp_extract(text, jpat, 1)
+            raw = F.when(raw != "", raw)
+        else:
+            g1 = F.regexp_extract(text, jpat, 1)
+            g2 = F.regexp_extract(text, jpat, 2)
+            raw = F.when(g1 != "", F.concat_ws(" ", g1, g2))
+        v = F.trim(raw)
+        candidates.append(F.when(F.length(v) > C.MODEL_MIN_LEN, v))
+    return F.coalesce(*candidates)
+
+
+def dealer_col(text):
+    """Header-prior dealer scan: first 10 lines x 4 case-sensitive patterns,
+    earliest line wins, pattern order breaks ties within a line. Rendered as
+    higher-order array functions so it stays in codegen."""
+    F = _F()
+    lines = F.slice(F.split(text, "\n"), 1, C.DEALER_HEADER_LINES)
+
+    def per_line(line):
+        stripped = F.trim(line)
+        cands = []
+        for pat in C.DEALER_PATTERNS:
+            v = F.trim(F.regexp_extract(stripped, pat, 1))
+            cands.append(F.when(F.length(v) > C.DEALER_MIN_LEN, v))
+        return F.coalesce(*cands)
+
+    per_line_hits = F.filter(
+        F.transform(lines, per_line), lambda x: x.isNotNull()
+    )
+    return F.when(F.size(per_line_hits) > 0, F.element_at(per_line_hits, 1))
+
+
+def with_pattern_fields(df, text_col: str = "combined_text"):
+    """Add pat_* value/confidence columns for all four fields."""
+    F = _F()
+    text = F.col(text_col)
+    df = df.withColumns(
+        {
+            "pat_hp": hp_col(text),
+            "pat_cost": cost_col(text),
+            "pat_model": model_col(text),
+            "pat_dealer": dealer_col(text),
+        }
+    )
+    return df.withColumns(
+        {
+            "pat_hp_conf": F.when(F.col("pat_hp").isNotNull(),
+                                  F.lit(C.CONF_HP_PATTERN)).otherwise(0.0),
+            "pat_cost_conf": F.when(F.col("pat_cost").isNotNull(),
+                                    F.lit(C.CONF_COST_PATTERN)).otherwise(0.0),
+            "pat_model_conf": F.when(F.col("pat_model").isNotNull(),
+                                     F.lit(C.CONF_MODEL_PATTERN)).otherwise(0.0),
+            "pat_dealer_conf": F.when(F.col("pat_dealer").isNotNull(),
+                                      F.lit(C.CONF_DEALER_PATTERN)).otherwise(0.0),
+        }
+    )
+
+
+def conf_bucket_col(conf):
+    """CASE-expression rendering of conf_bucket (agentic_ai.py:391-402)."""
+    F = _F()
+    expr = F.lit(C.CONF_BUCKET_DEFAULT)
+    for threshold, name in reversed(C.CONF_BUCKETS):
+        expr = F.when(conf >= threshold, name).otherwise(expr)
+    return expr

@@ -1,0 +1,381 @@
+"""The flagship distributed extraction pipeline.
+
+Spark-first re-expression of the reference's per-document loop
+(reference backend/services/document_processor.py:93-218):
+
+    read interleaved table
+      -> explode(spans)                                   [no shuffle]
+      -> kind='text' : Arrow UDF boilerplate-strip        [narrow]
+         kind='media': join media_payloads on media_ref   [shuffle 1]
+                       + Arrow UDF layout parse           [narrow]
+      -> unionByName                                      [narrow]
+      -> SALTED two-phase reassembly                      [shuffles 2+3]
+           phase 1: groupBy(doc_id, pmod(offset, K))  — splits the 64-media-
+                    span long-tail docs across K reducers (north_rule's
+                    explicit skew handling; collect_list is not AQE-skew-
+                    splittable, so salting must be explicit)
+           phase 2: groupBy(doc_id), flatten + array_sort — order carried
+                    by `offset`, never by partition layout
+      -> pattern fields as built-in regexp/array exprs    [codegen]
+      -> fuzzy master match (Arrow UDF, 24-row dim scored in-process —
+         cheaper than a 24x broadcast cross-join blowup)  [narrow]
+      -> kv fill + range nulling + trim (CASE exprs)      [codegen]
+      -> master validation on DISTINCT values only (the value domain is
+         ~the 24 master rows, so score once, broadcast-join back)
+      -> extractions + reassembled output spans
+
+Every stage is either whole-stage-codegen JVM work or an Arrow-vectorized
+pandas UDF; there is no per-row Python and no driver-side collect.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .. import constants as C
+from ..functions import extraction as X
+from ..functions.fuzzy import best_full_match, best_partial_match
+from ..functions.layout import parse_media_payload
+from ..functions.textops import extract_main_text
+
+# ---------------------------------------------------------------------------
+# Arrow UDFs (vectorized; pure functions shared with the oracle)
+# ---------------------------------------------------------------------------
+
+_main_text_udf = F.pandas_udf(
+    lambda s: s.map(lambda x: extract_main_text(x) if x is not None else ""),
+    T.StringType(),
+)
+
+_MEDIA_PARSE_TYPE = T.StructType([
+    T.StructField("span_text", T.StringType()),
+    T.StructField("n_blocks", T.IntegerType()),
+    T.StructField("avg_conf", T.DoubleType()),
+    T.StructField("sig_present", T.BooleanType()),
+    T.StructField("sig_conf", T.DoubleType()),
+    T.StructField("stamp_present", T.BooleanType()),
+    T.StructField("stamp_conf", T.DoubleType()),
+    T.StructField("kv_dealer", T.StringType()),
+    T.StructField("kv_model", T.StringType()),
+    T.StructField("kv_hp", T.StringType()),
+    T.StructField("kv_cost", T.StringType()),
+])
+
+
+@F.pandas_udf(_MEDIA_PARSE_TYPE)
+def _media_parse_udf(page_w: pd.Series, page_h: pd.Series,
+                     tokens: pd.Series, kv_pairs: pd.Series,
+                     marks: pd.Series) -> pd.DataFrame:
+    rows = []
+    for w, h, tok, kv, mk in zip(page_w, page_h, tokens, kv_pairs, marks):
+        parsed = parse_media_payload({
+            "page_w": int(w), "page_h": int(h),
+            "tokens": list(tok) if tok is not None else [],
+            "kv_pairs": list(kv) if kv is not None else [],
+            "marks": list(mk) if mk is not None else [],
+        })
+        f = parsed["kv_fields"]
+        rows.append((
+            parsed["raw_text"], parsed["n_blocks"], parsed["avg_conf"],
+            parsed["signature_present"], parsed["signature_conf"],
+            parsed["stamp_present"], parsed["stamp_conf"],
+            f["dealer_name"], f["model_name"],
+            f["horse_power"], f["asset_cost"],
+        ))
+    return pd.DataFrame(rows, columns=[f.name for f in _MEDIA_PARSE_TYPE])
+
+
+_FUZZY_TYPE = T.StructType([
+    T.StructField("dealer_match", T.StringType()),
+    T.StructField("dealer_score", T.IntegerType()),
+    T.StructField("model_match", T.StringType()),
+    T.StructField("model_score", T.IntegerType()),
+])
+
+
+@F.pandas_udf(_FUZZY_TYPE)
+def _fuzzy_udf(text: pd.Series) -> pd.DataFrame:
+    rows = []
+    for t in text:
+        tu = (t or "").upper()
+        d, ds = best_partial_match(tu, C.DEALER_MASTER,
+                                   C.FUZZY_DEALER_EXTRACT_MIN)
+        m, ms = best_partial_match(tu, C.MODEL_MASTER,
+                                   C.FUZZY_MODEL_EXTRACT_MIN)
+        rows.append((d, ds, m, ms))
+    return pd.DataFrame(rows, columns=[f.name for f in _FUZZY_TYPE])
+
+
+_VALID_TYPE = T.StructType([
+    T.StructField("valid", T.BooleanType()),
+    T.StructField("match_score", T.IntegerType()),
+    T.StructField("matched_to", T.StringType()),
+])
+
+
+def _make_valid_udf(masters, min_score):
+    @F.pandas_udf(_VALID_TYPE)
+    def udf(vals: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in vals:
+            if v is None or v == "":
+                rows.append((False, 0, None))
+                continue
+            m, s = best_full_match(v.upper(), masters, min_score)
+            rows.append((m is not None, s, m))
+        return pd.DataFrame(rows, columns=["valid", "match_score", "matched_to"])
+    return udf
+
+
+# ---------------------------------------------------------------------------
+# Pipeline stages
+# ---------------------------------------------------------------------------
+
+_PARSED_COLS = [
+    "doc_id", "kind", "media_ref", "offset", "span_text",
+    "sig_present", "sig_conf", "stamp_present", "stamp_conf",
+    "kv_dealer", "kv_model", "kv_hp", "kv_cost",
+]
+
+
+def parse_spans(docs_df: DataFrame, payloads_df: DataFrame) -> DataFrame:
+    """explode -> kind-routed parse -> union. One shuffle (payload join).
+
+    explode_outer keeps zero-span docs alive as a single null-kind row
+    (routed through the text branch with empty text) so they still appear
+    in the extractions table — plain explode would silently drop them.
+    """
+    spans = docs_df.select(
+        "doc_id", F.explode_outer("spans").alias("s")
+    ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+
+    text_spans = (
+        spans.where(F.col("kind").isNull() | (F.col("kind") == "text"))
+        .withColumn("span_text", _main_text_udf(F.col("text")))
+        .drop("text")
+        .withColumns({
+            "sig_present": F.lit(False), "sig_conf": F.lit(0.0),
+            "stamp_present": F.lit(False), "stamp_conf": F.lit(0.0),
+            "kv_dealer": F.lit(None).cast("string"),
+            "kv_model": F.lit(None).cast("string"),
+            "kv_hp": F.lit(None).cast("string"),
+            "kv_cost": F.lit(None).cast("string"),
+        })
+        .select(*_PARSED_COLS)
+    )
+
+    media_spans = (
+        spans.where(F.col("kind") == "media")
+        .drop("text")
+        .join(payloads_df, "media_ref")
+        .withColumn("parsed", _media_parse_udf(
+            "page_w", "page_h", "tokens", "kv_pairs", "marks"))
+        .select("doc_id", "kind", "media_ref", "offset", "parsed.*")
+        .select(*_PARSED_COLS)
+    )
+
+    return text_spans.unionByName(media_spans)
+
+
+def _kv_cand(col_name: str):
+    """(offset, value) struct for earliest-non-null-kv semantics; struct min
+    is lexicographic so min() = first candidate in offset order."""
+    c = F.col(col_name)
+    return F.when(c.isNotNull() & (F.trim(c) != ""),
+                  F.struct(F.col("offset").alias("o"), c.alias("v")))
+
+
+def reassemble(parsed: DataFrame, salt_buckets: int = C.MEDIA_SALT_BUCKETS
+               ) -> DataFrame:
+    """Salted two-phase per-doc reassembly (north_rule skew handling)."""
+    # Null-kind placeholder rows (zero-span docs) keep the group alive but
+    # contribute no span: collect_list skips null elements.
+    span_struct = F.when(
+        F.col("kind").isNotNull(),
+        F.struct(
+            F.col("offset"), F.col("kind"),
+            F.col("span_text"), F.col("media_ref"),
+        ),
+    )
+    phase1 = (
+        parsed
+        .withColumn("salt", F.pmod(F.col("offset"), F.lit(salt_buckets)))
+        .groupBy("doc_id", "salt")
+        .agg(
+            F.collect_list(span_struct).alias("part_spans"),
+            F.max(F.col("sig_present").cast("int")).alias("p_sig"),
+            F.max("sig_conf").alias("p_sig_conf"),
+            F.max(F.col("stamp_present").cast("int")).alias("p_stamp"),
+            F.max("stamp_conf").alias("p_stamp_conf"),
+            F.min(_kv_cand("kv_dealer")).alias("p_kv_dealer"),
+            F.min(_kv_cand("kv_model")).alias("p_kv_model"),
+            F.min(_kv_cand("kv_hp")).alias("p_kv_hp"),
+            F.min(_kv_cand("kv_cost")).alias("p_kv_cost"),
+        )
+    )
+    doc = (
+        phase1.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.flatten(F.collect_list("part_spans"))
+                         ).alias("sorted_spans"),
+            (F.max("p_sig") == 1).alias("signature_present"),
+            F.max("p_sig_conf").alias("signature_conf"),
+            (F.max("p_stamp") == 1).alias("stamp_present"),
+            F.max("p_stamp_conf").alias("stamp_conf"),
+            F.min("p_kv_dealer").getField("v").alias("kv_dealer"),
+            F.min("p_kv_model").getField("v").alias("kv_model"),
+            F.min("p_kv_hp").getField("v").alias("kv_hp"),
+            F.min("p_kv_cost").getField("v").alias("kv_cost"),
+        )
+    )
+    return doc.withColumn(
+        "combined_text",
+        F.array_join(
+            F.transform("sorted_spans", lambda s: s.getField("span_text")),
+            C.PAGE_BREAK,
+        ),
+    )
+
+
+def _ensemble(df: DataFrame) -> DataFrame:
+    """patterns -> fuzzy (strictly-greater conf) -> kv fill (missing or
+    conf<0.5) -> range nulling + trim. Pure CASE expressions."""
+    fz_d_conf = F.col("fz.dealer_score") / 100.0
+    fz_m_conf = F.col("fz.model_score") / 100.0
+    use_fd = F.col("fz.dealer_match").isNotNull() & \
+        (fz_d_conf > F.col("pat_dealer_conf"))
+    use_fm = F.col("fz.model_match").isNotNull() & \
+        (fz_m_conf > F.col("pat_model_conf"))
+
+    df = df.withColumns({
+        "d_val": F.when(use_fd, F.col("fz.dealer_match"))
+                  .otherwise(F.col("pat_dealer")),
+        "d_conf": F.when(use_fd, fz_d_conf).otherwise(F.col("pat_dealer_conf")),
+        "d_method": F.when(use_fd, F.lit("fuzzy"))
+                     .when(F.col("pat_dealer").isNotNull(), F.lit("pattern")),
+        "m_val": F.when(use_fm, F.col("fz.model_match"))
+                  .otherwise(F.col("pat_model")),
+        "m_conf": F.when(use_fm, fz_m_conf).otherwise(F.col("pat_model_conf")),
+        "m_method": F.when(use_fm, F.lit("fuzzy"))
+                     .when(F.col("pat_model").isNotNull(), F.lit("pattern")),
+        "h_val": F.col("pat_hp"),
+        "h_conf": F.col("pat_hp_conf"),
+        "h_method": F.when(F.col("pat_hp").isNotNull(), F.lit("pattern")),
+        "c_val": F.col("pat_cost"),
+        "c_conf": F.col("pat_cost_conf"),
+        "c_method": F.when(F.col("pat_cost").isNotNull(), F.lit("pattern")),
+    })
+
+    # KV fill — normalization mirrors functions.extraction.normalize_kv_value.
+    kv_hp = F.nullif(F.regexp_replace("kv_hp", "[^0-9]", ""), F.lit("")) \
+        .try_cast("int")
+    kv_cost = F.nullif(F.regexp_replace("kv_cost", "[^0-9.]", ""), F.lit("")) \
+        .try_cast("double")
+    kv_dealer = F.nullif(F.trim("kv_dealer"), F.lit(""))
+    kv_model = F.nullif(F.trim("kv_model"), F.lit(""))
+
+    def fill(val, conf, method, cand):
+        do = (val.isNull() | (conf < 0.5)) & cand.isNotNull()
+        return (
+            F.when(do, cand).otherwise(val),
+            F.when(do, F.lit(X._KV_CONF)).otherwise(conf),
+            F.when(do, F.lit("kv")).otherwise(method),
+        )
+
+    d_val, d_conf, d_method = fill(F.col("d_val"), F.col("d_conf"),
+                                   F.col("d_method"), kv_dealer)
+    m_val, m_conf, m_method = fill(F.col("m_val"), F.col("m_conf"),
+                                   F.col("m_method"), kv_model)
+    h_val, h_conf, h_method = fill(F.col("h_val"), F.col("h_conf"),
+                                   F.col("h_method"), kv_hp)
+    c_val, c_conf, c_method = fill(F.col("c_val"), F.col("c_conf"),
+                                   F.col("c_method"), kv_cost)
+
+    # Post-process: range nulling + trim (field_extractor.py:394-419).
+    hp_ok = h_val.between(C.HP_MIN, C.HP_MAX)
+    cost_ok = c_val.between(float(C.COST_MIN), float(C.COST_MAX))
+    return df.withColumns({
+        "dealer_name": F.trim(d_val),
+        "dealer_conf": d_conf,
+        "dealer_method": d_method,
+        "model_name": F.trim(m_val),
+        "model_conf": m_conf,
+        "model_method": m_method,
+        "horse_power": F.when(hp_ok, h_val),
+        "hp_conf": F.when(hp_ok, h_conf).otherwise(0.0),
+        "hp_method": h_method,
+        "asset_cost": F.when(cost_ok, c_val),
+        "cost_conf": F.when(cost_ok, c_conf).otherwise(0.0),
+        "cost_method": c_method,
+    }).drop("d_val", "d_conf", "d_method", "m_val", "m_conf", "m_method",
+            "h_val", "h_conf", "h_method", "c_val", "c_conf", "c_method")
+
+
+def _validate(df: DataFrame) -> DataFrame:
+    """Master validation scored once per DISTINCT value, broadcast back."""
+    dealer_udf = _make_valid_udf(C.DEALER_MASTER, C.FUZZY_DEALER_VALID_MIN)
+    model_udf = _make_valid_udf(C.MODEL_MASTER, C.FUZZY_MODEL_VALID_MIN)
+
+    d_dim = (df.select("dealer_name").where(F.col("dealer_name").isNotNull())
+             .distinct()
+             .withColumn("dv", dealer_udf("dealer_name"))
+             .select("dealer_name",
+                     F.col("dv.valid").alias("dealer_valid"),
+                     F.col("dv.matched_to").alias("dealer_matched_to")))
+    m_dim = (df.select("model_name").where(F.col("model_name").isNotNull())
+             .distinct()
+             .withColumn("mv", model_udf("model_name"))
+             .select("model_name",
+                     F.col("mv.valid").alias("model_valid"),
+                     F.col("mv.matched_to").alias("model_matched_to")))
+
+    out = (df.join(F.broadcast(d_dim), "dealer_name", "left")
+             .join(F.broadcast(m_dim), "model_name", "left"))
+    return out.withColumns({
+        "dealer_valid": F.coalesce("dealer_valid", F.lit(False)),
+        "model_valid": F.coalesce("model_valid", F.lit(False)),
+    })
+
+
+def extract(docs_df: DataFrame, payloads_df: DataFrame,
+            salt_buckets: int = C.MEDIA_SALT_BUCKETS) -> DataFrame:
+    """Full pipeline: interleaved docs + payloads -> extractions table
+    (one row per doc: fields, confidences, detections, reassembled spans)."""
+    parsed = parse_spans(docs_df, payloads_df)
+    doc = reassemble(parsed, salt_buckets)
+    doc = X.with_pattern_fields(doc, "combined_text")
+    doc = doc.withColumn("fz", _fuzzy_udf(F.col("combined_text")))
+    doc = _ensemble(doc)
+    doc = _validate(doc)
+
+    confs = F.array("dealer_conf", "model_conf", "hp_conf", "cost_conf",
+                    "signature_conf", "stamp_conf")
+    pos = F.filter(confs, lambda c: c > 0)
+    doc = doc.withColumn(
+        "overall_confidence",
+        F.when(F.size(pos) > 0,
+               F.aggregate(pos, F.lit(0.0), lambda a, x: a + x)
+               / F.size(pos)),
+    )
+
+    out_spans = F.transform(
+        "sorted_spans",
+        lambda s: F.struct(
+            s.getField("kind").alias("kind"),
+            s.getField("span_text").alias("text"),
+            s.getField("media_ref").alias("media_ref"),
+            s.getField("offset").alias("order"),
+        ),
+    )
+    return doc.withColumn("out_spans", out_spans).drop(
+        "sorted_spans", "fz", "kv_dealer", "kv_model", "kv_hp", "kv_cost",
+        "pat_hp", "pat_cost", "pat_model", "pat_dealer",
+        "pat_hp_conf", "pat_cost_conf", "pat_model_conf", "pat_dealer_conf",
+    )
+
+
+def output_spans(extractions: DataFrame) -> DataFrame:
+    """Golden-comparable span sequences: (doc_id, spans[(kind,text,media_ref,order)])."""
+    return extractions.select("doc_id", F.col("out_spans").alias("spans"))
