@@ -1,38 +1,913 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline over sf0.001.
+``queries()`` exposes one DataFrame-builder per implemented operator
+family from SURVEY.md §2 plus the training-data ops (dedup, similarity,
+text quality); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
+Column names and types are aligned on both sides; float aggregates are
+rounded identically; md5 is the only hash used (bit-identical engines).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from document_ai_spark import constants as C                      # noqa: E402
+from document_ai_spark.functions import extraction as X          # noqa: E402
+from document_ai_spark.operators import dedup as D               # noqa: E402
+from document_ai_spark.operators import similarity as S          # noqa: E402
+from document_ai_spark.operators import textquality as TQ        # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship — run the REAL extraction pipeline over the driver corpus
+# (each documents row = a one-text-span interleaved doc).
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from document_ai_spark.plans.pipeline import extract
+    from document_ai_spark.sources.docgen import payload_schema
+
+    docs = _t(spark, SF0001, "documents").select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.array(F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )).alias("spans"),
+    )
+    payloads = spark.createDataFrame([], schema=payload_schema())
+    ext = extract(docs, payloads)
+    return ext.select(
+        "doc_id", "dealer_name", "model_name", "horse_power", "asset_cost",
+        "overall_confidence", "combined_text",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared query/oracle definitions.
+# Each item: name -> (spark_fn, sql_or_None)
+# ---------------------------------------------------------------------------
+
+_HP_PLANT = "concat(text, ' ', cast(20 + doc_id % 181 as string), ' HP')"
+_COST_PLANT = ("concat(text, ' Total: Rs. ', "
+               "cast(100000 + doc_id * 137 as string), "
+               "' Advance: Rs. ', cast(10001 + doc_id as string))")
+
+
+def _q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+             .cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .cast("double").alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q_top_orders(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey",
+                F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+_SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def _q_cust_order_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").alias("sum_price"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_SQL_CUST_ORDER = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def _q_region_nation_rollup(spark, sf):
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    c = _t(spark, sf, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"))
+        .orderBy("r_name")
+    )
+
+
+_SQL_REGION_NATION = """
+SELECT r_name, COUNT(*) AS n_customers,
+       ROUND(AVG(c_acctbal), 6) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def _q_semi_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers_with_orders"))
+        .orderBy("c_nationkey")
+    )
+
+
+_SQL_SEMI = """
+SELECT c_nationkey, COUNT(*) AS n_customers_with_orders
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def _q_anti_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def _q_window_rank(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("totalprice"), "rnk")
+    )
+
+
+_SQL_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice,2) AS totalprice, rnk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders) WHERE rnk <= 3
+"""
+
+
+def _q_window_prefix_sum(spark, sf):
+    e = _t(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.coalesce(F.sum(F.col("value").cast("decimal(18,2)"))
+                           .over(w).cast("double"), F.lit(0.0)), 2)
+         .alias("prior_sum"),
+    )
+
+
+_SQL_PREFIX_SUM = """
+SELECT user_id, event_id,
+       ROUND(COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE), 0.0), 2)
+       AS prior_sum
+FROM events
+"""
+
+
+def _q_distinct_agg(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"),
+             F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+_SQL_DISTINCT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _q_set_intersect(spark, sf):
+    e = _t(spark, sf, "events")
+    a = e.where(F.col("event_type") == "purchase").select("user_id")
+    b = e.where(F.col("event_type") == "signup").select("user_id")
+    return a.intersect(b).orderBy("user_id")
+
+
+_SQL_INTERSECT = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'signup'
+ORDER BY user_id
+"""
+
+
+def _q_set_except(spark, sf):
+    e = _t(spark, sf, "events")
+    a = e.where(F.col("event_type") == "purchase").select("user_id")
+    b = e.where(F.col("event_type") == "error").select("user_id")
+    return a.exceptAll(b).groupBy("user_id").agg(
+        F.count("*").alias("n")).orderBy("user_id")
+
+
+_SQL_EXCEPT = """
+SELECT user_id, COUNT(*) AS n FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT ALL
+  SELECT user_id FROM events WHERE event_type = 'error'
+) GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _q_case_bucket(spark, sf):
+    e = _t(spark, sf, "events")
+    norm = F.col("value") / 200.0
+    return (
+        e.withColumn("bucket", X.conf_bucket_col(norm))
+        .groupBy("bucket").agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+_SQL_CASE_BUCKET = """
+SELECT CASE WHEN value/200.0 >= 0.9 THEN 'very_high'
+            WHEN value/200.0 >= 0.8 THEN 'high'
+            WHEN value/200.0 >= 0.6 THEN 'medium'
+            WHEN value/200.0 >= 0.4 THEN 'low'
+            ELSE 'very_low' END AS bucket,
+       COUNT(*) AS n
+FROM events GROUP BY 1 ORDER BY bucket
+"""
+
+
+def _q_json_extract(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 6).alias("avg_k"),
+             F.max("k").alias("max_k"))
+        .orderBy("event_type")
+    )
+
+
+_SQL_JSON = """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _q_argmax_event(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"),
+                F.round("value", 2).alias("top_value"))
+        .orderBy("user_id")
+    )
+
+
+_SQL_ARGMAX = """
+SELECT user_id, event_type AS top_event_type, ROUND(value,2) AS top_value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id ASC) rn
+      FROM events) WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def _q_sessionize(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; route through timestamp (session tz = UTC) to
+    # get the same naive epoch DuckDB computes.
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    return (
+        e.withColumn("gap_s", gap)
+        .where(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+             F.max("gap_s").alias("max_gap_s"))
+        .orderBy("user_id")
+    )
+
+
+_SQL_SESSIONIZE = """
+SELECT user_id, ROUND(AVG(gap_s), 6) AS avg_gap_s, MAX(gap_s) AS max_gap_s
+FROM (SELECT user_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+             - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events)
+WHERE gap_s IS NOT NULL GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _q_rollup(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(F.count("*").alias("n"),
+             F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang", "source")
+    )
+
+
+_SQL_ROLLUP = """
+SELECT lang, source, COUNT(*) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP (lang, source) ORDER BY lang, source
+"""
+
+
+def _q_corpus_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"))
+        .orderBy("lang")
+    )
+
+
+_SQL_CORPUS_STATS = """
+SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 6) AS avg_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def _q_history_topn(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (d.orderBy(F.desc("doc_id")).limit(20)
+            .select("doc_id", "lang", "n_chars"))
+
+
+_SQL_HISTORY = """
+SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id DESC LIMIT 20
+"""
+
+
+def _q_pattern_find(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.where(F.col("text").rlike("spark\\s+\\w+\\s+join"))
+        .groupBy("lang").agg(F.count("*").alias("n"))
+        .orderBy("lang")
+    )
+
+
+_SQL_PATTERN_FIND = r"""
+SELECT lang, COUNT(*) AS n FROM documents
+WHERE regexp_matches(text, 'spark\s+\w+\s+join')
+GROUP BY lang ORDER BY lang
+"""
+
+
+def _q_regex_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit("(join)"), 1))
+             .alias("n_join"),
+            F.size(F.regexp_extract_all("text", F.lit("(merge)"), 1))
+             .alias("n_merge"))
+        .orderBy("doc_id")
+    )
+
+
+_SQL_REGEX_COUNT = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '(join)', 1)) AS n_join,
+       len(regexp_extract_all(text, '(merge)', 1)) AS n_merge
+FROM documents ORDER BY doc_id
+"""
+
+
+def _q_first_match(spark, sf):
+    d = _t(spark, sf, "documents")
+    first = F.coalesce(
+        F.nullif(F.regexp_extract("text", "(window)", 1), F.lit("")),
+        F.nullif(F.regexp_extract("text", "(stream)", 1), F.lit("")),
+        F.nullif(F.regexp_extract("text", "(vector)", 1), F.lit("")),
+        F.lit("none"),
+    )
+    return (d.withColumn("first_kw", first)
+            .groupBy("first_kw").agg(F.count("*").alias("n"))
+            .orderBy("first_kw"))
+
+
+_SQL_FIRST_MATCH = """
+SELECT COALESCE(NULLIF(regexp_extract(text, '(window)', 1), ''),
+                NULLIF(regexp_extract(text, '(stream)', 1), ''),
+                NULLIF(regexp_extract(text, '(vector)', 1), ''),
+                'none') AS first_kw,
+       COUNT(*) AS n
+FROM documents GROUP BY 1 ORDER BY first_kw
+"""
+
+
+def _q_hp_extract(spark, sf):
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_HP_PLANT).alias("text"))
+    return d.select("doc_id", X.hp_col(F.col("text")).alias("hp")) \
+        .orderBy("doc_id")
+
+
+def _sql_hp_extract():
+    # Same cascade, same planted text, RE2 side. Only the first pattern can
+    # match the planted token; the cascade is still exercised end-to-end.
+    pats = ["(?i)" + p for p in C.HP_PATTERNS]
+    cands = ", ".join(
+        f"CASE WHEN TRY_CAST(NULLIF(regexp_extract(t.text, '{p}', 1), '') AS INT) "
+        f"BETWEEN {C.HP_MIN} AND {C.HP_MAX} "
+        f"THEN TRY_CAST(regexp_extract(t.text, '{p}', 1) AS INT) END"
+        for p in pats
+    )
+    return (f"SELECT doc_id, COALESCE({cands}) AS hp "
+            f"FROM (SELECT doc_id, {_HP_PLANT} AS text FROM documents) t "
+            f"ORDER BY doc_id")
+
+
+def _q_cost_extract(spark, sf):
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_COST_PLANT).alias("text"))
+    return d.select(
+        "doc_id",
+        F.round(X.cost_col(F.col("text")), 2).alias("cost")).orderBy("doc_id")
+
+
+def _sql_cost_extract():
+    pats = ["(?i)" + p.replace("'", "''") for p in C.COST_PATTERNS]
+    arrays = " || ".join(
+        f"regexp_extract_all(t.text, '{p}', 1)" for p in pats)
+    return f"""
+SELECT doc_id, ROUND(m, 2) AS cost FROM (
+  SELECT doc_id,
+         list_max(list_filter(
+             [TRY_CAST(replace(replace(x, ',', ''), ' ', '') AS DOUBLE)
+              for x in ({arrays})],
+             v -> v IS NOT NULL AND v > {C.COST_MIN_CANDIDATE})) AS m
+  FROM (SELECT doc_id, {_COST_PLANT} AS text FROM documents) t
+) ORDER BY doc_id
+"""
+
+
+def _q_token_stats(spark, sf):
+    d = TQ.with_token_stats(_t(spark, sf, "documents"))
+    return d.select("doc_id", "n_tokens", "stopword_ratio",
+                    "mean_word_len").orderBy("doc_id")
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in C.STOPWORDS) + "]"
+
+_SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       ROUND(len(list_filter(toks, w -> list_contains({_STOP_SQL}, lower(w))))
+             / len(toks), 6) AS stopword_ratio,
+       ROUND(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+             / len(toks), 6) AS mean_word_len
+FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+      FROM documents) ORDER BY doc_id
+"""
+
+
+def _q_quality_score(spark, sf):
+    d = TQ.with_quality_score(_t(spark, sf, "documents"))
+    return d.select("doc_id", "quality_score").orderBy("doc_id")
+
+
+_SQL_QUALITY = f"""
+SELECT doc_id,
+       ROUND((CASE WHEN n < 10 THEN n/10.0 WHEN n > 1000 THEN 0.5
+                   ELSE 1.0 END) * 0.6
+             + (CASE WHEN sr BETWEEN 0.05 AND 0.6 THEN 1.0
+                     ELSE 0.5 END) * 0.4, 6) AS quality_score
+FROM (SELECT doc_id, len(toks) AS n,
+             ROUND(len(list_filter(toks,
+                 w -> list_contains({_STOP_SQL}, lower(w)))) / len(toks), 6) AS sr
+      FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+            FROM documents))
+ORDER BY doc_id
+"""
+
+
+def _q_lang_guess(spark, sf):
+    d = TQ.with_lang_guess(_t(spark, sf, "documents"))
+    return (d.groupBy("lang_guess").agg(F.count("*").alias("n"))
+            .orderBy("lang_guess"))
+
+
+def _sql_lang_guess():
+    hit_exprs = {
+        name: ("len(list_filter(toks, w -> list_contains(["
+               + ", ".join(f"'{m}'" for m in markers)
+               + "], lower(w))))")
+        for name, markers in TQ.LANG_MARKERS.items()
+    }
+    names = list(TQ.LANG_MARKERS)
+    # Mirror the strictly-greater argmax with ties to earlier entries.
+    best = "'unknown'"
+    best_hits = "0"
+    for name in names:
+        h = f"h_{name}"
+        best = f"CASE WHEN {h} > {best_hits} THEN '{name}' ELSE {best} END"
+        best_hits = f"CASE WHEN h_{name} > {best_hits} THEN h_{name} ELSE {best_hits} END"
+    hits_select = ", ".join(f"{e} AS h_{n}" for n, e in hit_exprs.items())
+    return f"""
+SELECT lang_guess, COUNT(*) AS n FROM (
+  SELECT {best} AS lang_guess FROM (
+    SELECT {hits_select}
+    FROM (SELECT str_split_regex(trim(text), '\\s+') AS toks FROM documents)))
+GROUP BY lang_guess ORDER BY lang_guess
+"""
+
+
+def _q_fingerprint(spark, sf):
+    d = TQ.with_fingerprint(_t(spark, sf, "documents"))
+    return d.select("doc_id", "content_hash", "min_shingle").orderBy("doc_id")
+
+
+_SQL_FINGERPRINT = """
+SELECT doc_id, md5(text) AS content_hash,
+       list_min([md5(substr(text, i, 20))
+                 for i in range(1, greatest(length(text) - 19, 1) + 1)])
+       AS min_shingle
+FROM documents ORDER BY doc_id
+"""
+
+
+# -- dedup family (near-dups planted by unioning a mutated copy) -----------
+
+def _dup_docs(spark, sf):
+    """documents UNION a near-dup copy (first word dropped, id + 1000000)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    mut = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("array_join(slice(split(trim(text), '\\\\s+'), 2, "
+               "size(split(trim(text), '\\\\s+'))), ' ')").alias("text"))
+    return d.unionByName(mut)
+
+
+_DUP_DOCS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+       array_to_string(list_slice(str_split_regex(trim(text), '\\s+'), 2,
+                       len(str_split_regex(trim(text), '\\s+'))), ' ') AS text
+FROM documents
+"""
+
+
+def _q_dedup_exact(spark, sf):
+    base = _t(spark, sf, "documents").select("doc_id", "text")
+    dup = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return (D.exact_duplicates(base.unionByName(dup))
+            .orderBy("content_hash"))
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, COUNT(*) AS n_dups,
+       MIN(doc_id) AS keep_doc_id
+FROM (SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents)
+GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY content_hash
+"""
+
+
+_SHINGLE_SQL = (
+    "[array_to_string(list_slice(toks, i, i + 2), ' ') "
+    "for i in range(1, greatest(len(toks) - 2, 1) + 1)]"
+)
+
+
+def _q_minhash_sketch(spark, sf):
+    d = D.with_minhash_sketch(_t(spark, sf, "documents"))
+    return d.select(
+        "doc_id", "minhash_bucket",
+        F.array_join("minhash_sketch", "|").alias("sketch")).orderBy("doc_id")
+
+
+_SQL_MINHASH = f"""
+SELECT doc_id, sk[1] AS minhash_bucket, array_to_string(sk, '|') AS sketch
+FROM (
+  SELECT doc_id,
+         list_slice(list_sort(list_distinct(
+             list_transform({_SHINGLE_SQL}, s -> md5(s)))), 1, 8) AS sk
+  FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+        FROM documents))
+ORDER BY doc_id
+"""
+
+
+def _q_near_dup_pairs(spark, sf):
+    return (D.near_dup_pairs(_dup_docs(spark, sf), jaccard_min=0.5)
+            .orderBy("doc_a", "doc_b"))
+
+
+_SQL_NEAR_DUP = f"""
+WITH base AS ({_DUP_DOCS_SQL}),
+sk AS (
+  SELECT doc_id,
+         list_slice(list_sort(list_distinct(
+             list_transform({_SHINGLE_SQL}, s -> md5(s)))), 1, 8) AS sketch
+  FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks FROM base))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(len(list_intersect(a.sketch, b.sketch))
+             / len(list_distinct(a.sketch || b.sketch)), 6) AS jaccard
+FROM sk a JOIN sk b ON a.sketch[1] = b.sketch[1] AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sketch, b.sketch))
+      / len(list_distinct(a.sketch || b.sketch)) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+def _q_simhash(spark, sf):
+    d = D.with_simhash(_t(spark, sf, "documents"))
+    return d.select("doc_id", "simhash").orderBy("doc_id")
+
+
+def _sql_simhash():
+    ones = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> {b}) & 1)) "
+        f">= n THEN {1 << b} ELSE 0 END)"
+        for b in range(D.SIMHASH_BITS))
+    return f"""
+SELECT doc_id, CAST({ones} AS BIGINT) AS simhash
+FROM (SELECT doc_id,
+             list_transform(str_split_regex(trim(text), '\\s+'),
+                 w -> ('0x' || substr(md5(w), 1, 4))::BIGINT) AS hs,
+             len(str_split_regex(trim(text), '\\s+')) AS n
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
+def _q_ngram_jaccard(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    pairs = D.ngram_jaccard_pairs(d, sample_ids=[0, 1, 2])
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("jaccard"), F.asc("doc_id"))
+    return (pairs.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 5)
+            .select("probe_id", "doc_id", "jaccard", "rnk"))
+
+
+_SQL_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_SHINGLE_SQL}) AS shingles
+  FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+        FROM documents)),
+pairs AS (
+  SELECT p.doc_id AS probe_id, d.doc_id AS doc_id,
+         ROUND(len(list_intersect(d.shingles, p.shingles))
+               / len(list_distinct(d.shingles || p.shingles)), 6) AS jaccard
+  FROM sh d, sh p
+  WHERE p.doc_id IN (0, 1, 2) AND d.doc_id != p.doc_id)
+SELECT probe_id, doc_id, jaccard, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY jaccard DESC, doc_id ASC) AS rnk
+  FROM pairs) WHERE rnk <= 5
+"""
+
+
+# -- embedding similarity ---------------------------------------------------
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b})))")
+
+
+def _q_embed_topk(spark, sf):
+    return S.brute_force_topk(_t(spark, sf, "embeddings"),
+                              probe_ids=[0, 1, 2], k=5)
+
+
+_SQL_EMBED_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+scored AS (
+  SELECT p.vec_id AS probe_id, d.vec_id AS vec_id,
+         ROUND({_cos_sql('d.emb', 'p.emb')}, 6) AS cos_sim
+  FROM e d, e p WHERE p.vec_id IN (0,1,2) AND d.vec_id != p.vec_id)
+SELECT probe_id, vec_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+def _q_embed_lsh_topk(spark, sf):
+    return S.lsh_topk(_t(spark, sf, "embeddings"), probe_ids=[0, 1, 2], k=5)
+
+
+def _sql_embed_lsh_topk():
+    bucket = " + ".join(
+        f"(CASE WHEN emb[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(S.LSH_BITS))
+    cos = ("list_dot_product(d.emb, p.emb) / "
+           "(sqrt(list_dot_product(d.emb, d.emb)) * "
+           "sqrt(list_dot_product(p.emb, p.emb)))")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                  {bucket} AS lsh_bucket
+           FROM (SELECT vec_id, embedding, embedding AS emb0,
+                        embedding::DOUBLE[] AS emb FROM embeddings)),
+scored AS (
+  SELECT p.vec_id AS probe_id, d.vec_id AS vec_id,
+         ROUND({cos}, 6) AS cos_sim
+  FROM e d JOIN e p ON d.lsh_bucket = p.lsh_bucket
+  WHERE p.vec_id IN (0,1,2) AND d.vec_id != p.vec_id)
+SELECT probe_id, vec_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+def _q_embed_near_dups(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    # Plant guaranteed near-dups: a scaled copy has cosine exactly 1.
+    dup = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * F.lit(2.0).cast("float"))
+         .alias("embedding"),
+        F.col("label"))
+    both = emb.unionByName(dup)
+    return (S.embedding_near_dups(both, cos_min=0.999)
+            .orderBy("id_a", "id_b"))
+
+
+def _sql_embed_near_dups():
+    bucket = " + ".join(
+        f"(CASE WHEN emb[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(S.LSH_BITS))
+    cos = ("list_dot_product(a.emb, b.emb) / "
+           "(sqrt(list_dot_product(a.emb, a.emb)) * "
+           "sqrt(list_dot_product(b.emb, b.emb)))")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding,
+             v -> (v::FLOAT * 2.0::FLOAT)::FLOAT)::DOUBLE[] AS emb
+  FROM embeddings),
+e AS (SELECT vec_id, emb, {bucket} AS lsh_bucket FROM base)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cos}, 6) AS cos_sim
+FROM e a JOIN e b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= 0.999
+ORDER BY id_a, id_b
+"""
+
+
+def _q_embed_norms(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda a, v: a + v * v))
+    return (e.withColumn("norm", norm)
+            .groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("norm"), 6).alias("avg_norm"))
+            .orderBy("label"))
+
+
+_SQL_EMBED_NORMS = """
+SELECT label, COUNT(*) AS n,
+       ROUND(AVG(sqrt(list_dot_product(emb, emb))), 6) AS avg_norm
+FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings)
+GROUP BY label ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple] = {
+    # relational / SURVEY §2 operator families
+    "pricing_summary": (_q_pricing_summary, _SQL_PRICING),
+    "top_orders": (_q_top_orders, _SQL_TOP_ORDERS),
+    "cust_order_join": (_q_cust_order_join, _SQL_CUST_ORDER),
+    "region_nation_join": (_q_region_nation_rollup, _SQL_REGION_NATION),
+    "semi_join": (_q_semi_join, _SQL_SEMI),
+    "anti_join": (_q_anti_join, _SQL_ANTI),
+    "window_rank": (_q_window_rank, _SQL_WINDOW_RANK),
+    "window_prefix_sum": (_q_window_prefix_sum, _SQL_PREFIX_SUM),
+    "distinct_agg": (_q_distinct_agg, _SQL_DISTINCT),
+    "set_intersect": (_q_set_intersect, _SQL_INTERSECT),
+    "set_except": (_q_set_except, _SQL_EXCEPT),
+    "case_bucket": (_q_case_bucket, _SQL_CASE_BUCKET),
+    "json_extract": (_q_json_extract, _SQL_JSON),
+    "argmax_event": (_q_argmax_event, _SQL_ARGMAX),
+    "sessionize": (_q_sessionize, _SQL_SESSIONIZE),
+    "rollup": (_q_rollup, _SQL_ROLLUP),
+    "corpus_stats": (_q_corpus_stats, _SQL_CORPUS_STATS),
+    "history_topn": (_q_history_topn, _SQL_HISTORY),
+    # extraction semantics (pattern cascade on planted text)
+    "pattern_find": (_q_pattern_find, _SQL_PATTERN_FIND),
+    "regex_count": (_q_regex_count, _SQL_REGEX_COUNT),
+    "first_match": (_q_first_match, _SQL_FIRST_MATCH),
+    "hp_extract": (_q_hp_extract, _sql_hp_extract()),
+    "cost_extract": (_q_cost_extract, _sql_cost_extract()),
+    # text quality / fingerprinting
+    "token_stats": (_q_token_stats, _SQL_TOKEN_STATS),
+    "quality_score": (_q_quality_score, _SQL_QUALITY),
+    "lang_guess": (_q_lang_guess, _sql_lang_guess()),
+    "fingerprint": (_q_fingerprint, _SQL_FINGERPRINT),
+    # dedup family
+    "dedup_exact": (_q_dedup_exact, _SQL_DEDUP_EXACT),
+    "minhash_sketch": (_q_minhash_sketch, _SQL_MINHASH),
+    "near_dup_pairs": (_q_near_dup_pairs, _SQL_NEAR_DUP),
+    "simhash": (_q_simhash, _sql_simhash()),
+    "ngram_jaccard": (_q_ngram_jaccard, _SQL_NGRAM_JACCARD),
+    # embedding similarity
+    "embed_topk": (_q_embed_topk, _SQL_EMBED_TOPK),
+    "embed_lsh_topk": (_q_embed_lsh_topk, _sql_embed_lsh_topk()),
+    "embed_near_dups": (_q_embed_near_dups, _sql_embed_near_dups()),
+    "embed_norms": (_q_embed_norms, _SQL_EMBED_NORMS),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _REGISTRY.items()
+            if sql is not None}

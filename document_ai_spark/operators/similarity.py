@@ -1,0 +1,102 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, mirroring how a real 100 TB pipeline tiers ANN:
+  * brute-force cosine top-k for a SMALL probe set: probe vectors are
+    broadcast, the corpus streams once, per-probe top-k via window —
+    O(corpus x probes) but a single scan, no shuffle of the corpus.
+  * sign-LSH bucketed variant: bucket = sign-bit pattern of the first B
+    dimensions (a deterministic random-hyperplane stand-in). Probes only
+    compare against their own bucket — the scale path where the corpus
+    side is hash-partitioned by bucket and never fully scanned per query.
+
+Dot products are computed with built-in higher-order functions
+(zip_with + aggregate) — JVM-side, no Python.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+LSH_BITS = 8
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(emb: DataFrame, probe_ids, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors per probe id.
+    Returns (probe_id, vec_id, cos_sim, rank) — ties broken by vec_id."""
+    base = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("emb"))
+    probes = base.where(F.col("vec_id").isin(list(probe_ids))).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("probe_emb"))
+    scored = (
+        base.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos_sim", F.round(_cosine("emb", "probe_emb"), 6))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def with_lsh_bucket(emb: DataFrame, bits: int = LSH_BITS) -> DataFrame:
+    """Sign-pattern bucket over the first `bits` dimensions."""
+    e = F.col("embedding")
+    bucket = F.lit(0)
+    for i in range(bits):
+        bucket = bucket + F.when(F.element_at(e, i + 1) >= 0,
+                                 F.lit(1 << i)).otherwise(F.lit(0))
+    return emb.withColumn("lsh_bucket", bucket)
+
+
+def lsh_topk(emb: DataFrame, probe_ids, k: int = 5,
+             bits: int = LSH_BITS) -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's LSH bucket.
+    Same output shape as brute_force_topk; recall < 1 by design."""
+    b = with_lsh_bucket(emb, bits).select(
+        "vec_id", "lsh_bucket",
+        F.col("embedding").cast("array<double>").alias("emb"))
+    probes = b.where(F.col("vec_id").isin(list(probe_ids))).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("lsh_bucket"),
+        F.col("emb").alias("probe_emb"))
+    scored = (
+        b.join(F.broadcast(probes), "lsh_bucket")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos_sim", F.round(_cosine("emb", "probe_emb"), 6))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dups(emb: DataFrame, cos_min: float = 0.95,
+                        bits: int = LSH_BITS) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucket self-join."""
+    b = with_lsh_bucket(emb, bits).select(
+        "vec_id", "lsh_bucket",
+        F.col("embedding").cast("array<double>").alias("emb"))
+    a = b.select(F.col("vec_id").alias("id_a"), "lsh_bucket",
+                 F.col("emb").alias("emb_a"))
+    c = b.select(F.col("vec_id").alias("id_b"), "lsh_bucket",
+                 F.col("emb").alias("emb_b"))
+    pairs = a.join(c, "lsh_bucket").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_sim", F.round(_cosine("emb_a", "emb_b"), 6))
+        .where(F.col("cos_sim") >= cos_min)
+        .select("id_a", "id_b", "cos_sim")
+    )
