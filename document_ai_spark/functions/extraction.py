@@ -23,7 +23,7 @@ import re
 from typing import Dict, List, Optional, Tuple
 
 from .. import constants as C
-from .fuzzy import best_full_match, best_partial_match
+from .fuzzy import PartialRatioScorer, best_full_match, best_partial_match
 
 # ---------------------------------------------------------------------------
 # Pure-python reference semantics (oracle side)
@@ -125,17 +125,20 @@ def extract_fields(text: str, kv_fields: Optional[Dict] = None
     }
 
     # Fuzzy pass overrides on strictly-greater confidence
-    # (field_extractor.py:144-148).
+    # (field_extractor.py:144-148). One shared text index for both lists.
     text_upper = text.upper()
+    scorer = PartialRatioScorer(text_upper)
     fd, fd_score = best_partial_match(
-        text_upper, C.DEALER_MASTER, C.FUZZY_DEALER_EXTRACT_MIN
+        text_upper, C.DEALER_MASTER, C.FUZZY_DEALER_EXTRACT_MIN,
+        scorer=scorer,
     )
     if fd is not None and fd_score / 100.0 > result["dealer_name"]["confidence"]:
         result["dealer_name"] = {
             "value": fd, "confidence": fd_score / 100.0, "method": "fuzzy",
         }
     fm, fm_score = best_partial_match(
-        text_upper, C.MODEL_MASTER, C.FUZZY_MODEL_EXTRACT_MIN
+        text_upper, C.MODEL_MASTER, C.FUZZY_MODEL_EXTRACT_MIN,
+        scorer=scorer,
     )
     if fm is not None and fm_score / 100.0 > result["model_name"]["confidence"]:
         result["model_name"] = {
@@ -319,7 +322,10 @@ def dealer_col(text):
     per_line_hits = F.filter(
         F.transform(lines, per_line), lambda x: x.isNotNull()
     )
-    return F.when(F.size(per_line_hits) > 0, F.element_at(per_line_hits, 1))
+    # F.get is null-safe on empty arrays (unlike element_at under ANSI),
+    # so the 40-regex hits tree appears ONCE — a when(size>0, element_at)
+    # guard would duplicate it and measurably blow up plan analysis time.
+    return F.get(per_line_hits, 0)
 
 
 def with_pattern_fields(df, text_col: str = "combined_text"):

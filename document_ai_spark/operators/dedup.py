@@ -26,11 +26,17 @@ SIMHASH_BITS = 16
 
 
 def _word_shingles(k: int = SHINGLE_K):
-    """Array of k-word shingles (space-joined), via SQL higher-order fns."""
+    """Array of k-word shingles (space-joined), via SQL higher-order fns.
+
+    The tokens array is wrapped in a 1-element array + transform so the
+    regex split evaluates ONCE per row — referencing split() directly
+    inside the per-shingle lambda would re-split the text per shingle
+    (O(len^2), measured 4x slower at sf0.1)."""
     return F.expr(
-        "transform("
-        f"  sequence(1, greatest(size(split(trim(text), '\\\\s+')) - {k - 1}, 1)),"
-        f"  i -> array_join(slice(split(trim(text), '\\\\s+'), i, {k}), ' '))"
+        "element_at(transform(array(split(trim(text), '\\\\s+')), toks -> "
+        f"  transform(sequence(1, greatest(size(toks) - {k - 1}, 1)), "
+        f"            i -> array_join(slice(toks, i, {k}), ' '))"
+        "), 1)"
     )
 
 
@@ -59,51 +65,64 @@ def exact_duplicates(df: DataFrame) -> DataFrame:
 def near_dup_pairs(df: DataFrame, jaccard_min: float = 0.6) -> DataFrame:
     """MinHash-bucketed candidate pairs verified by sketch-Jaccard.
 
-    Self-join on minhash_bucket (equi-join, broadcast-able per bucket via
-    AQE), pair de-dup by doc_id ordering, then Jaccard over the bottom-k
-    sketches. Returns (doc_a, doc_b, jaccard)."""
+    groupBy(bucket) + intra-bucket pair expansion instead of a bucket
+    self-join: the expensive sketch computation runs ONCE per doc (a
+    self-join would recompute the whole upstream for each side), and the
+    single shuffle moves only (doc_id, 8-hash sketch) pairs — at 10^12
+    docs that's the difference between one pass and two full passes over
+    the corpus. Hot buckets are bounded by construction (docs sharing
+    their minimum shingle hash); a production run would additionally cap
+    group size. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
     s = with_minhash_sketch(df).select(
         "doc_id", "minhash_bucket", "minhash_sketch")
-    a = s.select(F.col("doc_id").alias("doc_a"),
-                 F.col("minhash_bucket"),
-                 F.col("minhash_sketch").alias("sk_a"))
-    b = s.select(F.col("doc_id").alias("doc_b"),
-                 F.col("minhash_bucket"),
-                 F.col("minhash_sketch").alias("sk_b"))
-    pairs = a.join(b, "minhash_bucket").where(F.col("doc_a") < F.col("doc_b"))
+    grouped = (
+        s.groupBy("minhash_bucket")
+        .agg(F.collect_list(F.struct("doc_id", "minhash_sketch"))
+             .alias("items"))
+        .where(F.size("items") > 1)
+    )
+    pairs = grouped.select(F.explode(F.expr(
+        "flatten(transform(items, (x, i) -> "
+        "  transform(slice(items, i + 2, size(items)), y -> "
+        "    struct(x.doc_id AS id_x, y.doc_id AS id_y, "
+        "           x.minhash_sketch AS sk_a, y.minhash_sketch AS sk_b))))"
+    )).alias("p")).select("p.*")
     inter = F.size(F.array_intersect("sk_a", "sk_b"))
     union = F.size(F.array_union("sk_a", "sk_b"))
     return (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= jaccard_min)
-        .select("doc_a", "doc_b", "jaccard")
+        .select(F.least("id_x", "id_y").alias("doc_a"),
+                F.greatest("id_x", "id_y").alias("doc_b"),
+                "jaccard")
     )
 
 
 def with_simhash(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """16-bit SimHash: per word, take md5's first 4 hex chars as a 16-bit
     int; signature bit b = majority of word-hash bit b. Integer exprs only."""
-    word_hashes = F.expr(
-        "transform(split(trim(text), '\\\\s+'), "
-        "w -> conv(substring(md5(w), 1, 4), 16, 10))"
+    # Single-pass: word hashes and per-bit majority counts are computed
+    # exactly once per row via 1-element-array lambda wrappers — a naive
+    # per-bit aggregate would hash every word `bits` times (measured 8s at
+    # sf0.1; this form is sub-second). Pure integer exprs, codegen.
+    sig = F.expr(
+        "element_at(transform(array(named_struct("
+        "  'hs', transform(split(trim(text), '\\\\s+'), "
+        "        w -> cast(conv(substring(md5(w), 1, 4), 16, 10) as bigint)),"
+        "  'n', size(split(trim(text), '\\\\s+')))), s -> "
+        "element_at(transform(array(named_struct("
+        "    'cnts', aggregate(s.hs, "
+        f"             array_repeat(0, {bits}), "
+        "              (acc, h) -> transform(acc, (c, i) -> "
+        "                c + cast((shiftright(h, i) & 1) as int))),"
+        "    'n', s.n)), t -> "
+        f"  aggregate(sequence(0, {bits - 1}), cast(0 as bigint), "
+        "             (acc, b) -> acc + IF(element_at(t.cnts, b + 1) * 2 >= t.n, "
+        "                                  shiftleft(cast(1 as bigint), b), "
+        "                                  cast(0 as bigint)))"
+        "), 1)), 1)"
     )
-    # For each bit: count words with the bit set; majority -> signature bit.
-    n_words = F.expr("size(split(trim(text), '\\\\s+'))")
-    def bit_ones(b: int):
-        def merge(acc, h):
-            return acc + F.shiftright(h.cast("long"), b) \
-                .bitwiseAND(1).cast("int")
-        return F.aggregate(word_hashes, F.lit(0), merge)
-
-    bit_terms = []
-    for b in range(bits):
-        ones = bit_ones(b)
-        bit_terms.append(
-            F.when(ones * 2 >= n_words, F.lit(1 << b)).otherwise(F.lit(0)))
-    sig = bit_terms[0]
-    for t in bit_terms[1:]:
-        sig = sig + t
-    return df.withColumn("simhash", sig.cast("long"))
+    return df.withColumn("simhash", sig)
 
 
 def ngram_jaccard_pairs(df: DataFrame, sample_ids, k: int = SHINGLE_K

@@ -97,13 +97,16 @@ _FUZZY_TYPE = T.StructType([
 
 @F.pandas_udf(_FUZZY_TYPE)
 def _fuzzy_udf(text: pd.Series) -> pd.DataFrame:
+    from ..functions.fuzzy import PartialRatioScorer
+
     rows = []
     for t in text:
         tu = (t or "").upper()
+        scorer = PartialRatioScorer(tu)   # one text index for both lists
         d, ds = best_partial_match(tu, C.DEALER_MASTER,
-                                   C.FUZZY_DEALER_EXTRACT_MIN)
+                                   C.FUZZY_DEALER_EXTRACT_MIN, scorer=scorer)
         m, ms = best_partial_match(tu, C.MODEL_MASTER,
-                                   C.FUZZY_MODEL_EXTRACT_MIN)
+                                   C.FUZZY_MODEL_EXTRACT_MIN, scorer=scorer)
         rows.append((d, ds, m, ms))
     return pd.DataFrame(rows, columns=[f.name for f in _FUZZY_TYPE])
 
@@ -118,13 +121,22 @@ _VALID_TYPE = T.StructType([
 def _make_valid_udf(masters, min_score):
     @F.pandas_udf(_VALID_TYPE)
     def udf(vals: pd.Series) -> pd.DataFrame:
+        # Batch-local memoization: the live value domain is essentially
+        # the two 12-row master lists plus extraction noise, so scoring is
+        # O(distinct) per Arrow batch. (A plain dict, not lru_cache — the
+        # wrapper must stay cloudpickle-able.)
+        cache: dict = {}
         rows = []
         for v in vals:
-            if v is None or v == "":
-                rows.append((False, 0, None))
-                continue
-            m, s = best_full_match(v.upper(), masters, min_score)
-            rows.append((m is not None, s, m))
+            r = cache.get(v)
+            if r is None:
+                if not v:
+                    r = (False, 0, None)
+                else:
+                    m, s = best_full_match(v.upper(), masters, min_score)
+                    r = (m is not None, s, m)
+                cache[v] = r
+            rows.append(r)
         return pd.DataFrame(rows, columns=["valid", "match_score", "matched_to"])
     return udf
 
@@ -314,29 +326,26 @@ def _ensemble(df: DataFrame) -> DataFrame:
 
 
 def _validate(df: DataFrame) -> DataFrame:
-    """Master validation scored once per DISTINCT value, broadcast back."""
+    """Master validation, inline per row with worker-local memoization.
+
+    NOT the distinct-subquery + broadcast-join-back pattern: each
+    distinct() subquery would recompute the entire (UDF-heavy) upstream
+    pipeline — measured 3x the full-pipeline cost. A memoized scalar UDF
+    touches each row once and pays difflib only per distinct value per
+    worker (the live domain is ~the 24 master strings)."""
     dealer_udf = _make_valid_udf(C.DEALER_MASTER, C.FUZZY_DEALER_VALID_MIN)
     model_udf = _make_valid_udf(C.MODEL_MASTER, C.FUZZY_MODEL_VALID_MIN)
-
-    d_dim = (df.select("dealer_name").where(F.col("dealer_name").isNotNull())
-             .distinct()
-             .withColumn("dv", dealer_udf("dealer_name"))
-             .select("dealer_name",
-                     F.col("dv.valid").alias("dealer_valid"),
-                     F.col("dv.matched_to").alias("dealer_matched_to")))
-    m_dim = (df.select("model_name").where(F.col("model_name").isNotNull())
-             .distinct()
-             .withColumn("mv", model_udf("model_name"))
-             .select("model_name",
-                     F.col("mv.valid").alias("model_valid"),
-                     F.col("mv.matched_to").alias("model_matched_to")))
-
-    out = (df.join(F.broadcast(d_dim), "dealer_name", "left")
-             .join(F.broadcast(m_dim), "model_name", "left"))
-    return out.withColumns({
-        "dealer_valid": F.coalesce("dealer_valid", F.lit(False)),
-        "model_valid": F.coalesce("model_valid", F.lit(False)),
-    })
+    return (
+        df.withColumn("dv", dealer_udf("dealer_name"))
+        .withColumn("mv", model_udf("model_name"))
+        .withColumns({
+            "dealer_valid": F.col("dv.valid"),
+            "dealer_matched_to": F.col("dv.matched_to"),
+            "model_valid": F.col("mv.valid"),
+            "model_matched_to": F.col("mv.matched_to"),
+        })
+        .drop("dv", "mv")
+    )
 
 
 def extract(docs_df: DataFrame, payloads_df: DataFrame,

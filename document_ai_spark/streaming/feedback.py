@@ -1,0 +1,90 @@
+"""Feedback loop + incremental ingest (reference §2.9 streaming analogs).
+
+The reference appends correction feedback to a JSON file and aggregates
+per-method accuracy to pick future strategies (reference
+backend/services/agentic_ai.py:88-101, 404-475). Here:
+
+  * the feedback table is an append-only parquet directory,
+  * strategy accuracy (A9) is a plain aggregation,
+  * similar-feedback lookup (J4) is a filter + arrays_overlap + recent-N,
+  * incremental ingest is Structured Streaming over the interleaved-doc
+    directory with the SAME extraction pipeline applied per micro-batch
+    via foreachBatch — batch/stream parity by construction.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+FEEDBACK_SCHEMA = (
+    "ts timestamp, doc_id string, field_name string, predicted_value string,"
+    " correct_value string, extraction_method string, was_correct boolean,"
+    " doc_type string, languages array<string>"
+)
+
+
+def append_feedback(df: DataFrame, path: str) -> None:
+    df.write.mode("append").parquet(path)
+
+
+def strategy_accuracy(feedback: DataFrame) -> DataFrame:
+    """Per-method accuracy ratio (agentic_ai.py:447-475)."""
+    return (
+        feedback.groupBy("extraction_method")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.col("was_correct").cast("int")), 6)
+             .alias("accuracy"),
+        )
+        .orderBy("extraction_method")
+    )
+
+
+def best_strategy(feedback: DataFrame) -> DataFrame:
+    """Argmax accuracy with deterministic method-name tie-break."""
+    acc = strategy_accuracy(feedback)
+    w = Window.orderBy(F.desc("accuracy"), F.asc("extraction_method"))
+    return (acc.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1).drop("rnk"))
+
+
+def similar_feedback(feedback: DataFrame, doc_type: str,
+                     languages: list, limit: int = 10) -> DataFrame:
+    """Last-N feedback for the same doc_type with language overlap
+    (agentic_ai.py:431-445): filter + arrays_overlap + recent-N."""
+    lang_arr = F.array(*[F.lit(x) for x in languages])
+    return (
+        feedback.where(F.col("doc_type") == doc_type)
+        .where(F.arrays_overlap("languages", lang_arr))
+        .orderBy(F.desc("ts"), F.desc("doc_id"))
+        .limit(limit)
+    )
+
+
+def stream_extract(spark: SparkSession, in_dir: str, out_dir: str,
+                   checkpoint_dir: str, payloads_df: DataFrame):
+    """Structured Streaming ingest: watch in_dir for new interleaved-doc
+    parquet files, run the SAME batch pipeline per micro-batch, append
+    results. Returns the StreamingQuery (caller awaits/stops)."""
+    from ..plans.pipeline import extract
+    from ..sources.docgen import interleaved_schema
+
+    stream = (
+        spark.readStream.schema(interleaved_schema())
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = extract(batch_df, payloads_df).withColumn(
+            "out_spans", F.to_json("out_spans"))
+        out.write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,64 @@
+"""spark-submit entrypoint for the extraction pipeline.
+
+Cluster usage (north_rule packaging):
+
+    cd /root/repo && zip -r /tmp/document_ai_spark.zip document_ai_spark
+    spark-submit --py-files /tmp/document_ai_spark.zip \
+        scripts/run_extract.py \
+        --input  <dir with documents_interleaved.parquet + media_payloads.parquet> \
+        --output <checkpoint-store root> \
+        --buckets 256 --run-id prod-1
+
+The job is checkpointed bucket-at-a-time (streaming/checkpoint.py): kill it
+at any point and re-submit with the same --output to resume at the last
+committed snapshot. Lineage/metrics land in <output>/_manifests/.
+
+Local smoke (generates a corpus first):
+
+    python scripts/run_extract.py --generate 5000 --input /tmp/corpus \
+        --output /tmp/extract_out --buckets 8
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--run-id", default="run-0")
+    ap.add_argument("--generate", type=int, default=0,
+                    help="generate an N-doc corpus into --input first")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from document_ai_spark.session import get_spark
+    from document_ai_spark.sources.docgen import write_corpus
+    from document_ai_spark.streaming.checkpoint import run_checkpointed
+
+    spark = get_spark("document_ai_spark.extract", master=args.master)
+    if args.generate:
+        write_corpus(spark, args.input, n_docs=args.generate, seed=42)
+
+    docs = spark.read.parquet(f"{args.input}/documents_interleaved.parquet")
+    payloads = spark.read.parquet(f"{args.input}/media_payloads.parquet")
+    store = run_checkpointed(
+        spark, docs, payloads, args.output,
+        run_id=args.run_id, buckets=args.buckets)
+
+    lineage = store.lineage_df(spark)
+    lineage.orderBy("partition_id").show(100, truncate=False)
+    total = lineage.agg({"rows_out": "sum"}).collect()[0][0]
+    print(f"committed {len(store.committed_buckets())} buckets, "
+          f"{total} documents extracted -> {args.output}/data")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
