@@ -857,6 +857,312 @@ GROUP BY label ORDER BY label
 """
 
 
+# -- additional SURVEY §2 operator families ---------------------------------
+
+def _q_presence_any(spark, sf):
+    """A2: presence-any over grouped rows (bool_or semantics)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .agg((F.max((F.col("event_type") == "error").cast("int")) == 1)
+             .alias("had_error"),
+             F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+_SQL_PRESENCE_ANY = """
+SELECT user_id, MAX(CASE WHEN event_type='error' THEN 1 ELSE 0 END) = 1
+       AS had_error, COUNT(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _q_null_skip_mean(spark, sf):
+    """A4: null-skipping mean (avg over CASE-nulled values)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(F.avg(F.when(F.col("value") > 100, F.col("value"))), 6)
+             .alias("avg_big_value"),
+             F.count(F.when(F.col("value") > 100, 1)).alias("n_big"))
+        .orderBy("event_type")
+    )
+
+
+_SQL_NULL_SKIP = """
+SELECT event_type,
+       ROUND(AVG(CASE WHEN value > 100 THEN value END), 6) AS avg_big_value,
+       COUNT(CASE WHEN value > 100 THEN 1 END) AS n_big
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _q_value_in_text(spark, sf):
+    """P22/P23: value-in-text verification via substring containment."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.col("text").contains(F.col("lang")).alias("lang_in_text"),
+        F.col("text").contains(
+            F.col("n_chars").cast("string")).alias("nchars_in_text"),
+    ).orderBy("doc_id")
+
+
+_SQL_VALUE_IN_TEXT = """
+SELECT doc_id, contains(text, lang) AS lang_in_text,
+       contains(text, CAST(n_chars AS VARCHAR)) AS nchars_in_text
+FROM documents ORDER BY doc_id
+"""
+
+
+def _q_cost_estimator(spark, sf):
+    """P27: LLM cost estimator arithmetic (document_processor.py:287-306)."""
+    d = _t(spark, sf, "documents")
+    # floor division, as the reference's `len(text)//4`
+    # (document_processor.py:291); DuckDB's int cast ROUNDS, so both sides
+    # spell out floor().
+    tokens_in = F.floor(F.length("text") / F.lit(4)).cast("int") + 1000
+    cost = F.round((tokens_in * 0.01 + 500 * 0.03) / 1000.0, 6)
+    return (d.select("doc_id", tokens_in.alias("tokens_in"),
+                     cost.alias("est_cost_usd"))
+            .orderBy("doc_id"))
+
+
+_SQL_COST_EST = """
+SELECT doc_id, CAST(FLOOR(length(text) / 4) AS INT) + 1000 AS tokens_in,
+       ROUND(((CAST(FLOOR(length(text) / 4) AS INT) + 1000) * 0.01
+              + 500 * 0.03) / 1000.0, 6) AS est_cost_usd
+FROM documents ORDER BY doc_id
+"""
+
+
+def _q_arrays_overlap(spark, sf):
+    """K5: language-set intersection analog (arrays_overlap)."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    head = F.slice(toks, 1, 5)
+    tail = F.slice(toks, -5, 5)
+    return (d.select("doc_id",
+                     F.arrays_overlap(head, tail).alias("head_tail_overlap"))
+            .orderBy("doc_id"))
+
+
+_SQL_ARRAYS_OVERLAP = r"""
+SELECT doc_id,
+       len(list_intersect(toks[1:5], toks[-5:])) > 0 AS head_tail_overlap
+FROM (SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+      FROM documents) ORDER BY doc_id
+"""
+
+
+def _q_iou_match(spark, sf):
+    """J3/V5: IoU >= 0.5 box matching as pure arithmetic; boxes derived
+    deterministically from doc_id in both engines."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    x1 = (F.col("doc_id") % 100).cast("double")
+    y1 = (F.col("doc_id") % 73).cast("double")
+    a = (x1, y1, x1 + 50, y1 + 40)                  # pred box
+    b = (x1 + (F.col("doc_id") % 20), y1, x1 + 50 + (F.col("doc_id") % 20),
+         y1 + 40)                                    # gt box shifted
+    ix = F.greatest(a[0], b[0])
+    iy = F.greatest(a[1], b[1])
+    ax = F.least(a[2], b[2])
+    ay = F.least(a[3], b[3])
+    inter = F.greatest(ax - ix, F.lit(0.0)) * F.greatest(ay - iy, F.lit(0.0))
+    union = F.lit(50.0 * 40) * 2 - inter
+    iou = inter / union
+    return (d.select("doc_id", F.round(iou, 6).alias("iou"),
+                     (iou >= 0.5).alias("matched"))
+            .orderBy("doc_id"))
+
+
+_SQL_IOU = """
+SELECT doc_id, ROUND(iou, 6) AS iou, iou >= 0.5 AS matched FROM (
+  SELECT doc_id,
+         greatest(least(x1+50, x1+s+50) - greatest(x1, x1+s), 0)
+         * greatest(40.0, 0) / (50.0*40*2 - greatest(least(x1+50, x1+s+50)
+         - greatest(x1, x1+s), 0) * 40.0) AS iou
+  FROM (SELECT doc_id, CAST(doc_id % 100 AS DOUBLE) AS x1,
+               CAST(doc_id % 20 AS DOUBLE) AS s FROM documents))
+ORDER BY doc_id
+"""
+
+
+def _q_recent_n(spark, sf):
+    """W5: recent-N per key (last 3 events per user by ts)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                     .cast("double"), 2).alias("recent3_value"))
+        .orderBy("user_id")
+    )
+
+
+_SQL_RECENT_N = """
+SELECT user_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+       AS recent3_value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) rn
+      FROM events) WHERE rn <= 3 GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _q_strategy_accuracy(spark, sf):
+    """A9: per-method accuracy + deterministic best (feedback analog built
+    from events: method=event_type, was_correct=value>50)."""
+    e = _t(spark, sf, "events")
+    acc = (
+        e.groupBy(F.col("event_type").alias("extraction_method"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg((F.col("value") > 50).cast("int")), 6)
+             .alias("accuracy"))
+    )
+    w = Window.orderBy(F.desc("accuracy"), F.asc("extraction_method"))
+    return (acc.withColumn("rnk", F.row_number().over(w))
+            .orderBy("extraction_method"))
+
+
+_SQL_STRATEGY_ACC = """
+SELECT extraction_method, n, accuracy,
+       ROW_NUMBER() OVER (ORDER BY accuracy DESC, extraction_method ASC)
+       AS rnk
+FROM (SELECT event_type AS extraction_method, COUNT(*) AS n,
+             ROUND(AVG(CASE WHEN value > 50 THEN 1 ELSE 0 END), 6)
+             AS accuracy
+      FROM events GROUP BY event_type)
+ORDER BY extraction_method
+"""
+
+
+def _q_rel_tolerance(spark, sf):
+    """±5% relative numeric match rule (document_processor.py:428-444)."""
+    o = _t(spark, sf, "orders")
+    rounded = (F.round(F.col("o_totalprice") / 1000.0) * 1000.0)
+    ok = (F.abs(F.col("o_totalprice") - rounded) / rounded <= 0.05)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.sum(ok.cast("int")).cast("long").alias("n_within_5pct"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_REL_TOL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN abs(o_totalprice - round(o_totalprice/1000.0)*1000.0)
+                          / (round(o_totalprice/1000.0)*1000.0) <= 0.05
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_5pct
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def _q_cube_agg(spark, sf):
+    """Grouping-set coverage: CUBE(lang, source) counts."""
+    d = _t(spark, sf, "documents")
+    return (d.cube("lang", "source")
+            .agg(F.count("*").alias("n"))
+            .orderBy("lang", "source"))
+
+
+_SQL_CUBE = """
+SELECT lang, source, COUNT(*) AS n FROM documents
+GROUP BY CUBE (lang, source) ORDER BY lang, source
+"""
+
+
+def _q_string_surface(spark, sf):
+    """§2.8 string scalar surface: upper/trim/split/length/startswith."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring(F.trim("text"), 1, 5)).alias("head5_upper"),
+        F.element_at(toks, 1).alias("first_word"),
+        F.length(F.trim("text")).alias("len_trim"),
+        F.trim(F.col("text")).startswith("the").alias("starts_the"),
+        F.regexp_replace(F.element_at(toks, 2), "[aeiou]", "_")
+         .alias("second_devoweled"),
+    ).orderBy("doc_id")
+
+
+_SQL_STRING_SURFACE = r"""
+SELECT doc_id,
+       upper(substr(trim(text), 1, 5)) AS head5_upper,
+       toks[1] AS first_word,
+       length(trim(text)) AS len_trim,
+       starts_with(trim(text), 'the') AS starts_the,
+       regexp_replace(toks[2], '[aeiou]', '_', 'g') AS second_devoweled
+FROM (SELECT doc_id, text, str_split_regex(trim(text), '\s+') AS toks
+      FROM documents) ORDER BY doc_id
+"""
+
+
+def _q_batch_summary(spark, sf):
+    """A6/A7: batch/stats rollup per source."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.col("n_chars")).cast("long").alias("total_chars"),
+             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+             F.sum((F.col("n_chars") > 300).cast("int")).cast("long")
+             .alias("n_long"))
+        .orderBy("source")
+    )
+
+
+_SQL_BATCH_SUMMARY = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(n_chars), 6) AS avg_chars,
+       CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_long
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def _q_vision_gates(spark, sf):
+    """V2/V3 heuristic gates as pure arithmetic on synthetic marks derived
+    from doc_id (region prior, area band, aspect band)."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    page_w, page_h = 1000.0, 1000.0
+    y1 = (F.col("doc_id") % 1000).cast("double")
+    w = (100 + F.col("doc_id") % 300).cast("double")
+    h = (30 + F.col("doc_id") % 80).cast("double")
+    area = w * h
+    region_area = page_w * page_h * 0.4
+    aspect = w / h
+    qualifies = (
+        (y1 >= page_h * 0.6)
+        & (area > 0.005 * region_area) & (area < 0.15 * region_area)
+        & (aspect > 1.5) & (aspect < 6.0)
+    )
+    return (d.select("doc_id", F.round(aspect, 6).alias("aspect"),
+                     qualifies.alias("is_signature"))
+            .orderBy("doc_id"))
+
+
+_SQL_VISION_GATES = """
+SELECT doc_id, ROUND(aspect, 6) AS aspect,
+       (y1 >= 600.0 AND area > 0.005*400000.0 AND area < 0.15*400000.0
+        AND aspect > 1.5 AND aspect < 6.0) AS is_signature
+FROM (SELECT doc_id,
+             CAST(doc_id % 1000 AS DOUBLE) AS y1,
+             CAST(100 + doc_id % 300 AS DOUBLE)
+             * CAST(30 + doc_id % 80 AS DOUBLE) AS area,
+             CAST(100 + doc_id % 300 AS DOUBLE)
+             / CAST(30 + doc_id % 80 AS DOUBLE) AS aspect
+      FROM documents) ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple] = {
@@ -896,6 +1202,20 @@ _REGISTRY: dict[str, tuple] = {
     "near_dup_pairs": (_q_near_dup_pairs, _SQL_NEAR_DUP),
     "simhash": (_q_simhash, _sql_simhash()),
     "ngram_jaccard": (_q_ngram_jaccard, _SQL_NGRAM_JACCARD),
+    # additional §2 operator families
+    "presence_any": (_q_presence_any, _SQL_PRESENCE_ANY),
+    "null_skip_mean": (_q_null_skip_mean, _SQL_NULL_SKIP),
+    "value_in_text": (_q_value_in_text, _SQL_VALUE_IN_TEXT),
+    "cost_estimator": (_q_cost_estimator, _SQL_COST_EST),
+    "arrays_overlap": (_q_arrays_overlap, _SQL_ARRAYS_OVERLAP),
+    "iou_match": (_q_iou_match, _SQL_IOU),
+    "recent_n": (_q_recent_n, _SQL_RECENT_N),
+    "strategy_accuracy": (_q_strategy_accuracy, _SQL_STRATEGY_ACC),
+    "rel_tolerance": (_q_rel_tolerance, _SQL_REL_TOL),
+    "cube_agg": (_q_cube_agg, _SQL_CUBE),
+    "string_surface": (_q_string_surface, _SQL_STRING_SURFACE),
+    "batch_summary": (_q_batch_summary, _SQL_BATCH_SUMMARY),
+    "vision_gates": (_q_vision_gates, _SQL_VISION_GATES),
     # embedding similarity
     "embed_topk": (_q_embed_topk, _SQL_EMBED_TOPK),
     "embed_lsh_topk": (_q_embed_lsh_topk, _sql_embed_lsh_topk()),

@@ -1,0 +1,85 @@
+"""Physical-plan quality gates: these are the properties that decide
+whether the same code survives a 100 TB / 1000-executor run."""
+from __future__ import annotations
+
+import __spark_entry__ as E
+from document_ai_spark.plans.pipeline import extract
+from document_ai_spark.sources.docgen import interleaved_schema, payload_schema
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    """pricing_summary's shipdate filter must reach the parquet scan."""
+    df = E.queries()["pricing_summary"](spark, SF)
+    plan = _explain(df)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200], \
+        "shipdate filter not pushed to scan"
+
+
+def test_column_pruning(spark):
+    """A 2-column projection must not read the full lineitem schema."""
+    df = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .select("l_orderkey", "l_quantity"))
+    plan = _explain(df)
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_dim_join_is_broadcast(spark):
+    """12-row-scale dims must broadcast, not sort-merge."""
+    plan = _plan(E.queries()["region_nation_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_cartesian_in_near_dup(spark):
+    """Near-dup candidate generation must be a bucket equi-join/groupBy,
+    never a cross join — a cartesian product is impossible at 10^12 docs."""
+    plan = _plan(E.queries()["near_dup_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_probe_topk_broadcasts_probe_side(spark):
+    """Brute-force ANN streams the corpus once with the probe set
+    broadcast; the corpus side must not shuffle for the join."""
+    plan = _plan(E.queries()["embed_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_extract_has_codegen_and_bounded_shuffles(spark):
+    """The extraction pipeline: whole-stage codegen present, and exactly
+    the designed shuffles (payload join, salt phase, doc phase) plus at
+    most one AQE artifact — no accidental extra exchanges."""
+    docs = spark.createDataFrame(
+        [{"doc_id": "d", "spans": [
+            {"kind": "text", "text": "<p>55 HP</p>", "media_ref": "",
+             "offset": 0}]}], schema=interleaved_schema())
+    payloads = spark.createDataFrame([], schema=payload_schema())
+    df = extract(docs, payloads)
+    df.collect()  # resolve AQE: final plan only exists after execution
+    plan = _explain(df)
+    # Spark 4 formatted explain marks whole-stage codegen per node.
+    assert "[codegen id :" in plan, "no whole-stage codegen spans in plan"
+    # Designed shuffles: media-join (2 sides) + salt phase + doc phase = 4;
+    # AQE may stage-split but must not introduce extra hash exchanges.
+    import re
+    n_exchanges = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+    assert n_exchanges <= 6, f"unexpected shuffle count: {n_exchanges}\n{plan}"
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    """Exact dedup must map-side combine (partial_count before shuffle)."""
+    plan = _plan(E.queries()["dedup_exact"](spark, SF))
+    assert "partial_count" in plan or "partial count" in plan.lower()
