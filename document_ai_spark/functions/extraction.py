@@ -259,6 +259,15 @@ def _F():
     return F
 
 
+def py_strip(col):
+    """Python str.strip() parity: Spark's trim() removes only ASCII
+    spaces, while the reference strips all whitespace (\\n, \\t, ...).
+    Found by the hypothesis dialect test — a model name extracted across
+    a line boundary kept its trailing newline under trim()."""
+    F = _F()
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def hp_col(text):
     """HP cascade as coalesce over per-pattern validated extracts."""
     F = _F()
@@ -299,7 +308,7 @@ def model_col(text):
             g1 = F.regexp_extract(text, jpat, 1)
             g2 = F.regexp_extract(text, jpat, 2)
             raw = F.when(g1 != "", F.concat_ws(" ", g1, g2))
-        v = F.trim(raw)
+        v = py_strip(raw)
         candidates.append(F.when(F.length(v) > C.MODEL_MIN_LEN, v))
     return F.coalesce(*candidates)
 
@@ -312,10 +321,10 @@ def dealer_col(text):
     lines = F.slice(F.split(text, "\n"), 1, C.DEALER_HEADER_LINES)
 
     def per_line(line):
-        stripped = F.trim(line)
+        stripped = py_strip(line)
         cands = []
         for pat in C.DEALER_PATTERNS:
-            v = F.trim(F.regexp_extract(stripped, pat, 1))
+            v = py_strip(F.regexp_extract(stripped, pat, 1))
             cands.append(F.when(F.length(v) > C.DEALER_MIN_LEN, v))
         return F.coalesce(*cands)
 

@@ -285,8 +285,8 @@ def _ensemble(df: DataFrame) -> DataFrame:
         .try_cast("int")
     kv_cost = F.nullif(F.regexp_replace("kv_cost", "[^0-9.]", ""), F.lit("")) \
         .try_cast("double")
-    kv_dealer = F.nullif(F.trim("kv_dealer"), F.lit(""))
-    kv_model = F.nullif(F.trim("kv_model"), F.lit(""))
+    kv_dealer = F.nullif(X.py_strip(F.col("kv_dealer")), F.lit(""))
+    kv_model = F.nullif(X.py_strip(F.col("kv_model")), F.lit(""))
 
     def fill(val, conf, method, cand):
         do = (val.isNull() | (conf < 0.5)) & cand.isNotNull()
@@ -309,10 +309,10 @@ def _ensemble(df: DataFrame) -> DataFrame:
     hp_ok = h_val.between(C.HP_MIN, C.HP_MAX)
     cost_ok = c_val.between(float(C.COST_MIN), float(C.COST_MAX))
     return df.withColumns({
-        "dealer_name": F.trim(d_val),
+        "dealer_name": X.py_strip(d_val),
         "dealer_conf": d_conf,
         "dealer_method": d_method,
-        "model_name": F.trim(m_val),
+        "model_name": X.py_strip(m_val),
         "model_conf": m_conf,
         "model_method": m_method,
         "horse_power": F.when(hp_ok, h_val),
