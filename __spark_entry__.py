@@ -838,6 +838,36 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_embed_ivf_topk(spark, sf):
+    return S.ivf_topk(_t(spark, sf, "embeddings"), probe_ids=[0, 1, 2], k=5)
+
+
+def _sql_embed_ivf_topk():
+    cos_assign = _cos_sql("d.emb", "c.cent")
+    cos_q = _cos_sql("d.emb", "p.emb")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, emb AS cent FROM e
+          WHERE vec_id < {S.IVF_K}),
+assigned AS (
+  SELECT vec_id, emb, centroid_id FROM (
+    SELECT d.vec_id, d.emb, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                              ORDER BY ROUND({cos_assign}, 6) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM e d, cents c) WHERE rn = 1),
+scored AS (
+  SELECT p.vec_id AS probe_id, d.vec_id AS vec_id,
+         ROUND({cos_q}, 6) AS cos_sim
+  FROM assigned d JOIN assigned p ON d.centroid_id = p.centroid_id
+  WHERE p.vec_id IN (0,1,2) AND d.vec_id != p.vec_id)
+SELECT probe_id, vec_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
 def _q_embed_norms(spark, sf):
     e = _t(spark, sf, "embeddings")
     emb = F.col("embedding").cast("array<double>")
@@ -1219,6 +1249,7 @@ _REGISTRY: dict[str, tuple] = {
     # embedding similarity
     "embed_topk": (_q_embed_topk, _SQL_EMBED_TOPK),
     "embed_lsh_topk": (_q_embed_lsh_topk, _sql_embed_lsh_topk()),
+    "embed_ivf_topk": (_q_embed_ivf_topk, _sql_embed_ivf_topk()),
     "embed_near_dups": (_q_embed_near_dups, _sql_embed_near_dups()),
     "embed_norms": (_q_embed_norms, _SQL_EMBED_NORMS),
 }

@@ -84,6 +84,57 @@ def lsh_topk(emb: DataFrame, probe_ids, k: int = 5,
     )
 
 
+IVF_K = 8
+
+
+def with_ivf_cluster(emb: DataFrame, k: int = IVF_K) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its max-cosine
+    centroid. Centroids are the embeddings of vec_id 0..k-1 — a
+    deterministic stand-in for a trained codebook (k-means would go here
+    on a real corpus); the *plumbing* (broadcast centroids, one scan,
+    argmax assignment, cluster-pruned search) is the scale path.
+    Ties break to the lowest centroid id."""
+    cents = emb.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("cent"))
+    base = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("emb"),
+                      "embedding", *[c for c in emb.columns
+                                     if c not in ("vec_id", "embedding")])
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
+        "cos_c", F.round(_cosine("emb", "cent"), 6))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("centroid_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn", "cent", "cos_c"))
+
+
+def ivf_topk(emb: DataFrame, probe_ids, k: int = 5,
+             n_clusters: int = IVF_K) -> DataFrame:
+    """Approximate top-k with IVF nprobe=1: candidates restricted to the
+    probe's own cluster — at 10^12 vectors the corpus is hash-partitioned
+    by centroid_id and a query touches 1/K of it."""
+    assigned = with_ivf_cluster(emb, n_clusters).select(
+        "vec_id", "centroid_id", "emb")
+    probes = assigned.where(F.col("vec_id").isin(list(probe_ids))).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("centroid_id"),
+        F.col("emb").alias("probe_emb"))
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos_sim", F.round(_cosine("emb", "probe_emb"), 6))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "cos_sim", "rank")
+    )
+
+
 def embedding_near_dups(emb: DataFrame, cos_min: float = 0.95,
                         bits: int = LSH_BITS) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucket self-join."""

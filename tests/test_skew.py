@@ -1,0 +1,43 @@
+"""Skew handling: media-heavy long-tail docs must be split across salt
+groups in reassembly phase 1 (the north_rule's explicit skew mitigation),
+and the split must never leak into results (salt invariance is covered in
+test_pipeline_golden)."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from document_ai_spark import constants as C
+from document_ai_spark.plans.pipeline import parse_spans
+from document_ai_spark.sources.docgen import interleaved_schema, payload_schema
+
+
+def test_media_heavy_doc_splits_across_salts(spark):
+    spans = [{"kind": "text", "text": f"<p>span {i}</p>", "media_ref": "",
+              "offset": i} for i in range(64)]
+    docs = spark.createDataFrame(
+        [{"doc_id": "heavy", "spans": spans},
+         {"doc_id": "small", "spans": spans[:2]}],
+        schema=interleaved_schema())
+    payloads = spark.createDataFrame([], schema=payload_schema())
+    parsed = parse_spans(docs, payloads)
+    k = C.MEDIA_SALT_BUCKETS
+    dist = (parsed.groupBy("doc_id", F.pmod(F.col("offset"), F.lit(k))
+                           .alias("salt"))
+            .count().groupBy("doc_id")
+            .agg(F.count("*").alias("n_groups"),
+                 F.max("count").alias("max_group")).collect())
+    rows = {r["doc_id"]: r for r in dist}
+    # 64 spans spread over all K salt reducers, biggest group 64/K
+    assert rows["heavy"]["n_groups"] == k
+    assert rows["heavy"]["max_group"] == 64 // k
+    assert rows["small"]["n_groups"] == 2
+
+
+def test_corpus_has_the_long_tail(small_corpus):
+    """The generator must actually produce the skew the engine claims to
+    handle: ~1% media-heavy docs with 8-64 media spans."""
+    docs, _ = small_corpus
+    media_counts = [sum(1 for s in d["spans"] if s["kind"] == "media")
+                    for d in docs]
+    assert max(media_counts) >= 8
+    assert sum(1 for c in media_counts if c == 0) > len(docs) * 0.7
