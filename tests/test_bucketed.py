@@ -1,0 +1,50 @@
+"""Bucketed co-located join: zero shuffle exchanges, same results."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from document_ai_spark.sources.bucketed import (
+    bucketed_join,
+    exchange_count,
+    write_bucketed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity",
+        "l_extendedprice")
+    write_bucketed(orders, "t_orders_b", "o_orderkey", buckets=8)
+    write_bucketed(lineitem, "t_lineitem_b", "o_orderkey", buckets=8)
+    try:
+        joined = bucketed_join(spark, "t_orders_b", "t_lineitem_b",
+                               "o_orderkey")
+        agg = joined.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"))
+        rows_b = {r["o_orderpriority"]: r["n"] for r in agg.collect()}
+
+        # The join itself must not shuffle either side.
+        assert exchange_count(joined) == 0, "bucketed join shuffled"
+
+        # And results equal the plain (shuffling) join.
+        plain = orders.join(lineitem, "o_orderkey").groupBy(
+            "o_orderpriority").agg(F.count("*").alias("n"))
+        rows_p = {r["o_orderpriority"]: r["n"] for r in plain.collect()}
+        assert rows_b == rows_p
+
+        # Control: with broadcast disabled, the un-bucketed join must
+        # shuffle while the bucketed one still doesn't.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            assert exchange_count(orders.join(lineitem, "o_orderkey")) >= 1
+            assert exchange_count(
+                bucketed_join(spark, "t_orders_b", "t_lineitem_b",
+                              "o_orderkey")) == 0
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
