@@ -81,8 +81,11 @@ def _footer_html(rng: random.Random) -> str:
     return f"<footer><div>{links}</div><div><a href='#'>Privacy</a> <a href='#'>Terms</a></div></footer>"
 
 
-def _invoice_body(rng: random.Random) -> Tuple[str, Dict]:
-    """Main-content HTML for one invoice + the planted truth values."""
+def _invoice_body(rng: random.Random) -> Tuple[List[str], Dict]:
+    """Main-content HTML fragments for one invoice + planted truth values.
+    Returned as a LIST of block fragments so gen_doc can interleave the
+    invoice content across several text spans — extraction then genuinely
+    depends on cross-span reassembly, not on any single span."""
     truth: Dict = {}
     lines: List[str] = ["<h1>TRACTOR QUOTATION</h1>"]
 
@@ -149,7 +152,7 @@ def _invoice_body(rng: random.Random) -> Tuple[str, Dict]:
 
     filler = " ".join(rng.choices(_FILLER_WORDS, k=rng.randint(8, 30)))
     lines.append(f"<p>{filler}</p>")
-    return "".join(lines), truth
+    return lines, truth
 
 
 def gen_media_payload(media_ref: str, rng: random.Random) -> Dict:
@@ -247,21 +250,24 @@ def gen_doc(i: int, seed: int = 42) -> Tuple[Dict, List[Dict]]:
     payloads: List[Dict] = []
     offset = 0
 
-    body_html, _truth = _invoice_body(rng)
-    first_text = True
-    for _ in range(n_text):
-        if first_text:
-            html = (
-                "<html><head><title>Quotation</title></head><body>"
-                + _nav_html(rng) + body_html + _footer_html(rng) + "</body></html>"
-            )
-            first_text = False
-        else:
-            filler = " ".join(rng.choices(_FILLER_WORDS, k=rng.randint(10, 40)))
-            html = (
-                "<html><body>" + _nav_html(rng)
-                + f"<p>{filler}</p>" + _footer_html(rng) + "</body></html>"
-            )
+    # Interleave the invoice blocks across ALL text spans (contiguous
+    # chunks in offset order) so no single span carries the document:
+    # correct extraction requires correct cross-span reassembly.
+    body_blocks, _truth = _invoice_body(rng)
+    if n_text > 0:
+        chunk = max(1, -(-len(body_blocks) // n_text))  # ceil division
+        chunks = [body_blocks[i:i + chunk]
+                  for i in range(0, len(body_blocks), chunk)]
+        chunks += [[] for _ in range(n_text - len(chunks))]
+    else:
+        chunks = []
+    for ci in range(n_text):
+        content = "".join(chunks[ci])
+        filler = " ".join(rng.choices(_FILLER_WORDS, k=rng.randint(5, 25)))
+        html = (
+            "<html><body>" + _nav_html(rng) + content
+            + f"<p>{filler}</p>" + _footer_html(rng) + "</body></html>"
+        )
         spans.append({"kind": "text", "text": html,
                       "media_ref": "", "offset": offset})
         offset += 1
