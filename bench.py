@@ -123,9 +123,11 @@ def main() -> None:
     queries = _run_headline(spark)
     spark.stop()
 
-    # Phase 2: scaling evidence — identical job + input, two cluster sizes.
+    # Phase 2: scaling evidence — identical job + input, two cluster sizes —
+    # plus a peak-throughput run at full machine parallelism.
     low = _extraction_run(SCALE_LOW, corpus_dir, n_docs)
     high = _extraction_run(SCALE_HIGH, corpus_dir, n_docs)
+    peak = _extraction_run(CPUS, corpus_dir, n_docs)
     ratio = SCALE_HIGH / SCALE_LOW
     efficiency = round(
         high["docs_per_sec"] / (ratio * low["docs_per_sec"]), 4)
@@ -141,6 +143,7 @@ def main() -> None:
             "n_docs": n_docs,
             "low": low,
             "high": high,
+            "peak": peak,
             "scaling_efficiency": efficiency,
             "scaling_rule": f"T({SCALE_HIGH})/({int(ratio)}*T({SCALE_LOW})) >= 0.8",
         },
