@@ -201,7 +201,7 @@ def _q_window_rank(spark, sf):
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.withColumn("rnk", F.row_number().over(w))
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey",
                 F.round("o_totalprice", 2).alias("totalprice"), "rnk")
@@ -445,9 +445,9 @@ def _q_regex_count(spark, sf):
         d.select(
             "doc_id",
             F.size(F.regexp_extract_all("text", F.lit("(join)"), 1))
-             .alias("n_join"),
+             .cast("long").alias("n_join"),
             F.size(F.regexp_extract_all("text", F.lit("(merge)"), 1))
-             .alias("n_merge"))
+             .cast("long").alias("n_merge"))
         .orderBy("doc_id")
     )
 
@@ -531,8 +531,8 @@ SELECT doc_id, ROUND(m, 2) AS cost FROM (
 
 def _q_token_stats(spark, sf):
     d = TQ.with_token_stats(_t(spark, sf, "documents"))
-    return d.select("doc_id", "n_tokens", "stopword_ratio",
-                    "mean_word_len").orderBy("doc_id")
+    return d.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "stopword_ratio", "mean_word_len").orderBy("doc_id")
 
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in C.STOPWORDS) + "]"
@@ -725,7 +725,7 @@ def _q_ngram_jaccard(spark, sf):
     pairs = D.ngram_jaccard_pairs(d, sample_ids=[0, 1, 2])
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("jaccard"), F.asc("doc_id"))
-    return (pairs.withColumn("rnk", F.row_number().over(w))
+    return (pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
             .where(F.col("rnk") <= 5)
             .select("probe_id", "doc_id", "jaccard", "rnk"))
 
@@ -1055,7 +1055,7 @@ def _q_strategy_accuracy(spark, sf):
              .alias("accuracy"))
     )
     w = Window.orderBy(F.desc("accuracy"), F.asc("extraction_method"))
-    return (acc.withColumn("rnk", F.row_number().over(w))
+    return (acc.withColumn("rnk", F.row_number().over(w).cast("long"))
             .orderBy("extraction_method"))
 
 
@@ -1115,7 +1115,7 @@ def _q_string_surface(spark, sf):
         "doc_id",
         F.upper(F.substring(F.trim("text"), 1, 5)).alias("head5_upper"),
         F.element_at(toks, 1).alias("first_word"),
-        F.length(F.trim("text")).alias("len_trim"),
+        F.length(F.trim("text")).cast("long").alias("len_trim"),
         F.trim(F.col("text")).startswith("the").alias("starts_the"),
         F.regexp_replace(F.element_at(toks, 2), "[aeiou]", "_")
          .alias("second_devoweled"),

@@ -43,7 +43,7 @@ def brute_force_topk(emb: DataFrame, probe_ids, k: int = 5) -> DataFrame:
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("probe_id", "vec_id", "cos_sim", "rank")
     )
@@ -78,7 +78,7 @@ def lsh_topk(emb: DataFrame, probe_ids, k: int = 5,
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("probe_id", "vec_id", "cos_sim", "rank")
     )
@@ -129,7 +129,7 @@ def ivf_topk(emb: DataFrame, probe_ids, k: int = 5,
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("probe_id", "vec_id", "cos_sim", "rank")
     )

@@ -38,18 +38,40 @@ def _rowset(rows):
     return Counter(tuple(_norm(v) for v in r) for r in rows)
 
 
+# Spark simpleString type -> equivalent DuckDB type names.
+_TYPE_EQUIV = {
+    "bigint": {"BIGINT", "HUGEINT"},
+    "int": {"INTEGER"},
+    "double": {"DOUBLE", "DECIMAL"},
+    "boolean": {"BOOLEAN"},
+    "string": {"VARCHAR"},
+    "timestamp_ntz": {"TIMESTAMP"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+}
+
+
 @pytest.mark.parametrize("name", sorted(E.oracle_sql()))
 def test_query_matches_oracle(spark, ddb, name):
     q = E.queries()[name]
     sdf = q(spark, SF_DIR)
     spark_cols = [c.lower() for c in sdf.columns]
+    spark_types = [f.dataType.simpleString() for f in sdf.schema.fields]
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = ddb.execute(E.oracle_sql()[name])
+    sql = E.oracle_sql()[name]
+    desc = ddb.execute(f"DESCRIBE {sql}").fetchall()
+    duck_types = [row[1].upper() for row in desc]
+    res = ddb.execute(sql)
     duck_cols = [d[0].lower() for d in res.description]
     duck_rows = res.fetchall()
 
     assert spark_cols == duck_cols, f"{name}: column mismatch"
+    for col, st, dt in zip(spark_cols, spark_types, duck_types):
+        allowed = _TYPE_EQUIV.get(st)
+        if allowed is not None:
+            base = dt.split("(")[0].strip()
+            assert base in allowed, (
+                f"{name}.{col}: type mismatch spark={st} duckdb={dt}")
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: rows spark={len(spark_rows)} duck={len(duck_rows)}")
     sset, dset = _rowset(spark_rows), _rowset(duck_rows)
