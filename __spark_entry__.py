@@ -838,6 +838,40 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_asof_join(spark, sf):
+    """As-of join: each purchase picks up the most recent prior view's
+    value for the same user (union + last-ignorenulls window; the oracle
+    uses DuckDB's native ASOF JOIN)."""
+    from document_ai_spark.operators.asof import asof_join
+
+    e = _t(spark, sf, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        "event_id", F.round("value", 2).alias("purchase_value"))
+    views = (e.where(F.col("event_type") == "view")
+             .select("user_id",
+                     F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+                     "value")
+             .groupBy("user_id", "ts_s")
+             .agg(F.round(F.max("value"), 2).alias("last_view_value")))
+    return (asof_join(purchases, views, key="user_id", ts="ts_s",
+                      right_cols=["last_view_value"])
+            .orderBy("user_id", "ts_s", "event_id"))
+
+
+_SQL_ASOF = """
+WITH p AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s,
+                  event_id, ROUND(value, 2) AS purchase_value
+           FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s,
+             ROUND(MAX(value), 2) AS last_view_value
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT p.user_id, p.ts_s, p.event_id, p.purchase_value, v.last_view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_s >= v.ts_s
+ORDER BY p.user_id, p.ts_s, p.event_id
+"""
+
+
 def _q_embed_ivf_topk(spark, sf):
     return S.ivf_topk(_t(spark, sf, "embeddings"), probe_ids=[0, 1, 2], k=5)
 
@@ -1250,6 +1284,7 @@ _REGISTRY: dict[str, tuple] = {
     "embed_topk": (_q_embed_topk, _SQL_EMBED_TOPK),
     "embed_lsh_topk": (_q_embed_lsh_topk, _sql_embed_lsh_topk()),
     "embed_ivf_topk": (_q_embed_ivf_topk, _sql_embed_ivf_topk()),
+    "asof_join": (_q_asof_join, _SQL_ASOF),
     "embed_near_dups": (_q_embed_near_dups, _sql_embed_near_dups()),
     "embed_norms": (_q_embed_norms, _SQL_EMBED_NORMS),
 }
