@@ -699,6 +699,40 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _q_banded_near_dup(spark, sf):
+    return (D.banded_near_dup_pairs(_dup_docs(spark, sf), jaccard_min=0.5)
+            .orderBy("doc_a", "doc_b"))
+
+
+_SQL_BANDED_NEAR_DUP = f"""
+WITH base AS ({_DUP_DOCS_SQL}),
+sk AS (
+  SELECT doc_id,
+         list_slice(list_sort(list_distinct(
+             list_transform({_SHINGLE_SQL}, s -> md5(s)))), 1, 8) AS sketch
+  FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks FROM base)),
+banded AS (
+  SELECT doc_id, sketch, t.b AS band,
+         md5(array_to_string(list_slice(sketch, t.b*2 + 1, t.b*2 + 2), '|'))
+         AS band_hash
+  FROM sk, range(0, 4) t(b)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.sketch) AS sk_a, any_value(b.sketch) AS sk_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(len(list_intersect(sk_a, sk_b))
+             / len(list_distinct(sk_a || sk_b)), 6) AS jaccard
+FROM pairs
+WHERE len(list_intersect(sk_a, sk_b))
+      / len(list_distinct(sk_a || sk_b)) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
 def _q_simhash(spark, sf):
     d = D.with_simhash(_t(spark, sf, "documents"))
     return d.select("doc_id", "simhash").orderBy("doc_id")
@@ -1264,6 +1298,7 @@ _REGISTRY: dict[str, tuple] = {
     "dedup_exact": (_q_dedup_exact, _SQL_DEDUP_EXACT),
     "minhash_sketch": (_q_minhash_sketch, _SQL_MINHASH),
     "near_dup_pairs": (_q_near_dup_pairs, _SQL_NEAR_DUP),
+    "banded_near_dup": (_q_banded_near_dup, _SQL_BANDED_NEAR_DUP),
     "simhash": (_q_simhash, _sql_simhash()),
     "ngram_jaccard": (_q_ngram_jaccard, _SQL_NGRAM_JACCARD),
     # additional §2 operator families

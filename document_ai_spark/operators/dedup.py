@@ -98,6 +98,61 @@ def near_dup_pairs(df: DataFrame, jaccard_min: float = 0.6) -> DataFrame:
     )
 
 
+LSH_BANDS = 4          # sketch of 8 hashes -> 4 bands x 2 rows
+LSH_ROWS = 2
+
+
+def banded_near_dup_pairs(df: DataFrame, jaccard_min: float = 0.5,
+                          bands: int = LSH_BANDS, rows: int = LSH_ROWS
+                          ) -> DataFrame:
+    """Canonical MinHash+LSH: shingle -> minhash sketch -> split into
+    `bands` bands of `rows` hashes -> band-hash bucket join -> exact
+    sketch-Jaccard verify.
+
+    vs near_dup_pairs (single min-hash bucket): banding catches pairs
+    that differ in their minimum shingle but agree on ANY band — higher
+    recall at the cost of `bands` shuffled copies of (doc_id, sketch).
+    Pair expansion happens inside (band, bucket) groups, so the join is
+    still equi, never cross. Pairs found by several bands are de-duped
+    with a groupBy before the verify stage emits them once.
+    """
+    s = with_minhash_sketch(df).select("doc_id", "minhash_sketch")
+    # One row per (band, band_hash): explode the sketch into band keys.
+    band_expr = F.explode(F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> named_struct("
+        f"  'band', b,"
+        f"  'band_hash', md5(concat_ws('|', slice(minhash_sketch, "
+        f"                b * {rows} + 1, {rows})))))"
+    )).alias("bk")
+    banded = s.select("doc_id", "minhash_sketch", band_expr).select(
+        "doc_id", "minhash_sketch", "bk.band", "bk.band_hash")
+    grouped = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.collect_list(F.struct("doc_id", "minhash_sketch"))
+             .alias("items"))
+        .where(F.size("items") > 1)
+    )
+    pairs = grouped.select(F.explode(F.expr(
+        "flatten(transform(items, (x, i) -> "
+        "  transform(slice(items, i + 2, size(items)), y -> "
+        "    struct(x.doc_id AS id_x, y.doc_id AS id_y, "
+        "           x.minhash_sketch AS sk_a, y.minhash_sketch AS sk_b))))"
+    )).alias("p")).select("p.*")
+    pairs = pairs.select(
+        F.least("id_x", "id_y").alias("doc_a"),
+        F.greatest("id_x", "id_y").alias("doc_b"),
+        "sk_a", "sk_b",
+    ).groupBy("doc_a", "doc_b").agg(
+        F.first("sk_a").alias("sk_a"), F.first("sk_b").alias("sk_b"))
+    inter = F.size(F.array_intersect("sk_a", "sk_b"))
+    union = F.size(F.array_union("sk_a", "sk_b"))
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= jaccard_min)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def with_simhash(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """16-bit SimHash: per word, take md5's first 4 hex chars as a 16-bit
     int; signature bit b = majority of word-hash bit b. Integer exprs only."""
