@@ -84,6 +84,10 @@ def _extraction_run(master_threads: int, corpus_dir: str, n_docs: int) -> dict:
                       master=f"local[{master_threads}]",
                       shuffle_partitions=master_threads * 8,
                       extra_conf=_SCALING_CONF)
+    # Benign PythonAccumulatorV2 teardown traces (stale accumulator socket
+    # from the previous stopped session) would otherwise land in the
+    # driver-captured tail and camouflage real failures.
+    spark.sparkContext.setLogLevel("OFF")
     try:
         docs = spark.read.parquet(f"{corpus_dir}/documents_interleaved.parquet")
         payloads = spark.read.parquet(f"{corpus_dir}/media_payloads.parquet")
@@ -116,6 +120,7 @@ def main() -> None:
     # Phase 1: headline queries + corpus generation at full parallelism.
     spark = get_spark("bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("OFF")  # keep the JSON tail clean
     if not os.path.exists(f"{corpus_dir}/documents_interleaved.parquet"):
         shutil.rmtree(corpus_dir, ignore_errors=True)
         write_corpus(spark, corpus_dir, n_docs=n_docs, seed=42,

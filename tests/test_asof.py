@@ -21,3 +21,20 @@ def test_asof_edges(spark):
     assert rows[(2, 7)] is None       # right row is in the future
     assert rows[(3, 1)] is None       # key absent on the right
     assert len(rows) == 5             # left-join: every left row survives
+
+
+def test_asof_multi_col_null_payload(spark):
+    """The latest right row is carried WHOLESALE: a NULL in one of its
+    payload columns must come through as NULL, never back-filled from an
+    older right row (DuckDB native-ASOF semantics; the per-column-fill
+    bug would return (1.0, 'old') here instead of (1.0, None))."""
+    left = spark.createDataFrame(
+        [(1, 30), (1, 15)], schema="k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 10, 9.0, "old"), (1, 20, 1.0, None)],
+        schema="k int, ts int, a double, b string")
+    rows = {r["ts"]: (r["a"], r["b"]) for r in
+            asof_join(left, right, key="k", ts="ts",
+                      right_cols=["a", "b"]).collect()}
+    assert rows[30] == (1.0, None)    # latest row's NULL is preserved
+    assert rows[15] == (9.0, "old")
