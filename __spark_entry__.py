@@ -850,12 +850,25 @@ def _q_embed_near_dups(spark, sf):
 
 
 def _sql_embed_near_dups():
-    bucket = " + ".join(
-        f"(CASE WHEN emb[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(S.LSH_BITS))
-    cos = ("list_dot_product(a.emb, b.emb) / "
-           "(sqrt(list_dot_product(a.emb, a.emb)) * "
-           "sqrt(list_dot_product(b.emb, b.emb)))")
+    bands, rows = S.EMB_LSH_BANDS, S.EMB_LSH_ROWS
+
+    def bucket(band):
+        return " + ".join(
+            f"(CASE WHEN emb[{band * rows + i + 1}] >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(rows))
+
+    bucket_cols = ",\n           ".join(
+        f"({bucket(band)}) AS b{band}" for band in range(bands))
+    cand_union = "\n  UNION ALL\n".join(
+        f"  SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"a.emb AS emb_a, b.emb AS emb_b\n"
+        f"  FROM e a JOIN e b ON a.b{band} = b.b{band} "
+        f"AND a.vec_id < b.vec_id"
+        for band in range(bands))
+    cos = ("list_dot_product(emb_a, emb_b) / "
+           "(sqrt(list_dot_product(emb_a, emb_a)) * "
+           "sqrt(list_dot_product(emb_b, emb_b)))")
     return f"""
 WITH base AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
@@ -864,10 +877,16 @@ WITH base AS (
          list_transform(embedding,
              v -> (v::FLOAT * 2.0::FLOAT)::FLOAT)::DOUBLE[] AS emb
   FROM embeddings),
-e AS (SELECT vec_id, emb, {bucket} AS lsh_bucket FROM base)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cos}, 6) AS cos_sim
-FROM e a JOIN e b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
-WHERE {cos} >= 0.999
+e AS (SELECT vec_id, emb,
+           {bucket_cols}
+      FROM base),
+cand AS (
+  SELECT DISTINCT id_a, id_b, emb_a, emb_b FROM (
+{cand_union}
+  ))
+SELECT id_a, id_b, ROUND({cos}, 6) AS cos_sim
+FROM cand
+WHERE ROUND({cos}, 6) >= 0.999
 ORDER BY id_a, id_b
 """
 
@@ -911,19 +930,48 @@ def _q_embed_ivf_topk(spark, sf):
 
 
 def _sql_embed_ivf_topk():
+    """Mirrors similarity.kmeans_codebook + ivf_topk: first-k init, then
+    IVF_ITERS Lloyd iterations over the vec_id%MOD training sample
+    (assign -> elementwise mean rounded to 6), then full-corpus assignment
+    and cluster-restricted probe scoring."""
     cos_assign = _cos_sql("d.emb", "c.cent")
     cos_q = _cos_sql("d.emb", "p.emb")
+    parts = [
+        f"e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"train AS (SELECT * FROM e WHERE vec_id % {S.IVF_SAMPLE_MOD} = 0)",
+        f"c0 AS (SELECT vec_id AS centroid_id, emb AS cent FROM e "
+        f"WHERE vec_id < {S.IVF_K})",
+    ]
+    prev = "c0"
+    for t in range(1, S.IVF_ITERS + 1):
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, emb, centroid_id FROM (
+    SELECT d.vec_id, d.emb, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                              ORDER BY ROUND({cos_assign}, 6) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM train d, {prev} c) WHERE rn = 1)""")
+        parts.append(f"""m{t} AS (
+  SELECT centroid_id, list(av ORDER BY pos) AS new_cent FROM (
+    SELECT centroid_id, pos, ROUND(AVG(v), 6) AS av FROM (
+      SELECT centroid_id, UNNEST(emb) AS v,
+             generate_subscripts(emb, 1) AS pos FROM a{t})
+    GROUP BY centroid_id, pos)
+  GROUP BY centroid_id)""")
+        parts.append(f"""c{t} AS (
+  SELECT p.centroid_id, COALESCE(m.new_cent, p.cent) AS cent
+  FROM {prev} p LEFT JOIN m{t} m ON p.centroid_id = m.centroid_id)""")
+        prev = f"c{t}"
+    ctes = ",\n".join(parts)
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-cents AS (SELECT vec_id AS centroid_id, emb AS cent FROM e
-          WHERE vec_id < {S.IVF_K}),
+WITH {ctes},
 assigned AS (
   SELECT vec_id, emb, centroid_id FROM (
     SELECT d.vec_id, d.emb, c.centroid_id,
            ROW_NUMBER() OVER (PARTITION BY d.vec_id
                               ORDER BY ROUND({cos_assign}, 6) DESC,
                                        c.centroid_id ASC) AS rn
-    FROM e d, cents c) WHERE rn = 1),
+    FROM e d, {prev} c) WHERE rn = 1),
 scored AS (
   SELECT p.vec_id AS probe_id, d.vec_id AS vec_id,
          ROUND({cos_q}, 6) AS cos_sim

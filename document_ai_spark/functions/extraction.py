@@ -263,19 +263,38 @@ def py_strip(col):
     """Python str.strip() parity: Spark's trim() removes only ASCII
     spaces, while the reference strips all whitespace (\\n, \\t, ...).
     Found by the hypothesis dialect test — a model name extracted across
-    a line boundary kept its trailing newline under trim()."""
+    a line boundary kept its trailing newline under trim().
+
+    (?U) = Java UNICODE_CHARACTER_CLASS so \\s also covers NBSP etc.,
+    which Python str.strip() removes."""
     F = _F()
-    return F.regexp_replace(col, r"^\s+|\s+$", "")
+    return F.regexp_replace(col, r"(?U)^\s+|\s+$", "")
+
+
+# Python's int()/float() parse any Unicode decimal digit (the reference
+# extracts '५५ एचपी' as HP=55); Spark casts are ASCII-only, so digits
+# captured by a (?U)-Unicode \d are transliterated before try_cast.
+# Devanagari is the script the reference's Hindi patterns target.
+_DEVANAGARI_DIGITS = "०१२३४५६७८९"
+
+
+def _ascii_digits(col):
+    F = _F()
+    return F.translate(col, _DEVANAGARI_DIGITS, "0123456789")
 
 
 def hp_col(text):
-    """HP cascade as coalesce over per-pattern validated extracts."""
+    """HP cascade as coalesce over per-pattern validated extracts.
+
+    (?U) matches Python re's Unicode-aware \\d/\\s (field_extractor.py
+    uses `re` defaults, which match Devanagari digits)."""
     F = _F()
     candidates = []
     for pat in C.HP_PATTERNS:
         # try_cast: '' (no match) and malformed digits become NULL, matching
         # the reference's swallowed ValueError (field_extractor.py:183).
-        v = F.regexp_extract(text, "(?i)" + pat, 1).try_cast("int")
+        v = _ascii_digits(F.regexp_extract(text, "(?iU)" + pat, 1)) \
+            .try_cast("int")
         candidates.append(F.when(v.between(C.HP_MIN, C.HP_MAX), v))
     return F.coalesce(*candidates)
 
@@ -283,12 +302,13 @@ def hp_col(text):
 def cost_col(text):
     """All-pattern findall -> clean -> filter>10k -> max, as array exprs."""
     F = _F()
-    arrays = [F.regexp_extract_all(text, F.lit("(?i)" + pat), 1)
+    arrays = [F.regexp_extract_all(text, F.lit("(?iU)" + pat), 1)
               for pat in C.COST_PATTERNS]
     allm = F.concat(*arrays)
     nums = F.transform(
         allm,
-        lambda x: F.regexp_replace(F.regexp_replace(x, ",", ""), " ", "")
+        lambda x: _ascii_digits(
+            F.regexp_replace(F.regexp_replace(x, ",", ""), " ", ""))
         .try_cast("double"),
     )
     valid = F.filter(nums, lambda v: v > F.lit(float(C.COST_MIN_CANDIDATE)))
@@ -300,7 +320,7 @@ def model_col(text):
     F = _F()
     candidates = []
     for pat, n_groups in C.MODEL_PATTERNS:
-        jpat = "(?i)" + pat
+        jpat = "(?iU)" + pat
         if n_groups == 1:
             raw = F.regexp_extract(text, jpat, 1)
             raw = F.when(raw != "", raw)
@@ -324,7 +344,8 @@ def dealer_col(text):
         stripped = py_strip(line)
         cands = []
         for pat in C.DEALER_PATTERNS:
-            v = py_strip(F.regexp_extract(stripped, pat, 1))
+            # (?U) only — dealer matching stays case-SENSITIVE.
+            v = py_strip(F.regexp_extract(stripped, "(?U)" + pat, 1))
             cands.append(F.when(F.length(v) > C.DEALER_MIN_LEN, v))
         return F.coalesce(*cands)
 

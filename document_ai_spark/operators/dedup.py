@@ -23,6 +23,35 @@ from pyspark.sql import DataFrame, Window, functions as F
 SHINGLE_K = 3          # words per shingle
 SKETCH_SIZE = 8        # bottom-k sketch size
 SIMHASH_BITS = 16
+# Candidate-bucket hard cap: a bucket of n docs expands O(n^2) pairs inside
+# ONE reducer task, so an adversarial hot bucket (10^8 empty/boilerplate
+# docs sharing a min-shingle at 100 TB) must be truncated, never collected
+# whole. 256 keeps the worst task at ~32k pairs while sitting far above any
+# organic bucket at test SFs (sf0.1 max observed: <20).
+MAX_BUCKET = 256
+
+_cap_obs_counter = [0]
+
+
+def _cap_bucket_items(grouped: DataFrame, max_bucket: int) -> DataFrame:
+    """Deterministically truncate candidate buckets to `max_bucket` items.
+
+    Items are array_sort'ed first so the kept prefix is stable across runs
+    (collect_list order is not), and the truncation is NOT silent: an
+    `observe` metric (lsh_cap_N: n_dropped_candidates / max_bucket_size)
+    is attached to the plan and surfaces through QueryExecution listeners
+    and the UI on every run."""
+    _cap_obs_counter[0] += 1
+    sized = grouped.withColumn("_n", F.size("items")).observe(
+        f"lsh_cap_{_cap_obs_counter[0]}",
+        F.sum(F.greatest(F.col("_n") - max_bucket, F.lit(0)))
+         .alias("n_dropped_candidates"),
+        F.max("_n").alias("max_bucket_size"),
+    )
+    return (sized
+            .withColumn("items",
+                        F.slice(F.array_sort("items"), 1, max_bucket))
+            .drop("_n"))
 
 
 def _word_shingles(k: int = SHINGLE_K):
@@ -62,7 +91,8 @@ def exact_duplicates(df: DataFrame) -> DataFrame:
     )
 
 
-def near_dup_pairs(df: DataFrame, jaccard_min: float = 0.6) -> DataFrame:
+def near_dup_pairs(df: DataFrame, jaccard_min: float = 0.6,
+                   max_bucket: int = MAX_BUCKET) -> DataFrame:
     """MinHash-bucketed candidate pairs verified by sketch-Jaccard.
 
     groupBy(bucket) + intra-bucket pair expansion instead of a bucket
@@ -70,9 +100,9 @@ def near_dup_pairs(df: DataFrame, jaccard_min: float = 0.6) -> DataFrame:
     self-join would recompute the whole upstream for each side), and the
     single shuffle moves only (doc_id, 8-hash sketch) pairs — at 10^12
     docs that's the difference between one pass and two full passes over
-    the corpus. Hot buckets are bounded by construction (docs sharing
-    their minimum shingle hash); a production run would additionally cap
-    group size. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    the corpus. Hot buckets are truncated to `max_bucket` items with an
+    observed drop metric (see _cap_bucket_items) so one degenerate shingle
+    can never OOM a reducer. Returns (doc_a, doc_b, jaccard), doc_a<doc_b."""
     s = with_minhash_sketch(df).select(
         "doc_id", "minhash_bucket", "minhash_sketch")
     grouped = (
@@ -81,6 +111,7 @@ def near_dup_pairs(df: DataFrame, jaccard_min: float = 0.6) -> DataFrame:
              .alias("items"))
         .where(F.size("items") > 1)
     )
+    grouped = _cap_bucket_items(grouped, max_bucket)
     pairs = grouped.select(F.explode(F.expr(
         "flatten(transform(items, (x, i) -> "
         "  transform(slice(items, i + 2, size(items)), y -> "
@@ -103,8 +134,8 @@ LSH_ROWS = 2
 
 
 def banded_near_dup_pairs(df: DataFrame, jaccard_min: float = 0.5,
-                          bands: int = LSH_BANDS, rows: int = LSH_ROWS
-                          ) -> DataFrame:
+                          bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+                          max_bucket: int = MAX_BUCKET) -> DataFrame:
     """Canonical MinHash+LSH: shingle -> minhash sketch -> split into
     `bands` bands of `rows` hashes -> band-hash bucket join -> exact
     sketch-Jaccard verify.
@@ -132,6 +163,7 @@ def banded_near_dup_pairs(df: DataFrame, jaccard_min: float = 0.5,
              .alias("items"))
         .where(F.size("items") > 1)
     )
+    grouped = _cap_bucket_items(grouped, max_bucket)
     pairs = grouped.select(F.explode(F.expr(
         "flatten(transform(items, (x, i) -> "
         "  transform(slice(items, i + 2, size(items)), y -> "

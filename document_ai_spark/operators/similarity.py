@@ -4,10 +4,21 @@ Two paths, mirroring how a real 100 TB pipeline tiers ANN:
   * brute-force cosine top-k for a SMALL probe set: probe vectors are
     broadcast, the corpus streams once, per-probe top-k via window —
     O(corpus x probes) but a single scan, no shuffle of the corpus.
-  * sign-LSH bucketed variant: bucket = sign-bit pattern of the first B
-    dimensions (a deterministic random-hyperplane stand-in). Probes only
-    compare against their own bucket — the scale path where the corpus
-    side is hash-partitioned by bucket and never fully scanned per query.
+  * sign-LSH bucketed variant: bucket = sign-bit pattern of hyperplane
+    dimensions. Probes only compare against their own bucket — the scale
+    path where the corpus side is hash-partitioned by bucket and never
+    fully scanned per query.
+
+Near-duplicate detection uses BANDED multi-probe sign-LSH (bands x rows
+sign bits over disjoint dimension slices): a pair collides if it agrees
+on ANY band, buckets are capped (observed drop metric, never silent), and
+pair expansion only ever happens inside a (band, bucket) group — no
+unbounded self-join at 10^12 vectors.
+
+IVF uses a trained codebook: deterministic seeded Lloyd iterations
+(init = first-k, few iterations, id-sampled training set) entirely as
+DataFrame ops — no driver collect; centroids stay a k-row DataFrame that
+is broadcast into the assignment join.
 
 Dot products are computed with built-in higher-order functions
 (zip_with + aggregate) — JVM-side, no Python.
@@ -15,6 +26,8 @@ Dot products are computed with built-in higher-order functions
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import _cap_bucket_items
 
 LSH_BITS = 8
 
@@ -84,30 +97,74 @@ def lsh_topk(emb: DataFrame, probe_ids, k: int = 5,
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF with a trained codebook
+# ---------------------------------------------------------------------------
+
 IVF_K = 8
+IVF_ITERS = 2
+IVF_SAMPLE_MOD = 2   # train on vec_id % MOD == 0 (deterministic sample)
 
 
-def with_ivf_cluster(emb: DataFrame, k: int = IVF_K) -> DataFrame:
-    """IVF coarse quantization: assign each vector to its max-cosine
-    centroid. Centroids are the embeddings of vec_id 0..k-1 — a
-    deterministic stand-in for a trained codebook (k-means would go here
-    on a real corpus); the *plumbing* (broadcast centroids, one scan,
-    argmax assignment, cluster-pruned search) is the scale path.
-    Ties break to the lowest centroid id."""
-    cents = emb.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").cast("array<double>").alias("cent"))
-    base = emb.select("vec_id",
-                      F.col("embedding").cast("array<double>").alias("emb"),
-                      "embedding", *[c for c in emb.columns
-                                     if c not in ("vec_id", "embedding")])
+def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmax-cosine centroid per vector; ties to the lowest centroid_id.
+    Centroids are a k-row DataFrame, broadcast — one corpus scan."""
     scored = base.crossJoin(F.broadcast(cents)).withColumn(
         "cos_c", F.round(_cosine("emb", "cent"), 6))
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cos_c"), F.asc("centroid_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn", "cent", "cos_c"))
+            .where(F.col("rn") == 1).drop("rn", "cent", "cos_c"))
+
+
+def kmeans_codebook(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS,
+                    sample_mod: int = IVF_SAMPLE_MOD) -> DataFrame:
+    """Deterministic seeded Lloyd training, pure DataFrame ops.
+
+    init = the k lowest-vec_id vectors; each iteration assigns a sampled
+    training set (vec_id % sample_mod == 0 — at 10^12 vectors the sample,
+    not the corpus, pays the extra passes) to its argmax-cosine centroid
+    and recomputes centroids as the elementwise mean (posexplode ->
+    groupBy(centroid, pos) avg -> re-assemble). Components are rounded to
+    6 decimals per iteration so the codebook is bit-stable across
+    partition orderings and engines (distributed float summation is not
+    associative). Empty clusters keep their previous centroid.
+
+    Returns a k-row DataFrame (centroid_id, cent: array<double>).
+    """
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    train = base.where(F.col("vec_id") % sample_mod == 0)
+    cents = base.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cent"))
+    for _ in range(iters):
+        assigned = _assign(train, cents)
+        means = (
+            assigned.select("centroid_id",
+                            F.posexplode("emb").alias("pos", "v"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("av"))
+            .groupBy("centroid_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "av"))),
+                lambda s: s.getField("av")).alias("new_cent"))
+        )
+        cents = (cents.join(means, "centroid_id", "left")
+                 .select("centroid_id",
+                         F.coalesce("new_cent", "cent").alias("cent")))
+    return cents
+
+
+def with_ivf_cluster(emb: DataFrame, k: int = IVF_K,
+                     iters: int = IVF_ITERS) -> DataFrame:
+    """IVF coarse quantization against the trained codebook: assign each
+    vector to its max-cosine centroid (ties break to the lowest id)."""
+    cents = kmeans_codebook(emb, k, iters)
+    base = emb.select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("emb"),
+                      "embedding", *[c for c in emb.columns
+                                     if c not in ("vec_id", "embedding")])
+    return _assign(base, cents)
 
 
 def ivf_topk(emb: DataFrame, probe_ids, k: int = 5,
@@ -135,17 +192,62 @@ def ivf_topk(emb: DataFrame, probe_ids, k: int = 5,
     )
 
 
+# ---------------------------------------------------------------------------
+# Embedding near-duplicates: banded multi-probe sign-LSH
+# ---------------------------------------------------------------------------
+
+EMB_LSH_BANDS = 4
+EMB_LSH_ROWS = 8     # sign bits per band -> 256 buckets/band
+EMB_MAX_BUCKET = 4096
+
+
+def _band_bucket(e, band: int, rows: int):
+    b = F.lit(0)
+    for i in range(rows):
+        b = b + F.when(F.element_at(e, band * rows + i + 1) >= 0,
+                       F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
 def embedding_near_dups(emb: DataFrame, cos_min: float = 0.95,
-                        bits: int = LSH_BITS) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucket self-join."""
-    b = with_lsh_bucket(emb, bits).select(
-        "vec_id", "lsh_bucket",
-        F.col("embedding").cast("array<double>").alias("emb"))
-    a = b.select(F.col("vec_id").alias("id_a"), "lsh_bucket",
-                 F.col("emb").alias("emb_a"))
-    c = b.select(F.col("vec_id").alias("id_b"), "lsh_bucket",
-                 F.col("emb").alias("emb_b"))
-    pairs = a.join(c, "lsh_bucket").where(F.col("id_a") < F.col("id_b"))
+                        bands: int = EMB_LSH_BANDS,
+                        rows: int = EMB_LSH_ROWS,
+                        max_bucket: int = EMB_MAX_BUCKET) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded sign-LSH.
+
+    `bands` bands of `rows` sign bits over disjoint dimension slices: a
+    candidate pair needs agreement on ANY band (multi-probe recall; a true
+    near-dup with one flipped sign bit still collides on the other bands),
+    while each band's bucket space (2^rows) keeps expected bucket size
+    corpus/2^rows — tunable independently of recall, unlike a single wide
+    bucket. Pair expansion is intra-(band, bucket) only, buckets are
+    capped at `max_bucket` with an observed drop metric, and bucket items
+    are vec_id-sorted so pairs come out id_a < id_b without a
+    least/greatest pass. Pairs caught by several bands are de-duplicated
+    with a groupBy before the cosine verify."""
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    band_keys = F.array(*[
+        F.struct(F.lit(band).alias("band"),
+                 _band_bucket(F.col("emb"), band, rows).alias("bucket"))
+        for band in range(bands)])
+    banded = (base.select("vec_id", "emb",
+                          F.explode(band_keys).alias("bk"))
+              .select("vec_id", "emb", "bk.band", "bk.bucket"))
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("vec_id", "emb")).alias("items"))
+        .where(F.size("items") > 1)
+    )
+    grouped = _cap_bucket_items(grouped, max_bucket)
+    pairs = grouped.select(F.explode(F.expr(
+        "flatten(transform(items, (x, i) -> "
+        "  transform(slice(items, i + 2, size(items)), y -> "
+        "    struct(x.vec_id AS id_a, y.vec_id AS id_b, "
+        "           x.emb AS emb_a, y.emb AS emb_b))))"
+    )).alias("p")).select("p.*")
+    pairs = pairs.groupBy("id_a", "id_b").agg(
+        F.first("emb_a").alias("emb_a"), F.first("emb_b").alias("emb_b"))
     return (
         pairs.withColumn("cos_sim", F.round(_cosine("emb_a", "emb_b"), 6))
         .where(F.col("cos_sim") >= cos_min)

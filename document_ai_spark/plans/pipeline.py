@@ -64,12 +64,21 @@ _MEDIA_PARSE_TYPE = T.StructType([
 ])
 
 
+_EMPTY_MEDIA_PARSE = ("", 0, 0.0, False, 0.0, False, 0.0,
+                      None, None, None, None)
+
+
 @F.pandas_udf(_MEDIA_PARSE_TYPE)
 def _media_parse_udf(page_w: pd.Series, page_h: pd.Series,
                      tokens: pd.Series, kv_pairs: pd.Series,
                      marks: pd.Series) -> pd.DataFrame:
     rows = []
     for w, h, tok, kv, mk in zip(page_w, page_h, tokens, kv_pairs, marks):
+        if w is None or pd.isna(w):
+            # Dangling media_ref (left join found no payload): empty parse;
+            # the span survives as a placeholder and is counted per-doc.
+            rows.append(_EMPTY_MEDIA_PARSE)
+            continue
         parsed = parse_media_payload({
             "page_w": int(w), "page_h": int(h),
             "tokens": list(tok) if tok is not None else [],
@@ -148,7 +157,7 @@ def _make_valid_udf(masters, min_score):
 _PARSED_COLS = [
     "doc_id", "kind", "media_ref", "offset", "span_text",
     "sig_present", "sig_conf", "stamp_present", "stamp_conf",
-    "kv_dealer", "kv_model", "kv_hp", "kv_cost",
+    "kv_dealer", "kv_model", "kv_hp", "kv_cost", "payload_missing",
 ]
 
 
@@ -174,17 +183,25 @@ def parse_spans(docs_df: DataFrame, payloads_df: DataFrame) -> DataFrame:
             "kv_model": F.lit(None).cast("string"),
             "kv_hp": F.lit(None).cast("string"),
             "kv_cost": F.lit(None).cast("string"),
+            "payload_missing": F.lit(False),
         })
         .select(*_PARSED_COLS)
     )
 
+    # LEFT join: a media span whose media_ref has no payload row must not
+    # vanish silently (the reference records a per-file error for unreadable
+    # media, backend/main.py:545-552). It survives as an empty placeholder
+    # span, flagged payload_missing and rolled up per-doc so data loss is
+    # observable at scale instead of discovered by row-count forensics.
     media_spans = (
         spans.where(F.col("kind") == "media")
         .drop("text")
-        .join(payloads_df, "media_ref")
+        .join(payloads_df, "media_ref", "left")
+        .withColumn("payload_missing", F.col("page_w").isNull())
         .withColumn("parsed", _media_parse_udf(
             "page_w", "page_h", "tokens", "kv_pairs", "marks"))
-        .select("doc_id", "kind", "media_ref", "offset", "parsed.*")
+        .select("doc_id", "kind", "media_ref", "offset", "payload_missing",
+                "parsed.*")
         .select(*_PARSED_COLS)
     )
 
@@ -225,6 +242,7 @@ def reassemble(parsed: DataFrame, salt_buckets: int = C.MEDIA_SALT_BUCKETS
             F.min(_kv_cand("kv_model")).alias("p_kv_model"),
             F.min(_kv_cand("kv_hp")).alias("p_kv_hp"),
             F.min(_kv_cand("kv_cost")).alias("p_kv_cost"),
+            F.sum(F.col("payload_missing").cast("long")).alias("p_missing"),
         )
     )
     doc = (
@@ -240,6 +258,7 @@ def reassemble(parsed: DataFrame, salt_buckets: int = C.MEDIA_SALT_BUCKETS
             F.min("p_kv_model").getField("v").alias("kv_model"),
             F.min("p_kv_hp").getField("v").alias("kv_hp"),
             F.min("p_kv_cost").getField("v").alias("kv_cost"),
+            F.sum("p_missing").alias("n_missing_payloads"),
         )
     )
     return doc.withColumn(

@@ -1,0 +1,73 @@
+"""Hot-bucket caps: an adversarial degenerate bucket (many docs sharing a
+min-shingle / sign pattern) must yield BOUNDED pair expansion, never an
+O(n^2) blowup in one reducer — with the truncation observable, not silent."""
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from document_ai_spark.operators import dedup as D
+from document_ai_spark.operators import similarity as S
+
+
+def test_near_dup_hot_bucket_is_capped(spark):
+    # 40 identical docs: one bucket, C(40,2)=780 pairs uncapped.
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", "spam spam spam spam") for i in range(40)],
+        schema="doc_id string, text string")
+    capped = D.near_dup_pairs(docs, jaccard_min=0.0, max_bucket=10).collect()
+    assert len(capped) == math.comb(10, 2)
+    # Deterministic prefix: items are sorted before the slice.
+    ids = {r["doc_a"] for r in capped} | {r["doc_b"] for r in capped}
+    assert ids == {f"d{i:03d}" for i in range(10)}
+
+
+def test_banded_near_dup_hot_bucket_is_capped(spark):
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", "spam spam spam spam") for i in range(40)],
+        schema="doc_id string, text string")
+    capped = D.banded_near_dup_pairs(
+        docs, jaccard_min=0.0, max_bucket=8).collect()
+    # Identical docs agree on every band; pairs de-duped across bands.
+    assert len(capped) == math.comb(8, 2)
+
+
+def test_embedding_near_dup_hot_bucket_is_capped(spark):
+    # All-positive vectors share every band bucket.
+    emb = spark.createDataFrame(
+        [(i, [float(1 + (i % 3))] * 64, 0) for i in range(30)],
+        schema="vec_id long, embedding array<float>, label int")
+    capped = S.embedding_near_dups(emb, cos_min=0.0, max_bucket=6).collect()
+    assert len(capped) == math.comb(6, 2)
+    assert all(r["id_a"] < r["id_b"] for r in capped)
+
+
+def test_cap_above_bucket_size_is_identity(spark):
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"alpha beta gamma delta {i % 2}") for i in range(8)],
+        schema="doc_id string, text string")
+    a = sorted(map(tuple, D.near_dup_pairs(docs, 0.0, max_bucket=1000)
+                   .collect()))
+    b = sorted(map(tuple, D.near_dup_pairs(docs, 0.0, max_bucket=8)
+                   .collect()))
+    assert a == b and len(a) > 0
+
+
+def test_kmeans_codebook_shape_and_determinism(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(64)], i % 3) for i in range(60)],
+        schema="vec_id long, embedding array<float>, label int")
+    c1 = {r["centroid_id"]: r["cent"]
+          for r in S.kmeans_codebook(emb, k=4, iters=2).collect()}
+    c2 = {r["centroid_id"]: r["cent"]
+          for r in S.kmeans_codebook(emb, k=4, iters=2).collect()}
+    assert sorted(c1) == [0, 1, 2, 3]
+    assert c1 == c2                       # bit-stable across runs
+    assert all(len(v) == 64 for v in c1.values())
+    # Trained codebook differs from the raw first-k init.
+    init = {r["vec_id"]: list(r["embedding"])
+            for r in emb.where(F.col("vec_id") < 4).collect()}
+    assert any(c1[k] != [float(x) for x in init[k]] for k in c1)

@@ -41,9 +41,10 @@ def test_out_of_order_offsets_sorted(spark):
         ("first", 2), ("second", 5)]
 
 
-def test_media_ref_missing_payload_drops_span_only(spark):
-    """A media span whose payload is missing drops that span (inner join),
-    not the whole document."""
+def test_media_ref_missing_payload_placeholder_and_metric(spark):
+    """A media span whose payload is missing survives as an empty
+    placeholder span (left join) and is counted in n_missing_payloads —
+    never silently dropped."""
     docs = spark.createDataFrame(
         [{"doc_id": "d", "spans": [
             {"kind": "text", "text": "<p>keep me</p>", "media_ref": "",
@@ -55,4 +56,6 @@ def test_media_ref_missing_payload_drops_span_only(spark):
     )
     payloads = spark.createDataFrame([], schema=payload_schema())
     row = extract(docs, payloads).collect()[0]
-    assert [s["text"] for s in row["out_spans"]] == ["keep me"]
+    assert [(s["kind"], s["text"]) for s in row["out_spans"]] == [
+        ("text", "keep me"), ("media", "")]
+    assert row["n_missing_payloads"] == 1

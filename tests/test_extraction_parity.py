@@ -21,6 +21,11 @@ FRAGMENTS = [
     "National Tractor Sales", "lowercase dealers ltd",
     "The Odisha Agro Industries Corporation Ltd", "Mahindra & Mahindra Ltd",
     "...", "12", ",,,", "HP", "--- PAGE BREAK ---", "एचपी", "45एचपी",
+    # Non-ASCII digits + Unicode whitespace: Python re's \d/\s and
+    # int()/float() are Unicode-aware; the Spark side must agree ((?U) +
+    # digit transliteration in extraction.py).
+    "५५ एचपी", "९० अश्वशक्ति", "Rs ५५०००", "Total: ५०,०००",
+    " XT-750 ", "Dealer: Bharat Agro Ltd", "१२ एचपी",
 ]
 
 
