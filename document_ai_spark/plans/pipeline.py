@@ -162,50 +162,68 @@ _PARSED_COLS = [
 
 
 def parse_spans(docs_df: DataFrame, payloads_df: DataFrame) -> DataFrame:
-    """explode -> kind-routed parse -> union. One shuffle (payload join).
+    """explode -> single payload join -> kind-routed parse. SINGLE scan.
 
     explode_outer keeps zero-span docs alive as a single null-kind row
-    (routed through the text branch with empty text) so they still appear
+    (routed through the text path with empty text) so they still appear
     in the extractions table — plain explode would silently drop them.
+
+    One pass, not two: the earlier union-of-filtered-branches form put the
+    source subtree in the plan twice, so every extraction run scanned the
+    interleaved table twice — at 100 TB that is the whole job's IO bill
+    doubled. Both parse UDFs run over all spans with O(1) fast paths for
+    the rows they don't own (text is NULL for media spans, page_w is NULL
+    for text spans). The single-subtree plan also makes df.observe()
+    row-count metrics well-defined (a duplicated subtree would double- or
+    reject-count them).
+
+    LEFT join: a media span whose media_ref has no payload row must not
+    vanish silently (the reference records a per-file error for unreadable
+    media, backend/main.py:545-552). It survives as an empty placeholder
+    span, flagged payload_missing and rolled up per-doc so data loss is
+    observable at scale instead of discovered by row-count forensics.
+
+    Text spans don't carry a real media_ref, and routing them through the
+    join under one shared key ('' or NULL) would funnel every text span
+    of a 10^12-doc corpus into a single reducer — so non-media rows get a
+    salted sentinel key that can never match the payload side and spreads
+    evenly across partitions.
     """
     spans = docs_df.select(
         "doc_id", F.explode_outer("spans").alias("s")
     ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
 
-    text_spans = (
-        spans.where(F.col("kind").isNull() | (F.col("kind") == "text"))
-        .withColumn("span_text", _main_text_udf(F.col("text")))
-        .drop("text")
-        .withColumns({
-            "sig_present": F.lit(False), "sig_conf": F.lit(0.0),
-            "stamp_present": F.lit(False), "stamp_conf": F.lit(0.0),
-            "kv_dealer": F.lit(None).cast("string"),
-            "kv_model": F.lit(None).cast("string"),
-            "kv_hp": F.lit(None).cast("string"),
-            "kv_cost": F.lit(None).cast("string"),
-            "payload_missing": F.lit(False),
-        })
-        .select(*_PARSED_COLS)
-    )
+    is_media = F.col("kind") == "media"
+    join_key = F.when(is_media, F.col("media_ref")).otherwise(
+        F.concat(F.lit("__nonmedia__"),
+                 F.pmod(F.xxhash64("doc_id", "offset"), F.lit(4096))
+                 .cast("string")))
+    pay = payloads_df.withColumnRenamed("media_ref", "_jk")
 
-    # LEFT join: a media span whose media_ref has no payload row must not
-    # vanish silently (the reference records a per-file error for unreadable
-    # media, backend/main.py:545-552). It survives as an empty placeholder
-    # span, flagged payload_missing and rolled up per-doc so data loss is
-    # observable at scale instead of discovered by row-count forensics.
-    media_spans = (
-        spans.where(F.col("kind") == "media")
-        .drop("text")
-        .join(payloads_df, "media_ref", "left")
-        .withColumn("payload_missing", F.col("page_w").isNull())
-        .withColumn("parsed", _media_parse_udf(
-            "page_w", "page_h", "tokens", "kv_pairs", "marks"))
-        .select("doc_id", "kind", "media_ref", "offset", "payload_missing",
-                "parsed.*")
-        .select(*_PARSED_COLS)
-    )
+    joined = (spans.withColumn("_jk", join_key)
+              .join(pay, "_jk", "left")
+              .withColumn("parsed", _media_parse_udf(
+                  "page_w", "page_h", "tokens", "kv_pairs", "marks")))
 
-    return text_spans.unionByName(media_spans)
+    def route(media_col, text_val):
+        return F.when(is_media, media_col).otherwise(text_val)
+
+    return joined.withColumns({
+        "span_text": route(F.col("parsed.span_text"),
+                           _main_text_udf(F.col("text"))),
+        "sig_present": route(F.col("parsed.sig_present"), F.lit(False)),
+        "sig_conf": route(F.col("parsed.sig_conf"), F.lit(0.0)),
+        "stamp_present": route(F.col("parsed.stamp_present"), F.lit(False)),
+        "stamp_conf": route(F.col("parsed.stamp_conf"), F.lit(0.0)),
+        "kv_dealer": route(F.col("parsed.kv_dealer"),
+                           F.lit(None).cast("string")),
+        "kv_model": route(F.col("parsed.kv_model"),
+                          F.lit(None).cast("string")),
+        "kv_hp": route(F.col("parsed.kv_hp"), F.lit(None).cast("string")),
+        "kv_cost": route(F.col("parsed.kv_cost"),
+                         F.lit(None).cast("string")),
+        "payload_missing": is_media & F.col("page_w").isNull(),
+    }).select(*_PARSED_COLS)
 
 
 def _kv_cand(col_name: str):

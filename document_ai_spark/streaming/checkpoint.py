@@ -2,23 +2,23 @@
 
 North-rule requirement: "every partition writes lineage + row-count/latency
 metrics to a checkpoint table so a killed job resumes exactly at the last
-committed Iceberg snapshot". No Iceberg runtime jars ship in this sandbox,
-so the snapshot semantics are emulated behind a small storage interface
-(SURVEY.md §7.6): Parquet data files + per-bucket JSON manifests committed
-via atomic rename — the same commit/visibility contract an Iceberg catalog
-gives (an output bucket is visible iff its manifest exists; manifests are
-only ever created whole).
-
-Layout under ``root``:
-    data/bucket=<b>/      committed parquet output for bucket b
-    _staging/<b>/          in-flight writes (never read)
-    _manifests/<b>.json    commit record = lineage row (atomic rename)
+committed Iceberg snapshot". Storage is behind the SnapshotStore interface
+(store.py): ManifestStore (parquet + atomic-rename manifests — always
+available) or IcebergStore (real catalog, when the runtime jars resolve).
 
 A "partition" here is a deterministic doc_id hash bucket — stable across
 runs and cluster sizes, which is what makes resume exact: re-running skips
-every bucket whose manifest exists, and reprocessing a bucket is idempotent
-(same input slice -> same output, staging overwritten, rename replaces
-nothing because commit is checked first).
+every bucket whose commit record exists, and reprocessing a bucket is
+idempotent (same input slice -> same output).
+
+Scan discipline: the input is first INGESTED ONCE into a parquet layout
+physically partitioned by the same pmod(xxhash64(doc_id), B) bucket
+expression (or the caller points at an already-bucketed table). Each
+bucket iteration then reads ONLY that bucket's files via partition
+pruning — B iterations touch the input once in total, where filtering an
+unpartitioned source per bucket would scan it B times (at 100 TB, 1 pass
+vs 32). Row counts ride the write job itself as df.observe() metrics; no
+separate count() jobs.
 
 The reference analog is the batch-job progress dict + per-file error
 capture (reference backend/main.py:522-562) and the WorkflowState
@@ -30,112 +30,68 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Iterable, Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+
+from .store import (  # noqa: F401  (re-exported public surface)
+    IcebergStore,
+    IcebergUnavailable,
+    Lineage,
+    ManifestStore,
+    SnapshotStore,
+    affected_buckets,
+    iceberg_available,
+)
 
 
 class JobKilled(RuntimeError):
     """Raised by the test hook to simulate a mid-run crash."""
 
 
-@dataclass
-class Lineage:
-    run_id: str
-    partition_id: int
-    snapshot_id: str
-    rows_in: int
-    rows_out: int
-    latency_ms: float
-    committed_at: str
+def ingest_bucketed(docs_df: DataFrame, path: str, buckets: int) -> str:
+    """One full pass over the source, written parquet-partitioned by the
+    run's bucket expression so per-bucket reads prune to 1/B of files."""
+    (docs_df
+     .withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)))
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+    return path
 
 
-class ManifestStore:
-    """Atomic-rename manifest commits emulating Iceberg snapshot visibility."""
-
-    def __init__(self, root: str) -> None:
-        self.root = root
-        self.data_dir = os.path.join(root, "data")
-        self.staging_dir = os.path.join(root, "_staging")
-        self.manifest_dir = os.path.join(root, "_manifests")
-        for d in (self.data_dir, self.staging_dir, self.manifest_dir):
-            os.makedirs(d, exist_ok=True)
-
-    def committed_buckets(self) -> Dict[int, dict]:
-        out = {}
-        for name in os.listdir(self.manifest_dir):
-            if name.endswith(".json"):
-                with open(os.path.join(self.manifest_dir, name)) as f:
-                    m = json.load(f)
-                out[int(m["partition_id"])] = m
-        return out
-
-    def snapshot_id(self) -> str:
-        """Current snapshot = count of committed manifests (monotone)."""
-        return f"snap-{len(self.committed_buckets()):06d}"
-
-    def staged_path(self, bucket: int) -> str:
-        return os.path.join(self.staging_dir, str(bucket))
-
-    def committed_path(self, bucket: int) -> str:
-        return os.path.join(self.data_dir, f"bucket={bucket}")
-
-    def commit(self, lineage: Lineage) -> None:
-        """Promote staging -> data, then write the manifest atomically.
-        Crash between the two leaves the bucket uncommitted (manifest
-        absent) and the re-run overwrites staging + re-renames: idempotent."""
-        src, dst = self.staged_path(lineage.partition_id), \
-            self.committed_path(lineage.partition_id)
-        if os.path.exists(dst):
-            import shutil
-            shutil.rmtree(dst)
-        os.rename(src, dst)
-        tmp = os.path.join(self.manifest_dir,
-                           f".tmp-{lineage.partition_id}.json")
-        with open(tmp, "w") as f:
-            json.dump(lineage.__dict__, f)
-        os.rename(tmp, os.path.join(self.manifest_dir,
-                                    f"{lineage.partition_id}.json"))
-
-    def lineage_df(self, spark: SparkSession) -> DataFrame:
-        """The checkpoint/metrics table as a DataFrame."""
-        rows = list(self.committed_buckets().values())
-        if not rows:
-            return spark.createDataFrame(
-                [], "run_id string, partition_id int, snapshot_id string, "
-                    "rows_in long, rows_out long, latency_ms double, "
-                    "committed_at string")
-        return spark.createDataFrame(rows).select(
-            "run_id", "partition_id", "snapshot_id", "rows_in", "rows_out",
-            "latency_ms", "committed_at")
-
-    def read_committed(self, spark: SparkSession) -> DataFrame:
-        """Union of all committed bucket outputs (the visible snapshot)."""
-        paths = [self.committed_path(b) for b in self.committed_buckets()]
-        if not paths:
-            raise ValueError("no committed buckets")
-        return spark.read.parquet(*paths)
+def bucket_slice(spark: SparkSession, input_path: str, bucket: int
+                 ) -> DataFrame:
+    """Partition-pruned read of one bucket (only bucket=<b>/ files)."""
+    return (spark.read.parquet(input_path)
+            .where(F.col("bucket") == bucket).drop("bucket"))
 
 
 def run_checkpointed(
     spark: SparkSession,
-    docs_df: DataFrame,
+    docs_df: Optional[DataFrame],
     payloads_df: DataFrame,
     out_root: str,
     run_id: str = "run-0",
     buckets: int = 16,
     extract_fn: Optional[Callable[[DataFrame, DataFrame], DataFrame]] = None,
     fail_after: Optional[int] = None,
-) -> ManifestStore:
+    docs_path: Optional[str] = None,
+    store: Optional[SnapshotStore] = None,
+) -> SnapshotStore:
     """Bucket-at-a-time checkpointed run; resumes by skipping committed
-    buckets. ``fail_after`` commits N buckets then raises (crash test)."""
+    buckets. ``fail_after`` commits N buckets then raises (crash test).
+
+    ``docs_path``, when given, must point at a parquet dataset already
+    partitioned by a ``bucket`` column matching this run's bucket count
+    (e.g. a previous ingest_bucketed output); ``docs_df`` is then unused.
+    Otherwise ``docs_df`` is ingested once under ``out_root``/_input.
+    """
     from ..plans.pipeline import extract as default_extract
 
     extract_fn = extract_fn or default_extract
-    store = ManifestStore(out_root)
+    store = store or ManifestStore(out_root)
     # The bucket count defines the doc->partition assignment; resuming with
-    # a different count would skip the wrong slices. Pin it in store meta.
+    # a different count would skip the wrong slices. Pin it in run meta.
+    os.makedirs(out_root, exist_ok=True)
     meta_path = os.path.join(out_root, "_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -149,25 +105,34 @@ def run_checkpointed(
         with open(tmp, "w") as f:
             json.dump({"buckets": buckets, "run_id": run_id}, f)
         os.rename(tmp, meta_path)
+
+    if docs_path is None:
+        docs_path = os.path.join(out_root, "_input")
+        # Spark's _SUCCESS marker doubles as the ingest commit record: a
+        # crash mid-ingest leaves it absent and the resume re-ingests.
+        if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+            if docs_df is None:
+                raise ValueError("docs_df or a pre-ingested docs_path "
+                                 "is required")
+            ingest_bucketed(docs_df, docs_path, buckets)
+
     done = store.committed_buckets()
-    bucket_col = F.pmod(F.xxhash64("doc_id"), F.lit(buckets))
     committed_this_run = 0
 
     for b in range(buckets):
         if b in done:
             continue
         t0 = time.monotonic()
-        sub = docs_df.where(bucket_col == b)
-        rows_in = sub.count()
+        obs_in = Observation()
+        sub = bucket_slice(spark, docs_path, b).observe(
+            obs_in, F.count(F.lit(1)).alias("rows_in"))
         out = extract_fn(sub, payloads_df)
-        staged = store.staged_path(b)
-        out.write.mode("overwrite").parquet(staged)
-        rows_out = spark.read.parquet(staged).count()  # metadata-only
+        rows_out = store.write_bucket(b, out)   # rows ride the write job
         store.commit(Lineage(
             run_id=run_id,
             partition_id=b,
             snapshot_id=store.snapshot_id(),
-            rows_in=rows_in,
+            rows_in=int(obs_in.get["rows_in"]),
             rows_out=rows_out,
             latency_ms=round((time.monotonic() - t0) * 1000, 3),
             committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -177,3 +142,15 @@ def run_checkpointed(
             raise JobKilled(
                 f"simulated crash after {committed_this_run} buckets")
     return store
+
+
+def delete_docs(spark: SparkSession, store: SnapshotStore,
+                doc_ids: Iterable[str], out_root: str) -> int:
+    """Row-level delete (reference DELETE /documents/{id}, backend/
+    main.py:695-705) against a checkpointed store: rewrites only the
+    buckets the ids hash into and commits each as a new snapshot.
+    Returns the number of buckets rewritten."""
+    meta_path = os.path.join(out_root, "_meta.json")
+    with open(meta_path) as f:
+        buckets = json.load(f)["buckets"]
+    return store.delete_docs(spark, doc_ids, buckets)

@@ -1,0 +1,341 @@
+"""Snapshot-store interface behind the checkpointed extraction runner.
+
+Two implementations of one contract (SURVEY.md §7.6):
+
+  * ManifestStore — Parquet data files + per-bucket JSON manifests
+    committed via atomic rename. Runs anywhere; emulates Iceberg's
+    commit/visibility semantics (a bucket is visible iff its manifest
+    exists; manifests are only ever created whole).
+  * IcebergStore — a real Iceberg catalog table partitioned by bucket,
+    with lineage in a companion table and snapshot ids from the table's
+    own metadata. Requires the iceberg-spark runtime jars; construction
+    probes for them and raises IcebergUnavailable when absent (this
+    sandbox ships no jars, so tests parameterize over both stores and
+    skip Iceberg cleanly).
+
+The runner (checkpoint.run_checkpointed) only talks to the interface:
+    committed_buckets() -> {bucket: lineage dict}
+    write_bucket(bucket, out_df) -> rows_out   (data write, maybe staged)
+    commit(lineage)                            (atomic publish)
+    read_committed(spark) / lineage_df(spark) / snapshot_id()
+    delete_docs(spark, doc_ids, buckets) -> n_buckets_rewritten
+"""
+from __future__ import annotations
+
+import abc
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, Iterable, List
+
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+
+
+@dataclass
+class Lineage:
+    run_id: str
+    partition_id: int
+    snapshot_id: str
+    rows_in: int
+    rows_out: int
+    latency_ms: float
+    committed_at: str
+
+
+_LINEAGE_SCHEMA = ("run_id string, partition_id int, snapshot_id string, "
+                   "rows_in long, rows_out long, latency_ms double, "
+                   "committed_at string")
+
+
+class IcebergUnavailable(RuntimeError):
+    """Raised when the Iceberg Spark runtime is not on the classpath."""
+
+
+class SnapshotStore(abc.ABC):
+    """Commit/visibility contract for bucket-at-a-time checkpointed runs."""
+
+    @abc.abstractmethod
+    def committed_buckets(self) -> Dict[int, dict]: ...
+
+    @abc.abstractmethod
+    def snapshot_id(self) -> str: ...
+
+    @abc.abstractmethod
+    def write_bucket(self, bucket: int, out_df: DataFrame) -> int:
+        """Write one bucket's output (staged where the backend allows);
+        returns rows_out observed during the single write job."""
+
+    @abc.abstractmethod
+    def commit(self, lineage: Lineage) -> None:
+        """Atomically publish the bucket written by write_bucket."""
+
+    @abc.abstractmethod
+    def read_committed(self, spark: SparkSession) -> DataFrame: ...
+
+    @abc.abstractmethod
+    def lineage_df(self, spark: SparkSession) -> DataFrame: ...
+
+    @abc.abstractmethod
+    def delete_docs(self, spark: SparkSession, doc_ids: Iterable[str],
+                    buckets: int) -> int:
+        """Row-level delete (reference DELETE endpoint, backend/main.py:
+        695-705): remove the given doc_ids from committed data, preserving
+        snapshot semantics. Returns the number of buckets rewritten."""
+
+
+def affected_buckets(spark: SparkSession, doc_ids: Iterable[str],
+                     buckets: int) -> List[int]:
+    """Buckets the given doc_ids hash into — computed with the SAME Spark
+    expression that assigned them (pmod(xxhash64(doc_id), B)); a Python
+    reimplementation of xxhash64 would silently drift."""
+    ids = [(str(d),) for d in doc_ids]
+    if not ids:
+        return []
+    return [
+        r["b"] for r in spark.createDataFrame(ids, "doc_id string")
+        .select(F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).alias("b"))
+        .distinct().collect()
+    ]
+
+
+class ManifestStore(SnapshotStore):
+    """Atomic-rename manifest commits emulating Iceberg snapshot visibility.
+
+    Layout under ``root``:
+        data/bucket=<b>/      committed parquet output for bucket b
+        _staging/<b>/          in-flight writes (never read)
+        _manifests/<b>.json    commit record = lineage row (atomic rename)
+        _snapshot.json         monotone commit counter (survives deletes)
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.staging_dir = os.path.join(root, "_staging")
+        self.manifest_dir = os.path.join(root, "_manifests")
+        for d in (self.data_dir, self.staging_dir, self.manifest_dir):
+            os.makedirs(d, exist_ok=True)
+
+    def committed_buckets(self) -> Dict[int, dict]:
+        out = {}
+        for name in os.listdir(self.manifest_dir):
+            if name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    m = json.load(f)
+                out[int(m["partition_id"])] = m
+        return out
+
+    # -- snapshot counter ---------------------------------------------------
+
+    def _seq_path(self) -> str:
+        return os.path.join(self.root, "_snapshot.json")
+
+    def _seq(self) -> int:
+        if os.path.exists(self._seq_path()):
+            with open(self._seq_path()) as f:
+                return json.load(f)["seq"]
+        return len(self.committed_buckets())
+
+    def _write_seq(self, seq: int) -> None:
+        tmp = self._seq_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"seq": seq}, f)
+        os.rename(tmp, self._seq_path())
+
+    def snapshot_id(self) -> str:
+        """Monotone commit counter — advances on every commit, including
+        delete rewrites (a manifest-count would stand still there)."""
+        return f"snap-{self._seq():06d}"
+
+    # -- paths --------------------------------------------------------------
+
+    def staged_path(self, bucket: int) -> str:
+        return os.path.join(self.staging_dir, str(bucket))
+
+    def committed_path(self, bucket: int) -> str:
+        return os.path.join(self.data_dir, f"bucket={bucket}")
+
+    # -- write / commit -----------------------------------------------------
+
+    def write_bucket(self, bucket: int, out_df: DataFrame) -> int:
+        """Stage the bucket's parquet; rows_out comes from an Observation
+        riding the same write job — no second count() pass."""
+        obs = Observation()
+        (out_df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
+         .write.mode("overwrite").parquet(self.staged_path(bucket)))
+        return int(obs.get["rows_out"])
+
+    def commit(self, lineage: Lineage) -> None:
+        """Promote staging -> data, then write the manifest atomically.
+        Crash between the two leaves the bucket uncommitted (manifest
+        absent) and the re-run overwrites staging + re-renames: idempotent."""
+        seq_next = self._seq() + 1   # read BEFORE the new manifest lands
+        src, dst = self.staged_path(lineage.partition_id), \
+            self.committed_path(lineage.partition_id)
+        if os.path.exists(dst):
+            import shutil
+            shutil.rmtree(dst)
+        os.rename(src, dst)
+        tmp = os.path.join(self.manifest_dir,
+                           f".tmp-{lineage.partition_id}.json")
+        with open(tmp, "w") as f:
+            json.dump(lineage.__dict__, f)
+        os.rename(tmp, os.path.join(self.manifest_dir,
+                                    f"{lineage.partition_id}.json"))
+        self._write_seq(seq_next)
+
+    # -- reads ---------------------------------------------------------------
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        """The checkpoint/metrics table as a DataFrame."""
+        rows = list(self.committed_buckets().values())
+        if not rows:
+            return spark.createDataFrame([], _LINEAGE_SCHEMA)
+        return spark.createDataFrame(rows).select(
+            "run_id", "partition_id", "snapshot_id", "rows_in", "rows_out",
+            "latency_ms", "committed_at")
+
+    def read_committed(self, spark: SparkSession) -> DataFrame:
+        """Union of all committed bucket outputs (the visible snapshot)."""
+        paths = [self.committed_path(b) for b in self.committed_buckets()]
+        if not paths:
+            raise ValueError("no committed buckets")
+        return spark.read.parquet(*paths)
+
+    # -- delete ---------------------------------------------------------------
+
+    def delete_docs(self, spark: SparkSession, doc_ids: Iterable[str],
+                    buckets: int) -> int:
+        """Rewrite only the buckets the doc_ids hash into, minus those
+        docs, and commit each rewrite as a new snapshot. Untouched buckets
+        keep their files byte-identical; resume-after-delete sees every
+        bucket committed and reprocesses nothing."""
+        ids = [str(d) for d in doc_ids]
+        done = self.committed_buckets()
+        rewritten = 0
+        for b in sorted(affected_buckets(spark, ids, buckets)):
+            if b not in done:
+                continue
+            t0 = time.monotonic()
+            cur = spark.read.parquet(self.committed_path(b))
+            kept = cur.where(~F.col("doc_id").isin(ids))
+            rows_out = self.write_bucket(b, kept)
+            prev = done[b]
+            self.commit(Lineage(
+                run_id=f"delete:{prev['run_id']}",
+                partition_id=b,
+                snapshot_id=self.snapshot_id(),
+                rows_in=prev["rows_out"],
+                rows_out=rows_out,
+                latency_ms=round((time.monotonic() - t0) * 1000, 3),
+                committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                           time.gmtime()),
+            ))
+            rewritten += 1
+        return rewritten
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """Capability probe: is the Iceberg Spark runtime on the classpath?"""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class IcebergStore(SnapshotStore):
+    """SnapshotStore over a real Iceberg catalog.
+
+    Data lives in ``<table>`` partitioned by bucket; lineage in
+    ``<table>_lineage``. Bucket publication uses overwritePartitions —
+    an atomic Iceberg snapshot replacing exactly that bucket's partition.
+    A crash between the data commit and the lineage append leaves the
+    bucket without a lineage row, so resume redoes it; overwritePartitions
+    makes the redo idempotent (same input slice -> same partition
+    contents), preserving the exactly-at-last-snapshot resume contract.
+
+    Construction raises IcebergUnavailable when the runtime jars are
+    missing, so callers fall back to ManifestStore.
+    """
+
+    def __init__(self, spark: SparkSession, table: str) -> None:
+        if not iceberg_available(spark):
+            raise IcebergUnavailable(
+                "iceberg-spark runtime jars not on the classpath")
+        self.spark = spark
+        self.table = table
+        self.lineage_table = f"{table}_lineage"
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.lineage_table} "
+            f"({_LINEAGE_SCHEMA}) USING iceberg")
+
+    def _lineage_rows(self) -> List[dict]:
+        if not self.spark.catalog.tableExists(self.lineage_table):
+            return []
+        return [r.asDict() for r in
+                self.spark.table(self.lineage_table).collect()]
+
+    def committed_buckets(self) -> Dict[int, dict]:
+        out: Dict[int, dict] = {}
+        for r in sorted(self._lineage_rows(),
+                        key=lambda r: r["snapshot_id"]):
+            out[int(r["partition_id"])] = r   # latest commit wins
+        return out
+
+    def snapshot_id(self) -> str:
+        if not self.spark.catalog.tableExists(self.table):
+            return "snap-000000"
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1").collect()
+        return f"snap-{row[0]['snapshot_id']}" if row else "snap-000000"
+
+    def write_bucket(self, bucket: int, out_df: DataFrame) -> int:
+        obs = Observation()
+        tagged = (out_df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
+                  .withColumn("bucket", F.lit(bucket)))
+        if self.spark.catalog.tableExists(self.table):
+            tagged.writeTo(self.table).overwritePartitions()
+        else:
+            (tagged.writeTo(self.table).partitionedBy("bucket")
+             .using("iceberg").create())
+        return int(obs.get["rows_out"])
+
+    def commit(self, lineage: Lineage) -> None:
+        self.spark.createDataFrame([lineage.__dict__], _LINEAGE_SCHEMA) \
+            .writeTo(self.lineage_table).append()
+
+    def read_committed(self, spark: SparkSession) -> DataFrame:
+        committed = list(self.committed_buckets())
+        if not committed:
+            raise ValueError("no committed buckets")
+        return (spark.table(self.table)
+                .where(F.col("bucket").isin(committed)).drop("bucket"))
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        rows = list(self.committed_buckets().values())
+        if not rows:
+            return spark.createDataFrame([], _LINEAGE_SCHEMA)
+        return spark.createDataFrame(rows).select(
+            "run_id", "partition_id", "snapshot_id", "rows_in", "rows_out",
+            "latency_ms", "committed_at")
+
+    def delete_docs(self, spark: SparkSession, doc_ids: Iterable[str],
+                    buckets: int) -> int:
+        ids = [str(d) for d in doc_ids]
+        hit = [b for b in affected_buckets(spark, ids, buckets)
+               if b in self.committed_buckets()]
+        if not hit:
+            return 0
+        # Iceberg row-level DELETE: one atomic snapshot, only the affected
+        # partitions' files rewritten (copy-on-write) or delete files added
+        # (merge-on-read).
+        id_list = ", ".join(f"'{i}'" for i in ids)
+        bucket_list = ", ".join(str(b) for b in hit)
+        spark.sql(f"DELETE FROM {self.table} "
+                  f"WHERE doc_id IN ({id_list}) "
+                  f"AND bucket IN ({bucket_list})")
+        return len(hit)
