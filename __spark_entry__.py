@@ -733,6 +733,74 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _q_dup_clusters(spark, sf):
+    """Transitive duplicate clusters over banded-LSH near-dup pairs
+    (connected components via min-label propagation; the oracle computes
+    the same closure with a recursive CTE)."""
+    pairs = D.banded_near_dup_pairs(_dup_docs(spark, sf), jaccard_min=0.5)
+    return D.duplicate_clusters(pairs).orderBy("doc_id")
+
+
+# Reuse the banded-pair CTE body (everything up to the final SELECT).
+_BANDED_PAIRS_CTE = f"""
+base AS ({_DUP_DOCS_SQL}),
+sk AS (
+  SELECT doc_id,
+         list_slice(list_sort(list_distinct(
+             list_transform({_SHINGLE_SQL}, s -> md5(s)))), 1, 8) AS sketch
+  FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks FROM base)),
+banded AS (
+  SELECT doc_id, sketch, t.b AS band,
+         md5(array_to_string(list_slice(sketch, t.b*2 + 1, t.b*2 + 2), '|'))
+         AS band_hash
+  FROM sk, range(0, 4) t(b)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.sketch) AS sk_a, any_value(b.sketch) AS sk_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE len(list_intersect(sk_a, sk_b))
+        / len(list_distinct(sk_a || sk_b)) >= 0.5)
+"""
+
+_SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE
+{_BANDED_PAIRS_CTE},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT DISTINCT u AS doc_id, u AS r FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.doc_id = e.v)
+SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _q_length_quantiles(spark, sf):
+    """Exact interpolated quantiles of document length per language —
+    the corpus-profiling agg a training-data pipeline runs first."""
+    d = _t(spark, sf, "documents")
+    return (d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 6).alias("p75"),
+    ).orderBy("lang"))
+
+
+_SQL_LENGTH_QUANTILES = """
+SELECT lang, COUNT(*) AS n,
+       ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+       ROUND(quantile_cont(n_chars, 0.75), 6) AS p75
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def _q_simhash(spark, sf):
     d = D.with_simhash(_t(spark, sf, "documents"))
     return d.select("doc_id", "simhash").orderBy("doc_id")
@@ -813,22 +881,36 @@ def _q_embed_lsh_topk(spark, sf):
 
 
 def _sql_embed_lsh_topk():
-    bucket = " + ".join(
-        f"(CASE WHEN emb[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(S.LSH_BITS))
-    cos = ("list_dot_product(d.emb, p.emb) / "
-           "(sqrt(list_dot_product(d.emb, d.emb)) * "
-           "sqrt(list_dot_product(p.emb, p.emb)))")
+    bands, rows = S.LSH_TOPK_BANDS, S.LSH_TOPK_ROWS
+
+    def bucket(band):
+        return " + ".join(
+            f"(CASE WHEN emb[{band * rows + i + 1}] >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(rows))
+
+    bucket_cols = ",\n           ".join(
+        f"({bucket(band)}) AS b{band}" for band in range(bands))
+    cand_union = "\n  UNION ALL\n".join(
+        f"  SELECT p.vec_id AS probe_id, d.vec_id AS vec_id, "
+        f"d.emb AS emb, p.emb AS probe_emb\n"
+        f"  FROM e d JOIN e p ON d.b{band} = p.b{band}\n"
+        f"  WHERE p.vec_id IN (0,1,2) AND d.vec_id != p.vec_id"
+        for band in range(bands))
+    cos = ("list_dot_product(emb, probe_emb) / "
+           "(sqrt(list_dot_product(emb, emb)) * "
+           "sqrt(list_dot_product(probe_emb, probe_emb)))")
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-                  {bucket} AS lsh_bucket
-           FROM (SELECT vec_id, embedding, embedding AS emb0,
-                        embedding::DOUBLE[] AS emb FROM embeddings)),
+WITH e AS (SELECT vec_id, emb,
+           {bucket_cols}
+           FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+                 FROM embeddings)),
+cand AS (
+  SELECT DISTINCT probe_id, vec_id, emb, probe_emb FROM (
+{cand_union}
+  )),
 scored AS (
-  SELECT p.vec_id AS probe_id, d.vec_id AS vec_id,
-         ROUND({cos}, 6) AS cos_sim
-  FROM e d JOIN e p ON d.lsh_bucket = p.lsh_bucket
-  WHERE p.vec_id IN (0,1,2) AND d.vec_id != p.vec_id)
+  SELECT probe_id, vec_id, ROUND({cos}, 6) AS cos_sim FROM cand)
 SELECT probe_id, vec_id, cos_sim, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
@@ -972,11 +1054,22 @@ assigned AS (
                               ORDER BY ROUND({cos_assign}, 6) DESC,
                                        c.centroid_id ASC) AS rn
     FROM e d, {prev} c) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS probe_id, emb AS probe_emb, centroid_id FROM (
+    SELECT d.vec_id, d.emb, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                              ORDER BY ROUND({cos_assign}, 6) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM e d, {prev} c WHERE d.vec_id IN (0,1,2))
+  WHERE rn <= {S.IVF_NPROBE}),
 scored AS (
-  SELECT p.vec_id AS probe_id, d.vec_id AS vec_id,
-         ROUND({cos_q}, 6) AS cos_sim
-  FROM assigned d JOIN assigned p ON d.centroid_id = p.centroid_id
-  WHERE p.vec_id IN (0,1,2) AND d.vec_id != p.vec_id)
+  SELECT p.probe_id, d.vec_id AS vec_id,
+         ROUND(list_dot_product(d.emb, p.probe_emb) /
+               (sqrt(list_dot_product(d.emb, d.emb)) *
+                sqrt(list_dot_product(p.probe_emb, p.probe_emb))), 6)
+         AS cos_sim
+  FROM assigned d JOIN probes p ON d.centroid_id = p.centroid_id
+  WHERE d.vec_id != p.probe_id)
 SELECT probe_id, vec_id, cos_sim, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
@@ -1309,6 +1402,41 @@ FROM (SELECT doc_id,
 """
 
 
+def _q_zone_struct(spark, sf):
+    """P9/ocr zones (ocr_service.py:143-165): blocks classified
+    header/body/footer by relative y-center against the ZONE_* cutoffs,
+    block counts grouped by zone. Block layout is hash-derived from
+    doc_id so both engines synthesize identical geometry."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    n_blocks = F.col("doc_id") % 7 + 3          # 3..9 blocks per doc
+    blocks = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), n_blocks - 1)).alias("i"))
+    y1 = (F.col("doc_id") * 37 + F.col("i") * 23) % 95
+    rel = (y1 * 2 + 5) / F.lit(200.0)           # y2 = y1+5, page_h = 100
+    zone = (F.when(rel < C.ZONE_HEADER_MAX, "header")
+            .when(rel > C.ZONE_FOOTER_MIN, "footer")
+            .otherwise("body"))
+    return (blocks.select(zone.alias("zone"))
+            .groupBy("zone").agg(F.count("*").alias("n_blocks"))
+            .orderBy("zone"))
+
+
+_SQL_ZONE_STRUCT = f"""
+WITH blocks AS (
+  SELECT doc_id, UNNEST(range(0, doc_id % 7 + 3)) AS i FROM documents),
+z AS (
+  SELECT CASE
+           WHEN (((doc_id * 37 + i * 23) % 95) * 2 + 5) / 200.0
+                < {C.ZONE_HEADER_MAX} THEN 'header'
+           WHEN (((doc_id * 37 + i * 23) % 95) * 2 + 5) / 200.0
+                > {C.ZONE_FOOTER_MIN} THEN 'footer'
+           ELSE 'body'
+         END AS zone
+  FROM blocks)
+SELECT zone, COUNT(*) AS n_blocks FROM z GROUP BY zone ORDER BY zone
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple] = {
@@ -1370,6 +1498,9 @@ _REGISTRY: dict[str, tuple] = {
     "asof_join": (_q_asof_join, _SQL_ASOF),
     "embed_near_dups": (_q_embed_near_dups, _sql_embed_near_dups()),
     "embed_norms": (_q_embed_norms, _SQL_EMBED_NORMS),
+    "zone_struct": (_q_zone_struct, _SQL_ZONE_STRUCT),
+    "dup_clusters": (_q_dup_clusters, _SQL_DUP_CLUSTERS),
+    "length_quantiles": (_q_length_quantiles, _SQL_LENGTH_QUANTILES),
 }
 
 

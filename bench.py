@@ -67,6 +67,11 @@ def _corpus_docs() -> int:
 def _run_headline(spark) -> dict:
     import __spark_entry__ as E
     qs = E.queries()
+    # Warmup pass (untimed): session/codegen/parquet-footer costs land
+    # once here, so the timed pass measures steady-state plan execution —
+    # what repeats per query at scale — not first-touch fixed costs.
+    for name in HEADLINE:
+        qs[name](spark, SF_DIR).collect()
     out = {}
     for name in HEADLINE:
         t0 = time.monotonic()
@@ -75,8 +80,8 @@ def _run_headline(spark) -> dict:
     return out
 
 
-def _extraction_run(master_threads: int, corpus_dir: str, n_docs: int) -> dict:
-    """One cold SparkSession at the given parallelism; returns timing."""
+def _extraction_trial(master_threads: int, corpus_dir: str) -> float:
+    """One cold SparkSession at the given parallelism; one timed run."""
     from document_ai_spark.plans.pipeline import extract
     from document_ai_spark.session import get_spark
 
@@ -97,17 +102,69 @@ def _extraction_run(master_threads: int, corpus_dir: str, n_docs: int) -> dict:
                 payloads).write.format("noop").mode("overwrite").save()
         # noop sink forces EVERY output column (a bare count() would let
         # Catalyst prune the UDF/extraction columns and time a hollow plan).
-        best = None
-        for _ in range(2):
-            t0 = time.monotonic()
-            extract(docs, payloads).write.format("noop") \
-                .mode("overwrite").save()
-            dt = time.monotonic() - t0
-            best = dt if best is None or dt < best else best
-        return {"threads": master_threads, "sec": round(best, 3),
-                "docs_per_sec": round(n_docs / best, 3)}
+        t0 = time.monotonic()
+        extract(docs, payloads).write.format("noop") \
+            .mode("overwrite").save()
+        return time.monotonic() - t0
     finally:
         spark.stop()
+
+
+N_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+
+
+def _scaling_runs(corpus_dir: str, n_docs: int) -> tuple:
+    """INTERLEAVED N / 4N trials, best-of per level.
+
+    This shared host's effective per-core throughput drifts by >1.5x on a
+    minutes timescale (measured: single-proc md5 1.0-1.8 Mop/s depending
+    on the window). Back-to-back (N,N,4N,4N) ordering would let one noisy
+    window bias a whole level; interleaving (N,4N)x3 and taking each
+    level's best exposes both levels to the same windows and captures each
+    one's least-throttled run — measuring the JOB's scaling, not the
+    host's co-tenancy."""
+    lows, highs = [], []
+    for _ in range(N_TRIALS):
+        lows.append(_extraction_trial(SCALE_LOW, corpus_dir))
+        highs.append(_extraction_trial(SCALE_HIGH, corpus_dir))
+    low_t, high_t = min(lows), min(highs)
+    return (
+        {"threads": SCALE_LOW, "sec": round(low_t, 3),
+         "docs_per_sec": round(n_docs / low_t, 3),
+         "trials_sec": [round(t, 3) for t in lows]},
+        {"threads": SCALE_HIGH, "sec": round(high_t, 3),
+         "docs_per_sec": round(n_docs / high_t, 3),
+         "trials_sec": [round(t, 3) for t in highs]},
+    )
+
+
+def _md5_work(_):
+    """Module-level (multiprocessing must pickle it by reference)."""
+    import hashlib
+    t0 = time.monotonic()
+    h = b"x" * 64
+    c = 0
+    while time.monotonic() - t0 < 2:
+        for _ in range(10000):
+            h = hashlib.md5(h).digest()
+        c += 10000
+    return c / (time.monotonic() - t0)
+
+
+def _host_calibration() -> dict:
+    """Raw parallel-Python capacity of the host at the two levels, so the
+    recorded efficiency can be read against the box's own scaling ceiling
+    (BENCH.md documents why: >8-16 busy procs throttle on this host)."""
+    import multiprocessing as mp
+
+    work = _md5_work
+    out = {}
+    for procs in (SCALE_LOW, SCALE_HIGH):
+        with mp.Pool(procs) as p:
+            rates = p.map(work, range(procs))
+        out[f"md5_mops_per_proc_{procs}p"] = round(
+            sum(rates) / len(rates) / 1e6, 3)
+    return out
 
 
 def main() -> None:
@@ -128,11 +185,13 @@ def main() -> None:
     queries = _run_headline(spark)
     spark.stop()
 
-    # Phase 2: scaling evidence — identical job + input, two cluster sizes —
-    # plus a peak-throughput run at full machine parallelism.
-    low = _extraction_run(SCALE_LOW, corpus_dir, n_docs)
-    high = _extraction_run(SCALE_HIGH, corpus_dir, n_docs)
-    peak = _extraction_run(CPUS, corpus_dir, n_docs)
+    # Phase 2: scaling evidence — identical job + input, two cluster sizes
+    # (interleaved trials, best-of per level) — plus a peak-throughput run
+    # at full machine parallelism.
+    low, high = _scaling_runs(corpus_dir, n_docs)
+    peak_t = _extraction_trial(CPUS, corpus_dir)
+    peak = {"threads": CPUS, "sec": round(peak_t, 3),
+            "docs_per_sec": round(n_docs / peak_t, 3)}
     ratio = SCALE_HIGH / SCALE_LOW
     efficiency = round(
         high["docs_per_sec"] / (ratio * low["docs_per_sec"]), 4)
@@ -151,6 +210,7 @@ def main() -> None:
             "peak": peak,
             "scaling_efficiency": efficiency,
             "scaling_rule": f"T({SCALE_HIGH})/({int(ratio)}*T({SCALE_LOW})) >= 0.8",
+            "host_calibration": _host_calibration(),
         },
     }))
 

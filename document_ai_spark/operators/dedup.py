@@ -185,6 +185,47 @@ def banded_near_dup_pairs(df: DataFrame, jaccard_min: float = 0.5,
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 4) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster).
+
+    The operator every dedup pipeline ends with: pairs say "a ~ b", but
+    keeping one doc per DUPLICATE CLUSTER needs the transitive closure
+    (a~b, b~c => keep one of {a,b,c}). Iterative min-label propagation:
+    each round every node adopts the smallest label among itself and its
+    neighbors — pure joins + groupBy-min, shuffle keys are doc ids, no
+    driver-side graph. Converges in graph-diameter rounds; near-dup
+    components are near-cliques (diameter 1-2 — a chain longer than
+    `max_iter` means the jaccard threshold, not the clustering, is
+    wrong), so the default 4 rounds carries diameter-4 chains. The
+    cluster id is the component's minimum doc_id: deterministic,
+    engine-independent.
+
+    Input: (doc_a, doc_b [, ...]) pair rows. Output covers only docs
+    that appear in some pair (singletons are their own cluster by
+    definition and need no row at 10^12 scale)."""
+    edges = pairs.select("doc_a", "doc_b")
+    labels = (edges.select(F.col("doc_a").alias("doc_id"))
+              .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
+              .distinct()
+              .withColumn("label", F.col("doc_id")))
+    for _ in range(max_iter):
+        la = labels.select(F.col("doc_id").alias("doc_a"),
+                           F.col("label").alias("l_a"))
+        lb = labels.select(F.col("doc_id").alias("doc_b"),
+                           F.col("label").alias("l_b"))
+        m = edges.join(la, "doc_a").join(lb, "doc_b")
+        best = F.least("l_a", "l_b")
+        cand = (m.select(F.col("doc_a").alias("doc_id"), best.alias("cand"))
+                .unionByName(m.select(F.col("doc_b").alias("doc_id"),
+                                      best.alias("cand")))
+                .groupBy("doc_id").agg(F.min("cand").alias("cand")))
+        labels = (labels.join(cand, "doc_id", "left")
+                  .select("doc_id",
+                          F.least("label", F.coalesce("cand", "label"))
+                          .alias("label")))
+    return labels.withColumnRenamed("label", "cluster")
+
+
 def with_simhash(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """16-bit SimHash: per word, take md5's first 4 hex chars as a 16-bit
     int; signature bit b = majority of word-hash bit b. Integer exprs only."""

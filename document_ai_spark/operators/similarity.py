@@ -72,22 +72,47 @@ def with_lsh_bucket(emb: DataFrame, bits: int = LSH_BITS) -> DataFrame:
     return emb.withColumn("lsh_bucket", bucket)
 
 
+# Top-k search wants recall (narrow bands, many of them); near-dup dedup
+# wants tight buckets (cos>=0.95 pairs share long sign runs). Measured at
+# sf0.01 vs brute force: 16x4 -> 0.90 recall@5, 4x8 -> 0.08 — but 4x8
+# finds 100% of planted near-dups. (bands, rows) is the standard
+# LSH recall/cost dial; tune rows up as corpus density grows.
+LSH_TOPK_BANDS = 16
+LSH_TOPK_ROWS = 4
+
+
 def lsh_topk(emb: DataFrame, probe_ids, k: int = 5,
-             bits: int = LSH_BITS) -> DataFrame:
-    """Approximate top-k: candidates restricted to the probe's LSH bucket.
-    Same output shape as brute_force_topk; recall < 1 by design."""
-    b = with_lsh_bucket(emb, bits).select(
-        "vec_id", "lsh_bucket",
-        F.col("embedding").cast("array<double>").alias("emb"))
-    probes = b.where(F.col("vec_id").isin(list(probe_ids))).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("lsh_bucket"),
+             bands: int = None, rows: int = None) -> DataFrame:
+    """Approximate top-k via banded multi-probe sign-LSH: a candidate is
+    any vector sharing ANY band bucket with the probe (union over bands,
+    de-duplicated before scoring). Multi-band probing is the difference
+    between 2% and 90% measured recall — a single wide bucket demands
+    agreement on every hyperplane at once, while bands only need one
+    narrow agreement. Same output shape as brute_force_topk; recall < 1
+    by design."""
+    bands = bands if bands is not None else LSH_TOPK_BANDS
+    rows = rows if rows is not None else LSH_TOPK_ROWS
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    band_keys = F.array(*[
+        F.struct(F.lit(band).alias("band"),
+                 _band_bucket(F.col("emb"), band, rows).alias("bucket"))
+        for band in range(bands)])
+    banded = (base.select("vec_id", "emb",
+                          F.explode(band_keys).alias("bk"))
+              .select("vec_id", "emb", "bk.band", "bk.bucket"))
+    probes = banded.where(F.col("vec_id").isin(list(probe_ids))).select(
+        F.col("vec_id").alias("probe_id"), "band", "bucket",
         F.col("emb").alias("probe_emb"))
-    scored = (
-        b.join(F.broadcast(probes), "lsh_bucket")
+    cand = (
+        banded.join(F.broadcast(probes), ["band", "bucket"])
         .where(F.col("vec_id") != F.col("probe_id"))
-        .withColumn("cos_sim", F.round(_cosine("emb", "probe_emb"), 6))
+        .groupBy("probe_id", "vec_id")          # dedup across bands
+        .agg(F.first("emb").alias("emb"),
+             F.first("probe_emb").alias("probe_emb"))
     )
+    scored = cand.withColumn(
+        "cos_sim", F.round(_cosine("emb", "probe_emb"), 6))
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -167,17 +192,29 @@ def with_ivf_cluster(emb: DataFrame, k: int = IVF_K,
     return _assign(base, cents)
 
 
+IVF_NPROBE = 2
+
+
 def ivf_topk(emb: DataFrame, probe_ids, k: int = 5,
-             n_clusters: int = IVF_K) -> DataFrame:
-    """Approximate top-k with IVF nprobe=1: candidates restricted to the
-    probe's own cluster — at 10^12 vectors the corpus is hash-partitioned
-    by centroid_id and a query touches 1/K of it."""
-    assigned = with_ivf_cluster(emb, n_clusters).select(
-        "vec_id", "centroid_id", "emb")
-    probes = assigned.where(F.col("vec_id").isin(list(probe_ids))).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("centroid_id"),
-        F.col("emb").alias("probe_emb"))
+             n_clusters: int = IVF_K, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """Approximate top-k with IVF: each probe searches its `nprobe`
+    closest clusters — at 10^12 vectors the corpus is hash-partitioned by
+    centroid_id and a query touches nprobe/K of it. nprobe is the
+    standard IVF recall/latency dial (nprobe=1 misses every neighbor
+    whose top-1 cluster differs from the probe's)."""
+    cents = kmeans_codebook(emb, n_clusters)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    assigned = _assign(base, cents)             # data side: top-1 cluster
+    probe_base = base.where(F.col("vec_id").isin(list(probe_ids)))
+    probe_scored = probe_base.crossJoin(F.broadcast(cents)).withColumn(
+        "cos_c", F.round(_cosine("emb", "cent"), 6))
+    wp = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("centroid_id"))
+    probes = (probe_scored.withColumn("rn", F.row_number().over(wp))
+              .where(F.col("rn") <= nprobe)
+              .select(F.col("vec_id").alias("probe_id"), "centroid_id",
+                      F.col("emb").alias("probe_emb")))
     scored = (
         assigned.join(F.broadcast(probes), "centroid_id")
         .where(F.col("vec_id") != F.col("probe_id"))

@@ -33,6 +33,7 @@ def process_doc(doc: Dict, payload_by_ref: Dict[str, Dict]) -> Dict:
     kv_fields: Dict[str, str] = {}
     sig_present = stamp_present = False
     sig_conf = stamp_conf = 0.0
+    zones = {"header": 0, "body": 0, "footer": 0}
 
     for s in spans:
         if s["kind"] == "text":
@@ -54,6 +55,9 @@ def process_doc(doc: Dict, payload_by_ref: Dict[str, Dict]) -> Dict:
             stamp_present = stamp_present or parsed["stamp_present"]
             sig_conf = max(sig_conf, parsed["signature_conf"])
             stamp_conf = max(stamp_conf, parsed["stamp_conf"])
+            # Structured zone rollup (ocr_service.py:143-165).
+            for z, n in parsed["zones"].items():
+                zones[z] += n
 
     combined_text = C.PAGE_BREAK.join(span_texts)
     fields = extract_fields(combined_text, kv_fields=kv_fields)
@@ -82,6 +86,7 @@ def process_doc(doc: Dict, payload_by_ref: Dict[str, Dict]) -> Dict:
         "signature_conf": sig_conf,
         "stamp_conf": stamp_conf,
         "overall_confidence": conf,
+        "zones": zones,
     }
 
 
@@ -118,6 +123,8 @@ def golden(docs: Sequence[Dict], payloads: Sequence[Dict]
                 "dealer_matched_to": r["validation"]["dealer_name"]["matched_to"],
                 "model_valid": r["validation"]["model_name"]["valid"],
                 "model_matched_to": r["validation"]["model_name"]["matched_to"],
+                "zones": (r["zones"]["header"], r["zones"]["body"],
+                          r["zones"]["footer"]),
             }
         )
     return spans_rows, fields_rows

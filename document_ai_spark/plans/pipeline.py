@@ -3,12 +3,12 @@
 Spark-first re-expression of the reference's per-document loop
 (reference backend/services/document_processor.py:93-218):
 
-    read interleaved table
+    read interleaved table                               [ONE scan]
       -> explode(spans)                                   [no shuffle]
-      -> kind='text' : Arrow UDF boilerplate-strip        [narrow]
-         kind='media': join media_payloads on media_ref   [shuffle 1]
-                       + Arrow UDF layout parse           [narrow]
-      -> unionByName                                      [narrow]
+      -> LEFT join media_payloads (salted sentinel key
+         for non-media rows; dangling refs flagged)       [shuffle 1]
+      -> kind-routed Arrow UDF parse: boilerplate-strip
+         for text spans, layout/kv/zone parse for media   [narrow]
       -> SALTED two-phase reassembly                      [shuffles 2+3]
            phase 1: groupBy(doc_id, pmod(offset, K))  — splits the 64-media-
                     span long-tail docs across K reducers (north_rule's
@@ -61,11 +61,14 @@ _MEDIA_PARSE_TYPE = T.StructType([
     T.StructField("kv_model", T.StringType()),
     T.StructField("kv_hp", T.StringType()),
     T.StructField("kv_cost", T.StringType()),
+    T.StructField("n_header", T.IntegerType()),
+    T.StructField("n_body", T.IntegerType()),
+    T.StructField("n_footer", T.IntegerType()),
 ])
 
 
 _EMPTY_MEDIA_PARSE = ("", 0, 0.0, False, 0.0, False, 0.0,
-                      None, None, None, None)
+                      None, None, None, None, 0, 0, 0)
 
 
 @F.pandas_udf(_MEDIA_PARSE_TYPE)
@@ -86,12 +89,14 @@ def _media_parse_udf(page_w: pd.Series, page_h: pd.Series,
             "marks": list(mk) if mk is not None else [],
         })
         f = parsed["kv_fields"]
+        z = parsed["zones"]
         rows.append((
             parsed["raw_text"], parsed["n_blocks"], parsed["avg_conf"],
             parsed["signature_present"], parsed["signature_conf"],
             parsed["stamp_present"], parsed["stamp_conf"],
             f["dealer_name"], f["model_name"],
             f["horse_power"], f["asset_cost"],
+            z["header"], z["body"], z["footer"],
         ))
     return pd.DataFrame(rows, columns=[f.name for f in _MEDIA_PARSE_TYPE])
 
@@ -158,6 +163,7 @@ _PARSED_COLS = [
     "doc_id", "kind", "media_ref", "offset", "span_text",
     "sig_present", "sig_conf", "stamp_present", "stamp_conf",
     "kv_dealer", "kv_model", "kv_hp", "kv_cost", "payload_missing",
+    "n_header", "n_body", "n_footer",
 ]
 
 
@@ -194,6 +200,15 @@ def parse_spans(docs_df: DataFrame, payloads_df: DataFrame) -> DataFrame:
     ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
 
     is_media = F.col("kind") == "media"
+    # Boilerplate-strip BEFORE the join: it runs map-side (pre-shuffle) and
+    # its output is a fraction of the raw HTML, so the join shuffles the
+    # small stripped text, never the raw markup. Media rows feed NULL into
+    # the UDF (its O(1) fast path) — their text comes from the payload
+    # parse after the join.
+    spans = (spans.withColumn(
+        "span_text_pre",
+        _main_text_udf(F.when(is_media, F.lit(None)).otherwise(F.col("text"))))
+        .drop("text"))
     join_key = F.when(is_media, F.col("media_ref")).otherwise(
         F.concat(F.lit("__nonmedia__"),
                  F.pmod(F.xxhash64("doc_id", "offset"), F.lit(4096))
@@ -210,7 +225,7 @@ def parse_spans(docs_df: DataFrame, payloads_df: DataFrame) -> DataFrame:
 
     return joined.withColumns({
         "span_text": route(F.col("parsed.span_text"),
-                           _main_text_udf(F.col("text"))),
+                           F.col("span_text_pre")),
         "sig_present": route(F.col("parsed.sig_present"), F.lit(False)),
         "sig_conf": route(F.col("parsed.sig_conf"), F.lit(0.0)),
         "stamp_present": route(F.col("parsed.stamp_present"), F.lit(False)),
@@ -223,6 +238,9 @@ def parse_spans(docs_df: DataFrame, payloads_df: DataFrame) -> DataFrame:
         "kv_cost": route(F.col("parsed.kv_cost"),
                          F.lit(None).cast("string")),
         "payload_missing": is_media & F.col("page_w").isNull(),
+        "n_header": route(F.col("parsed.n_header"), F.lit(0)),
+        "n_body": route(F.col("parsed.n_body"), F.lit(0)),
+        "n_footer": route(F.col("parsed.n_footer"), F.lit(0)),
     }).select(*_PARSED_COLS)
 
 
@@ -261,6 +279,9 @@ def reassemble(parsed: DataFrame, salt_buckets: int = C.MEDIA_SALT_BUCKETS
             F.min(_kv_cand("kv_hp")).alias("p_kv_hp"),
             F.min(_kv_cand("kv_cost")).alias("p_kv_cost"),
             F.sum(F.col("payload_missing").cast("long")).alias("p_missing"),
+            F.sum("n_header").alias("p_header"),
+            F.sum("n_body").alias("p_body"),
+            F.sum("n_footer").alias("p_footer"),
         )
     )
     doc = (
@@ -277,6 +298,14 @@ def reassemble(parsed: DataFrame, salt_buckets: int = C.MEDIA_SALT_BUCKETS
             F.min("p_kv_hp").getField("v").alias("kv_hp"),
             F.min("p_kv_cost").getField("v").alias("kv_cost"),
             F.sum("p_missing").alias("n_missing_payloads"),
+            # Doc-level header/body/footer block counts — the structured
+            # zones output of the reference OCR stage (ocr_service.py:
+            # 143-165), summed over the doc's media pages.
+            F.struct(
+                F.sum("p_header").alias("header"),
+                F.sum("p_body").alias("body"),
+                F.sum("p_footer").alias("footer"),
+            ).alias("zones"),
         )
     )
     return doc.withColumn(

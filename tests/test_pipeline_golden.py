@@ -75,6 +75,16 @@ def test_field_equality(extractions, golden):
                 f"oracle={exp[col]!r}")
 
 
+def test_zone_struct_equality(extractions, golden):
+    """Doc-level header/body/footer block counts (the reference OCR
+    stage's structured zones output, ocr_service.py:143-165)."""
+    _, golden_fields = golden
+    for row in extractions.select("doc_id", "zones").collect():
+        z = row["zones"]
+        assert (z["header"], z["body"], z["footer"]) == \
+            golden_fields[row["doc_id"]]["zones"], row["doc_id"]
+
+
 def test_partition_count_invariance(spark, corpus_dfs, golden):
     """Same output at a pathological partitioning (1 and 17 partitions)."""
     golden_spans, _ = golden

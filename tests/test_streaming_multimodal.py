@@ -102,3 +102,24 @@ def test_frame_sample_plan(spark):
     got = sorted(r["frame_idx"] for r in
                  MM.frame_sample_plan(df, every_n=10).collect())
     assert got == [0, 10, 20]
+
+
+def test_pluggable_kernel_injection(spark):
+    """A custom 'real' kernel passed explicitly must drive the features;
+    the default resolver falls back to the fake when codecs are absent."""
+    from document_ai_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [("m1", "image/png", bytearray(b"\x01\x02\x03"))],
+        schema="media_ref string, mime string, payload binary")
+
+    def loud_kernel(data: bytes) -> tuple:
+        return float(len(data)), 42.0
+
+    got = MM.extract_features(df, kernel=loud_kernel).collect()[0]
+    assert (got["feat_mean"], got["feat_std"]) == (3.0, 42.0)
+
+    # Default resolution in this sandbox = the deterministic fake.
+    assert MM.resolve_feature_kernel() is MM.fake_features
+    base = MM.extract_features(df).collect()[0]
+    assert base["feat_mean"] == MM.fake_features(b"\x01\x02\x03")[0]
