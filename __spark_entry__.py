@@ -1402,6 +1402,28 @@ FROM (SELECT doc_id,
 """
 
 
+def _q_tfidf_terms(spark, sf):
+    return TQ.tfidf_top_terms(_t(spark, sf, "documents"), k=20)
+
+
+_SQL_TFIDF = """
+WITH words AS (
+  SELECT doc_id, lower(w) AS word
+  FROM (SELECT doc_id, UNNEST(str_split_regex(trim(text), '\\s+')) AS w
+        FROM documents)
+  WHERE w != ''),
+n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+stats AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS total_tf
+  FROM words GROUP BY word)
+SELECT word, doc_freq, total_tf,
+       ROUND(ln((n.n_docs + 1) / (doc_freq + 1)), 6) AS idf,
+       ROUND(total_tf * ln((n.n_docs + 1) / (doc_freq + 1)), 6) AS tfidf
+FROM stats, n
+ORDER BY tfidf DESC, word ASC LIMIT 20
+"""
+
+
 def _q_zone_struct(spark, sf):
     """P9/ocr zones (ocr_service.py:143-165): blocks classified
     header/body/footer by relative y-center against the ZONE_* cutoffs,
@@ -1501,6 +1523,7 @@ _REGISTRY: dict[str, tuple] = {
     "zone_struct": (_q_zone_struct, _SQL_ZONE_STRUCT),
     "dup_clusters": (_q_dup_clusters, _SQL_DUP_CLUSTERS),
     "length_quantiles": (_q_length_quantiles, _SQL_LENGTH_QUANTILES),
+    "tfidf_terms": (_q_tfidf_terms, _SQL_TFIDF),
 }
 
 

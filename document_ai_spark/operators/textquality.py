@@ -104,3 +104,32 @@ def with_fingerprint(df: DataFrame, k: int = 20) -> DataFrame:
         "content_hash": F.md5("text"),
         "min_shingle": F.array_min(shingles),
     })
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus-level TF-IDF term ranking: per word, document frequency,
+    total term frequency, idf = ln((N+1)/(df+1)), ranked by summed
+    tf·idf. Top-k, ties broken by word.
+
+    All-relational: explode -> two aggregations -> broadcast the 1-row
+    corpus count (never a driver-side .count() scalar — the plan stays
+    lazy and whole). The word->agg shuffle is the only data movement;
+    at 10^12 docs the groupBy(word) benefits from partial map-side
+    aggregation (word cardinality << row count)."""
+    words = (df.select("doc_id",
+                       F.explode(tokens_col()).alias("word"))
+             .where(F.col("word") != "")
+             .select("doc_id", F.lower("word").alias("word")))
+    n_docs = df.select(
+        F.count("*").cast("double").alias("n_docs"))   # 1 row, broadcast
+    stats = words.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count("*").alias("total_tf"))
+    scored = stats.crossJoin(F.broadcast(n_docs)).select(
+        "word", "doc_freq", "total_tf",
+        F.round(F.log((F.col("n_docs") + 1) / (F.col("doc_freq") + 1)), 6)
+        .alias("idf"),
+        F.round(F.col("total_tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("doc_freq") + 1)), 6)
+        .alias("tfidf"))
+    return (scored.orderBy(F.desc("tfidf"), F.asc("word")).limit(k))
