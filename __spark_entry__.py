@@ -393,6 +393,56 @@ FROM documents GROUP BY ROLLUP (lang, source) ORDER BY lang, source
 """
 
 
+def _q_pivot_events(spark, sf):
+    """§2.5 pivot: per-user event-type matrix (explicit value list so the
+    plan is a single pass — Spark's two-pass value discovery is the
+    scale trap pivot users hit)."""
+    e = _t(spark, sf, "events")
+    return (e.groupBy("user_id")
+            .pivot("event_type", ["view", "click", "purchase"])
+            .agg(F.round(F.sum("value"), 2))
+            .select("user_id",
+                    F.col("view").alias("view_value"),
+                    F.col("click").alias("click_value"),
+                    F.col("purchase").alias("purchase_value"))
+            .orderBy("user_id"))
+
+
+_SQL_PIVOT = """
+SELECT user_id,
+       ROUND(SUM(CASE WHEN event_type='view' THEN value END), 2)
+         AS view_value,
+       ROUND(SUM(CASE WHEN event_type='click' THEN value END), 2)
+         AS click_value,
+       ROUND(SUM(CASE WHEN event_type='purchase' THEN value END), 2)
+         AS purchase_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _q_grouping_sets(spark, sf):
+    """§2.5 grouping sets: (lang), (source), and grand total in ONE scan
+    + one shuffle — the hand-rolled alternative is three scans unioned."""
+    d = _t(spark, sf, "documents")
+    return spark.sql(
+        """
+        SELECT lang, source, COUNT(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM {d}
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        ORDER BY lang, source
+        """, d=d)
+
+
+_SQL_GROUPING_SETS = """
+SELECT lang, source, COUNT(*) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang), (source), ())
+ORDER BY lang, source
+"""
+
+
 def _q_corpus_stats(spark, sf):
     d = _t(spark, sf, "documents")
     return (
@@ -1524,6 +1574,8 @@ _REGISTRY: dict[str, tuple] = {
     "dup_clusters": (_q_dup_clusters, _SQL_DUP_CLUSTERS),
     "length_quantiles": (_q_length_quantiles, _SQL_LENGTH_QUANTILES),
     "tfidf_terms": (_q_tfidf_terms, _SQL_TFIDF),
+    "pivot_events": (_q_pivot_events, _SQL_PIVOT),
+    "grouping_sets": (_q_grouping_sets, _SQL_GROUPING_SETS),
 }
 
 
