@@ -57,11 +57,14 @@ def _sf_value() -> float:
 
 
 def _corpus_docs() -> int:
-    # Interleaved corpus sized by SF: 500k docs/SF unit. Large enough that
+    # Interleaved corpus sized by SF: 300k docs/SF unit. Large enough that
     # steady-state compute (not session/stage fixed costs) dominates the
     # scaling measurement — at 2k docs the job finishes in ~3s and the
-    # measured "efficiency" is just scheduler overhead.
-    return max(1000, int(500000 * _sf_value()))
+    # measured "efficiency" is just scheduler overhead. (Round 2: trimmed
+    # from 500k so the 3x-interleaved trial schedule keeps the whole bench
+    # under ~10 minutes; a 2-thread trial still runs ~50 s of steady-state
+    # UDF compute.)
+    return max(1000, int(300000 * _sf_value()))
 
 
 def _run_headline(spark) -> dict:
