@@ -1057,6 +1057,62 @@ ORDER BY p.user_id, p.ts_s, p.event_id
 """
 
 
+def _q_range_join(spark, sf):
+    """Range join via chunked equi-join (operators/rangejoin.py): view
+    events landing inside a +/-10-minute window around each purchase by
+    the same user. The oracle uses the plain inequality join — identical
+    output, cartesian plan; ours stays a hash join."""
+    from document_ai_spark.operators.rangejoin import range_join
+
+    e = _t(spark, sf, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        epoch.alias("view_ts"))
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        (epoch - 600).alias("win_start"), (epoch + 600).alias("win_end"))
+    out = range_join(views, purchases, key="user_id", left_ts="view_ts",
+                     right_start="win_start", right_end="win_end",
+                     chunk=600)
+    return (out.select("user_id", "view_id", "purchase_id")
+            .orderBy("user_id", "view_id", "purchase_id"))
+
+
+_SQL_RANGE_JOIN = """
+WITH v AS (SELECT user_id, event_id AS view_id,
+                  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS view_ts
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, event_id AS purchase_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) - 600 AS win_start,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) + 600 AS win_end
+      FROM events WHERE event_type = 'purchase')
+SELECT v.user_id AS user_id, v.view_id, p.purchase_id
+FROM v JOIN p ON v.user_id = p.user_id
+             AND v.view_ts BETWEEN p.win_start AND p.win_end
+ORDER BY v.user_id, view_id, purchase_id
+"""
+
+
+def _q_time_rollup(spark, sf):
+    """Hypertable-style continuous-aggregate query: events rolled up to
+    1-hour time buckets per event_type (the materialize-then-union
+    pattern's query shape; date_trunc keeps it codegen)."""
+    e = _t(spark, sf, "events")
+    return (e.groupBy(F.date_trunc("hour", F.col("ts").cast("timestamp"))
+                      .alias("bucket"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .orderBy("bucket", "event_type"))
+
+
+_SQL_TIME_ROLLUP = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
+"""
+
+
 def _q_embed_ivf_topk(spark, sf):
     return S.ivf_topk(_t(spark, sf, "embeddings"), probe_ids=[0, 1, 2], k=5)
 
@@ -1576,6 +1632,8 @@ _REGISTRY: dict[str, tuple] = {
     "tfidf_terms": (_q_tfidf_terms, _SQL_TFIDF),
     "pivot_events": (_q_pivot_events, _SQL_PIVOT),
     "grouping_sets": (_q_grouping_sets, _SQL_GROUPING_SETS),
+    "range_join": (_q_range_join, _SQL_RANGE_JOIN),
+    "time_rollup": (_q_time_rollup, _SQL_TIME_ROLLUP),
 }
 
 
