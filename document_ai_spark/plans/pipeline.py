@@ -110,19 +110,66 @@ _FUZZY_TYPE = T.StructType([
 
 
 @F.pandas_udf(_FUZZY_TYPE)
-def _fuzzy_udf(text: pd.Series) -> pd.DataFrame:
+def _fuzzy_udf(text: pd.Series, need_dealer: pd.Series,
+               need_model: pd.Series) -> pd.DataFrame:
+    """difflib fuzzy scoring — invoked ONLY for the lists the JVM verbatim
+    pre-gate could not resolve (text arrives NULL when both lists are
+    gated, so the per-row cost there is O(1))."""
     from ..functions.fuzzy import PartialRatioScorer
 
     rows = []
-    for t in text:
-        tu = (t or "").upper()
+    for t, nd, nm in zip(text, need_dealer, need_model):
+        if t is None or not (nd or nm):
+            rows.append((None, 0, None, 0))
+            continue
+        tu = t.upper()
         scorer = PartialRatioScorer(tu)   # one text index for both lists
         d, ds = best_partial_match(tu, C.DEALER_MASTER,
-                                   C.FUZZY_DEALER_EXTRACT_MIN, scorer=scorer)
+                                   C.FUZZY_DEALER_EXTRACT_MIN,
+                                   scorer=scorer) if nd else (None, 0)
         m, ms = best_partial_match(tu, C.MODEL_MASTER,
-                                   C.FUZZY_MODEL_EXTRACT_MIN, scorer=scorer)
+                                   C.FUZZY_MODEL_EXTRACT_MIN,
+                                   scorer=scorer) if nm else (None, 0)
         rows.append((d, ds, m, ms))
     return pd.DataFrame(rows, columns=[f.name for f in _FUZZY_TYPE])
+
+
+def _first_verbatim(text_upper_col, masters):
+    """First master (list order) contained verbatim in the uppercased text,
+    as a pure JVM CASE cascade — the exact-score-100 fast path of
+    best_partial_match lifted out of Python.
+
+    Exactness: for needles shorter than 200 chars, partial_ratio == 100
+    IFF the uppercased needle appears verbatim (int(round(100*2M/(la+lb)))
+    == 100 forces M == la == lb, i.e. an exact window). Our masters are
+    <= 42 chars (asserted below), and best_partial_match's strictly-greater
+    rule makes the FIRST 100-scorer the winner — so when this column is
+    non-null it equals the Python result with score 100, and difflib can be
+    skipped for that list.
+    """
+    w = None
+    for m in masters:
+        cond = text_upper_col.contains(F.lit(m.upper()))
+        w = F.when(cond, F.lit(m)) if w is None else w.when(cond, F.lit(m))
+    return w
+
+
+def _assert_gate_sound(masters) -> None:
+    """The verbatim gate is exact iff (a) masters are short enough that
+    score==100 forces verbatim containment and (b) no LATER master is a
+    substring of an EARLIER one (else a doc shorter than the earlier master
+    could score 100 on it via partial_ratio's role swap while the gate picks
+    the later, contained master). Checked once at import."""
+    ups = [m.upper() for m in masters]
+    for i, early in enumerate(ups):
+        assert len(early) < 200, "verbatim gate unsound for long masters"
+        for late in ups[i + 1:]:
+            assert late not in early, (
+                f"gate unsound: later master {late!r} inside {early!r}")
+
+
+_assert_gate_sound(C.DEALER_MASTER)
+_assert_gate_sound(C.MODEL_MASTER)
 
 
 _VALID_TYPE = T.StructType([
@@ -421,7 +468,33 @@ def extract(docs_df: DataFrame, payloads_df: DataFrame,
     parsed = parse_spans(docs_df, payloads_df)
     doc = reassemble(parsed, salt_buckets)
     doc = X.with_pattern_fields(doc, "combined_text")
-    doc = doc.withColumn("fz", _fuzzy_udf(F.col("combined_text")))
+
+    # JVM verbatim pre-gate: resolve score-100 matches with contains()
+    # cascades (whole-stage codegen) and hand Python ONLY the rows/lists it
+    # still owns — difflib never runs for a doc whose dealer AND model
+    # appear verbatim (~70-75% of the corpus; exactness argued at
+    # _first_verbatim/_assert_gate_sound).
+    up = F.upper(F.col("combined_text"))
+    doc = doc.withColumns({
+        "d_verb": _first_verbatim(up, C.DEALER_MASTER),
+        "m_verb": _first_verbatim(up, C.MODEL_MASTER),
+    })
+    need_d = F.col("d_verb").isNull()
+    need_m = F.col("m_verb").isNull()
+    doc = doc.withColumn(
+        "fz_raw",
+        _fuzzy_udf(F.when(need_d | need_m, F.col("combined_text")),
+                   need_d, need_m))
+    doc = doc.withColumn("fz", F.struct(
+        F.coalesce(F.col("d_verb"), F.col("fz_raw.dealer_match"))
+         .alias("dealer_match"),
+        F.when(~need_d, F.lit(100)).otherwise(F.col("fz_raw.dealer_score"))
+         .alias("dealer_score"),
+        F.coalesce(F.col("m_verb"), F.col("fz_raw.model_match"))
+         .alias("model_match"),
+        F.when(~need_m, F.lit(100)).otherwise(F.col("fz_raw.model_score"))
+         .alias("model_score"),
+    )).drop("d_verb", "m_verb", "fz_raw")
     doc = _ensemble(doc)
     doc = _validate(doc)
 

@@ -9,7 +9,50 @@ from document_ai_spark.functions.textops import (
     classify_blocks,
     extract_main_text,
     segment_blocks,
+    segment_blocks_reference,
 )
+
+
+def _block_features(blocks):
+    return [(b.text, b.link_text, b.tag_count, b.in_chrome) for b in blocks]
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.text(
+    alphabet=st.sampled_from(list(
+        "abc <>/=\"'&;!-\nDIVdivpPaAnavNAVfooterli table#x01й文 script")),
+    min_size=0, max_size=300,
+))
+def test_fast_tokenizer_matches_htmlparser(s):
+    # The fast regex tokenizer must be BIT-IDENTICAL to the html.parser
+    # path on every input it accepts (it falls back on anything else, so
+    # comparing the public function against the reference path covers both).
+    assert _block_features(segment_blocks(s)) == \
+        _block_features(segment_blocks_reference(s))
+
+
+def test_fast_tokenizer_matches_on_corpus():
+    from document_ai_spark.sources.docgen import gen_corpus_local
+    docs, _ = gen_corpus_local(300, seed=7)
+    for d in docs:
+        for s in d["spans"]:
+            if s["kind"] == "text":
+                assert _block_features(segment_blocks(s["text"])) == \
+                    _block_features(segment_blocks_reference(s["text"]))
+
+
+def test_fast_tokenizer_edge_tags():
+    for s in ["<br/><div>self closing with enough words to be a content "
+              "block here</div>",
+              "<a href=/x/>unquoted trailing slash</a>",
+              "<a href='x>y'>quoted gt</a><p>" + "word " * 20 + "</p>",
+              "<div-foo>dashed tag name none block</div-foo>",
+              "<SCRIPT>var a = '<div>';</SCRIPT><div>" + "word " * 12
+              + "</div>",
+              "</div extra>junk end tag<p>" + "word " * 12 + "</p>",
+              "<!-- c --><div>" + "word " * 12 + "</div>"]:
+        assert _block_features(segment_blocks(s)) == \
+            _block_features(segment_blocks_reference(s)), repr(s)
 
 html_ish = st.text(
     alphabet=st.sampled_from(list(
