@@ -185,7 +185,7 @@ def banded_near_dup_pairs(df: DataFrame, jaccard_min: float = 0.5,
     )
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 4) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster).
 
     The operator every dedup pipeline ends with: pairs say "a ~ b", but
@@ -193,17 +193,27 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 4) -> DataFrame:
     (a~b, b~c => keep one of {a,b,c}). Iterative min-label propagation:
     each round every node adopts the smallest label among itself and its
     neighbors — pure joins + groupBy-min, shuffle keys are doc ids, no
-    driver-side graph. Converges in graph-diameter rounds; near-dup
-    components are near-cliques (diameter 1-2 — a chain longer than
-    `max_iter` means the jaccard threshold, not the clustering, is
-    wrong), so the default 4 rounds carries diameter-4 chains. The
-    cluster id is the component's minimum doc_id: deterministic,
-    engine-independent.
+    driver-side graph. The cluster id is the component's minimum doc_id:
+    deterministic, engine-independent.
+
+    CONVERGENCE-CHECKED (round-3 fix for the round-2 latent defect): each
+    round materializes the label table (localCheckpoint truncates the
+    exponentially-deepening lazy lineage) and counts changed labels in
+    the same pass; the loop runs until that count is 0. A component of
+    diameter d converges in d rounds — near-dup components are
+    near-cliques (d 1-2), so typical cost is 2-3 cheap jobs over the
+    (doc_id, label) table, but a chained template family of ANY diameter
+    now clusters correctly instead of silently splitting. `max_iter` is a
+    runaway bound only; exceeding it raises rather than returning a
+    silently-wrong answer.
 
     Input: (doc_a, doc_b [, ...]) pair rows. Output covers only docs
     that appear in some pair (singletons are their own cluster by
     definition and need no row at 10^12 scale)."""
-    edges = pairs.select("doc_a", "doc_b")
+    # Materialize edges once: each round re-reads them, and recomputing a
+    # (possibly UDF-heavy) upstream near-dup plan per round would multiply
+    # the whole pipeline cost by the round count.
+    edges = pairs.select("doc_a", "doc_b").localCheckpoint()
     labels = (edges.select(F.col("doc_a").alias("doc_id"))
               .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
               .distinct()
@@ -219,11 +229,20 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 4) -> DataFrame:
                 .unionByName(m.select(F.col("doc_b").alias("doc_id"),
                                       best.alias("cand")))
                 .groupBy("doc_id").agg(F.min("cand").alias("cand")))
-        labels = (labels.join(cand, "doc_id", "left")
-                  .select("doc_id",
-                          F.least("label", F.coalesce("cand", "label"))
-                          .alias("label")))
-    return labels.withColumnRenamed("label", "cluster")
+        flagged = (labels.join(cand, "doc_id", "left")
+                   .select("doc_id",
+                           F.least("label", F.coalesce("cand", "label"))
+                           .alias("label"),
+                           (F.coalesce("cand", "label") < F.col("label"))
+                           .cast("int").alias("_chg"))
+                   .localCheckpoint())
+        n_changed = flagged.agg(F.sum("_chg")).first()[0] or 0
+        labels = flagged.drop("_chg")
+        if n_changed == 0:
+            return labels.withColumnRenamed("label", "cluster")
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iter} rounds — "
+        "component diameter exceeds the bound; raise max_iter")
 
 
 def with_simhash(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:

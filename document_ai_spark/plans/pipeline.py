@@ -260,7 +260,13 @@ def parse_spans(docs_df: DataFrame, payloads_df: DataFrame) -> DataFrame:
         F.concat(F.lit("__nonmedia__"),
                  F.pmod(F.xxhash64("doc_id", "offset"), F.lit(4096))
                  .cast("string")))
-    pay = payloads_df.withColumnRenamed("media_ref", "_jk")
+    # shuffle_hash hint: the payload table is corpus-proportional (it IS
+    # the media bytes), so Spark's size-based broadcast pick — which fires
+    # at test SFs where payloads squeeze under the 10MB threshold — is the
+    # wrong strategy at any real scale: a broadcast build is serial driver
+    # work that grows with the corpus and parallelizes with nothing.
+    # Shuffle-hash keeps both sides partitioned and the build per-reducer.
+    pay = payloads_df.withColumnRenamed("media_ref", "_jk").hint("shuffle_hash")
 
     joined = (spans.withColumn("_jk", join_key)
               .join(pay, "_jk", "left")

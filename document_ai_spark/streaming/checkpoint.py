@@ -124,8 +124,14 @@ def run_checkpointed(
             continue
         t0 = time.monotonic()
         obs_in = Observation()
-        sub = bucket_slice(spark, docs_path, b).observe(
-            obs_in, F.count(F.lit(1)).alias("rows_in"))
+        sub = bucket_slice(spark, docs_path, b)
+        # Docs deleted while this bucket was uncommitted: the ingested
+        # input still contains them, so filter them out here — otherwise
+        # a resume-after-delete would silently resurrect deleted doc_ids.
+        tombs = store.pending_tombstones(b)
+        if tombs:
+            sub = sub.where(~F.col("doc_id").isin(tombs))
+        sub = sub.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
         out = extract_fn(sub, payloads_df)
         rows_out = store.write_bucket(b, out)   # rows ride the write job
         store.commit(Lineage(
@@ -137,6 +143,8 @@ def run_checkpointed(
             latency_ms=round((time.monotonic() - t0) * 1000, 3),
             committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         ))
+        if tombs:
+            store.clear_tombstones(b)   # applied and committed above
         committed_this_run += 1
         if fail_after is not None and committed_this_run >= fail_after:
             raise JobKilled(

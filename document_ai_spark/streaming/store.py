@@ -41,11 +41,16 @@ class Lineage:
     rows_out: int
     latency_ms: float
     committed_at: str
+    # Monotone commit sequence, stamped by the store's commit() — the ONLY
+    # safe "latest wins" ordering key. Iceberg snapshot ids are random
+    # 64-bit longs (not monotone) and committed_at has second granularity
+    # (ties), so neither orders re-commits correctly on its own.
+    seq: int = 0
 
 
 _LINEAGE_SCHEMA = ("run_id string, partition_id int, snapshot_id string, "
                    "rows_in long, rows_out long, latency_ms double, "
-                   "committed_at string")
+                   "committed_at string, seq long")
 
 
 class IcebergUnavailable(RuntimeError):
@@ -81,22 +86,43 @@ class SnapshotStore(abc.ABC):
                     buckets: int) -> int:
         """Row-level delete (reference DELETE endpoint, backend/main.py:
         695-705): remove the given doc_ids from committed data, preserving
-        snapshot semantics. Returns the number of buckets rewritten."""
+        snapshot semantics. Ids hashing into UNCOMMITTED buckets are
+        recorded as pending tombstones so a later resume cannot resurrect
+        them from the ingested input. Returns the number of buckets
+        rewritten."""
+
+    @abc.abstractmethod
+    def pending_tombstones(self, bucket: int) -> List[str]:
+        """doc_ids deleted while `bucket` was still uncommitted; the
+        runner filters them out when it finally processes the bucket."""
+
+    @abc.abstractmethod
+    def clear_tombstones(self, bucket: int) -> None:
+        """Drop the bucket's pending tombstones (called after the bucket
+        commits with the tombstones applied)."""
 
 
-def affected_buckets(spark: SparkSession, doc_ids: Iterable[str],
-                     buckets: int) -> List[int]:
-    """Buckets the given doc_ids hash into — computed with the SAME Spark
+def bucket_of_ids(spark: SparkSession, doc_ids: Iterable[str],
+                  buckets: int) -> Dict[int, List[str]]:
+    """{bucket: [doc_ids hashing into it]} — computed with the SAME Spark
     expression that assigned them (pmod(xxhash64(doc_id), B)); a Python
     reimplementation of xxhash64 would silently drift."""
     ids = [(str(d),) for d in doc_ids]
     if not ids:
-        return []
-    return [
-        r["b"] for r in spark.createDataFrame(ids, "doc_id string")
-        .select(F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).alias("b"))
-        .distinct().collect()
-    ]
+        return {}
+    out: Dict[int, List[str]] = {}
+    for r in (spark.createDataFrame(ids, "doc_id string")
+              .select("doc_id",
+                      F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).alias("b"))
+              .collect()):
+        out.setdefault(int(r["b"]), []).append(r["doc_id"])
+    return out
+
+
+def affected_buckets(spark: SparkSession, doc_ids: Iterable[str],
+                     buckets: int) -> List[int]:
+    """Buckets the given doc_ids hash into (see bucket_of_ids)."""
+    return sorted(bucket_of_ids(spark, doc_ids, buckets))
 
 
 class ManifestStore(SnapshotStore):
@@ -114,7 +140,9 @@ class ManifestStore(SnapshotStore):
         self.data_dir = os.path.join(root, "data")
         self.staging_dir = os.path.join(root, "_staging")
         self.manifest_dir = os.path.join(root, "_manifests")
-        for d in (self.data_dir, self.staging_dir, self.manifest_dir):
+        self.tombstone_dir = os.path.join(root, "_tombstones")
+        for d in (self.data_dir, self.staging_dir, self.manifest_dir,
+                  self.tombstone_dir):
             os.makedirs(d, exist_ok=True)
 
     def committed_buckets(self) -> Dict[int, dict]:
@@ -171,6 +199,7 @@ class ManifestStore(SnapshotStore):
         Crash between the two leaves the bucket uncommitted (manifest
         absent) and the re-run overwrites staging + re-renames: idempotent."""
         seq_next = self._seq() + 1   # read BEFORE the new manifest lands
+        lineage.seq = seq_next       # monotone 'latest commit wins' key
         src, dst = self.staged_path(lineage.partition_id), \
             self.committed_path(lineage.partition_id)
         if os.path.exists(dst):
@@ -192,9 +221,35 @@ class ManifestStore(SnapshotStore):
         rows = list(self.committed_buckets().values())
         if not rows:
             return spark.createDataFrame([], _LINEAGE_SCHEMA)
+        for r in rows:
+            r.setdefault("seq", 0)
         return spark.createDataFrame(rows).select(
             "run_id", "partition_id", "snapshot_id", "rows_in", "rows_out",
-            "latency_ms", "committed_at")
+            "latency_ms", "committed_at", "seq")
+
+    # -- tombstones -----------------------------------------------------------
+
+    def _tombstone_path(self, bucket: int) -> str:
+        return os.path.join(self.tombstone_dir, f"{bucket}.json")
+
+    def pending_tombstones(self, bucket: int) -> List[str]:
+        p = self._tombstone_path(bucket)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)["doc_ids"]
+
+    def _add_tombstones(self, bucket: int, doc_ids: List[str]) -> None:
+        merged = sorted(set(self.pending_tombstones(bucket)) | set(doc_ids))
+        tmp = self._tombstone_path(bucket) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"doc_ids": merged}, f)
+        os.rename(tmp, self._tombstone_path(bucket))
+
+    def clear_tombstones(self, bucket: int) -> None:
+        p = self._tombstone_path(bucket)
+        if os.path.exists(p):
+            os.remove(p)
 
     def read_committed(self, spark: SparkSession) -> DataFrame:
         """Union of all committed bucket outputs (the visible snapshot)."""
@@ -209,17 +264,21 @@ class ManifestStore(SnapshotStore):
                     buckets: int) -> int:
         """Rewrite only the buckets the doc_ids hash into, minus those
         docs, and commit each rewrite as a new snapshot. Untouched buckets
-        keep their files byte-identical; resume-after-delete sees every
-        bucket committed and reprocesses nothing."""
+        keep their files byte-identical. Buckets NOT yet committed get a
+        pending tombstone instead (the ingested input under _input still
+        contains the deleted docs — without the tombstone a later resume
+        would silently resurrect them; the runner applies + clears the
+        tombstone when it finally commits the bucket)."""
         ids = [str(d) for d in doc_ids]
         done = self.committed_buckets()
         rewritten = 0
-        for b in sorted(affected_buckets(spark, ids, buckets)):
+        for b, b_ids in sorted(bucket_of_ids(spark, ids, buckets).items()):
             if b not in done:
+                self._add_tombstones(b, b_ids)
                 continue
             t0 = time.monotonic()
             cur = spark.read.parquet(self.committed_path(b))
-            kept = cur.where(~F.col("doc_id").isin(ids))
+            kept = cur.where(~F.col("doc_id").isin(b_ids))
             rows_out = self.write_bucket(b, kept)
             prev = done[b]
             self.commit(Lineage(
@@ -268,9 +327,13 @@ class IcebergStore(SnapshotStore):
         self.spark = spark
         self.table = table
         self.lineage_table = f"{table}_lineage"
+        self.tombstone_table = f"{table}_tombstones"
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {self.lineage_table} "
             f"({_LINEAGE_SCHEMA}) USING iceberg")
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.tombstone_table} "
+            f"(bucket int, doc_id string) USING iceberg")
 
     def _lineage_rows(self) -> List[dict]:
         if not self.spark.catalog.tableExists(self.lineage_table):
@@ -280,10 +343,20 @@ class IcebergStore(SnapshotStore):
 
     def committed_buckets(self) -> Dict[int, dict]:
         out: Dict[int, dict] = {}
+        # 'Latest commit wins' MUST order on the monotone seq column:
+        # Iceberg snapshot ids are random longs (string-sorting them is
+        # not even numeric order) and committed_at ties at second
+        # granularity — seq is the commit order by construction, with
+        # committed_at as a legacy-row tiebreaker.
         for r in sorted(self._lineage_rows(),
-                        key=lambda r: r["snapshot_id"]):
-            out[int(r["partition_id"])] = r   # latest commit wins
+                        key=lambda r: (r.get("seq") or 0,
+                                       r["committed_at"])):
+            out[int(r["partition_id"])] = r
         return out
+
+    def _next_seq(self) -> int:
+        rows = self._lineage_rows()
+        return 1 + max((r.get("seq") or 0 for r in rows), default=0)
 
     def snapshot_id(self) -> str:
         if not self.spark.catalog.tableExists(self.table):
@@ -305,6 +378,7 @@ class IcebergStore(SnapshotStore):
         return int(obs.get["rows_out"])
 
     def commit(self, lineage: Lineage) -> None:
+        lineage.seq = self._next_seq()
         self.spark.createDataFrame([lineage.__dict__], _LINEAGE_SCHEMA) \
             .writeTo(self.lineage_table).append()
 
@@ -319,23 +393,67 @@ class IcebergStore(SnapshotStore):
         rows = list(self.committed_buckets().values())
         if not rows:
             return spark.createDataFrame([], _LINEAGE_SCHEMA)
+        for r in rows:
+            r.setdefault("seq", 0)
         return spark.createDataFrame(rows).select(
             "run_id", "partition_id", "snapshot_id", "rows_in", "rows_out",
-            "latency_ms", "committed_at")
+            "latency_ms", "committed_at", "seq")
+
+    def pending_tombstones(self, bucket: int) -> List[str]:
+        if not self.spark.catalog.tableExists(self.tombstone_table):
+            return []
+        return sorted(r["doc_id"] for r in self.spark
+                      .table(self.tombstone_table)
+                      .where(F.col("bucket") == bucket).collect())
+
+    def clear_tombstones(self, bucket: int) -> None:
+        self.spark.sql(f"DELETE FROM {self.tombstone_table} "
+                       f"WHERE bucket = {int(bucket)}")
 
     def delete_docs(self, spark: SparkSession, doc_ids: Iterable[str],
                     buckets: int) -> int:
         ids = [str(d) for d in doc_ids]
-        hit = [b for b in affected_buckets(spark, ids, buckets)
-               if b in self.committed_buckets()]
+        done = self.committed_buckets()
+        per_bucket = bucket_of_ids(spark, ids, buckets)
+        hit = [b for b in sorted(per_bucket) if b in done]
+        # Uncommitted buckets: tombstone instead of DELETE — the data
+        # isn't in the table yet, and a resume would otherwise reprocess
+        # the deleted docs back in from the ingested input.
+        pend = [(b, i) for b in sorted(per_bucket) if b not in done
+                for i in per_bucket[b]]
+        if pend:
+            spark.createDataFrame(pend, "bucket int, doc_id string") \
+                .writeTo(self.tombstone_table).append()
         if not hit:
             return 0
         # Iceberg row-level DELETE: one atomic snapshot, only the affected
         # partitions' files rewritten (copy-on-write) or delete files added
-        # (merge-on-read).
-        id_list = ", ".join(f"'{i}'" for i in ids)
-        bucket_list = ", ".join(str(b) for b in hit)
+        # (merge-on-read). Ids are SQL-escaped ('' doubling) — a quote in a
+        # doc_id must not break or inject into the statement.
+        id_list = ", ".join("'{}'".format(i.replace("'", "''"))
+                            for i in ids)
+        bucket_list = ", ".join(str(int(b)) for b in hit)
+        t0 = time.monotonic()
         spark.sql(f"DELETE FROM {self.table} "
                   f"WHERE doc_id IN ({id_list}) "
                   f"AND bucket IN ({bucket_list})")
+        latency = round((time.monotonic() - t0) * 1000, 3)
+        # Keep the two store implementations' delete contracts symmetric:
+        # ManifestStore records a delete:<run_id> lineage row per rewritten
+        # bucket and advances the snapshot; mirror that here.
+        snap = self.snapshot_id()
+        now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        for b in hit:
+            prev = done[b]
+            rows_out = (spark.table(self.table)
+                        .where(F.col("bucket") == b).count())
+            self.commit(Lineage(
+                run_id=f"delete:{prev['run_id']}",
+                partition_id=b,
+                snapshot_id=snap,
+                rows_in=prev["rows_out"],
+                rows_out=rows_out,
+                latency_ms=latency,
+                committed_at=now,
+            ))
         return len(hit)

@@ -56,4 +56,13 @@ def run_windowed_stream(spark, in_dir: str, schema: str,
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+    # No window finalized yet (all events within the watermark horizon):
+    # the sink dir has no data files and a bare read would raise
+    # AnalysisException — return an EMPTY frame with the aggregate schema
+    # so callers can distinguish 'nothing finalized' from failure.
+    import os
+    has_parts = os.path.isdir(out_dir) and any(
+        n.startswith("part-") for n in os.listdir(out_dir))
+    if not has_parts:
+        return spark.createDataFrame([], agg.schema)
     return spark.read.parquet(out_dir)

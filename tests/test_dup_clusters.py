@@ -17,12 +17,33 @@ def test_transitive_closure_chain(spark):
 
 
 def test_longer_chain_within_iterations(spark):
-    # Path 1-2-3-4-5 (diameter 4) must fully collapse at max_iter=4.
+    # Path 1-2-3-4-5 (diameter 4) must fully collapse.
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5)], schema="doc_a long, doc_b long")
     got = {r["doc_id"]: r["cluster"]
-           for r in duplicate_clusters(pairs, max_iter=4).collect()}
+           for r in duplicate_clusters(pairs).collect()}
     assert set(got.values()) == {1}
+
+
+def test_deep_chain_converges(spark):
+    # Diameter-9 path: the round-2 fixed-4-round version silently split
+    # this into multiple clusters; the convergence-checked loop must
+    # collapse it into one.
+    n = 10
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], schema="doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_nonconvergence_raises(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], schema="doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iter=2)
 
 
 def test_clusters_from_real_pairs(spark):

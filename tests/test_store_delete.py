@@ -95,6 +95,63 @@ def test_delete_docs_excludes_and_resume_stays_exact(
                for r in store2.lineage_df(spark).collect())
 
 
+def test_delete_mid_run_tombstones_uncommitted_buckets(
+        spark, corpus_dfs, tmp_path):
+    """Delete issued against a PARTIALLY-completed run must not resurrect
+    the deleted docs when the remaining buckets are later resumed (the
+    round-2 defect: the ingested _input still contains them)."""
+    from document_ai_spark.streaming.checkpoint import JobKilled
+
+    docs_df, payloads_df = corpus_dfs
+    root = str(tmp_path / "ckpt_mid_del")
+    with pytest.raises(JobKilled):
+        run_checkpointed(spark, docs_df, payloads_df, root,
+                         buckets=BUCKETS, fail_after=2)
+    store = ManifestStore(root)
+    done = set(store.committed_buckets())
+    assert len(done) == 2
+
+    # Pick victims from buckets that are NOT yet committed.
+    from document_ai_spark.streaming.checkpoint import affected_buckets
+    cands = [r["doc_id"] for r in docs_df.select("doc_id").collect()]
+    victims = [d for d in cands
+               if affected_buckets(spark, [d], BUCKETS)[0] not in done][:3]
+    assert len(victims) == 3
+
+    n_rewritten = delete_docs(spark, store, victims, root)
+    assert n_rewritten == 0   # nothing committed to rewrite...
+    assert any(store.pending_tombstones(b)
+               for b in range(BUCKETS))   # ...but tombstones recorded
+
+    # Resume: deleted docs must NOT come back from the ingested input.
+    store2 = run_checkpointed(spark, docs_df, payloads_df, root,
+                              buckets=BUCKETS)
+    final = store2.read_committed(spark)
+    assert final.where(F.col("doc_id").isin(victims)).count() == 0
+    assert final.count() == docs_df.count() - 3
+    # Tombstones are consumed on commit.
+    assert all(not store2.pending_tombstones(b) for b in range(BUCKETS))
+
+
+def test_lineage_latest_commit_wins_by_seq(spark, corpus_dfs, tmp_path):
+    """committed_buckets must order re-commits by the monotone seq, never
+    by snapshot_id strings (Iceberg snapshot ids are random longs)."""
+    docs_df, payloads_df = corpus_dfs
+    root = str(tmp_path / "ckpt_seq")
+    store = run_checkpointed(spark, docs_df, payloads_df, root, buckets=4)
+    lin = store.lineage_df(spark).collect()
+    seqs = sorted(r["seq"] for r in lin)
+    assert seqs == list(range(1, 5))   # monotone, stamped by commit()
+    # A delete rewrite must supersede the original commit for its bucket.
+    victim = docs_df.select("doc_id").first()["doc_id"]
+    delete_docs(spark, store, [victim], root)
+    from document_ai_spark.streaming.checkpoint import affected_buckets
+    b = affected_buckets(spark, [victim], 4)[0]
+    rec = store.committed_buckets()[b]
+    assert rec["run_id"].startswith("delete:")
+    assert rec["seq"] == 5
+
+
 def test_store_interface_parametrized(spark, corpus_dfs, tmp_path):
     """Same contract for every available store implementation."""
     docs_df, payloads_df = corpus_dfs
