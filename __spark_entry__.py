@@ -1565,6 +1565,67 @@ SELECT zone, COUNT(*) AS n_blocks FROM z GROUP BY zone ORDER BY zone
 """
 
 
+# --- token budgeting (operators/textquality.py round-3 additions) ----------
+
+
+def _q_token_estimate(spark, sf):
+    return (TQ.with_token_estimate(_t(spark, sf, "documents"))
+            .select("doc_id", "token_estimate").orderBy("doc_id"))
+
+
+_TOKEN_EST_SQL = """
+CAST(coalesce(list_sum(list_transform(regexp_extract_all(text,
+         '[A-Za-z]+'), w -> CAST(ceil(length(w) / 4.0) AS INT))), 0)
+   + coalesce(list_sum(list_transform(regexp_extract_all(text,
+         '[0-9]+'), d -> CAST(ceil(length(d) / 3.0) AS INT))), 0)
+   + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+"""
+
+_SQL_TOKEN_ESTIMATE = f"""
+SELECT doc_id, {_TOKEN_EST_SQL} AS token_estimate
+FROM documents ORDER BY doc_id
+"""
+
+
+def _q_token_budget(spark, sf):
+    return TQ.token_budget(_t(spark, sf, "documents"))
+
+
+_SQL_TOKEN_BUDGET = f"""
+WITH est AS (
+  SELECT lang, source, {_TOKEN_EST_SQL} AS token_estimate FROM documents),
+per AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(token_estimate) AS BIGINT) AS total_tokens,
+         ROUND(AVG(token_estimate), 6) AS avg_tokens
+  FROM est GROUP BY lang, source)
+SELECT lang, source, n_docs, total_tokens, avg_tokens,
+       ROUND(total_tokens / (SELECT CAST(SUM(total_tokens) AS DOUBLE)
+                             FROM per), 6) AS budget_share
+FROM per ORDER BY lang, source
+"""
+
+
+def _q_incremental_near_dup(spark, sf):
+    """k-batch INCREMENTAL near-dup via the persisted sketch index
+    (operators/sketch_index.py): the oracle is the plain corpus-wide
+    banded LSH recompute, so a green row proves incremental == batch."""
+    import tempfile
+
+    from document_ai_spark.operators.sketch_index import SketchIndex
+
+    docs = _dup_docs(spark, sf)
+    idx = SketchIndex(tempfile.mkdtemp(prefix="sketch_idx_"))
+    parts = [docs.where(F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
+                               F.lit(3)) == i) for i in range(3)]
+    out = None
+    for i, b in enumerate(parts):
+        p = idx.append_and_find(spark, b, batch_id=f"b{i}",
+                                jaccard_min=0.5)
+        out = p if out is None else out.unionByName(p)
+    return out.orderBy("doc_a", "doc_b")
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple] = {
@@ -1634,6 +1695,10 @@ _REGISTRY: dict[str, tuple] = {
     "grouping_sets": (_q_grouping_sets, _SQL_GROUPING_SETS),
     "range_join": (_q_range_join, _SQL_RANGE_JOIN),
     "time_rollup": (_q_time_rollup, _SQL_TIME_ROLLUP),
+    # round-3 additions (keep registry order stable; append only)
+    "token_estimate": (_q_token_estimate, _SQL_TOKEN_ESTIMATE),
+    "token_budget": (_q_token_budget, _SQL_TOKEN_BUDGET),
+    "incremental_near_dup": (_q_incremental_near_dup, _SQL_BANDED_NEAR_DUP),
 }
 
 

@@ -20,6 +20,7 @@ case-sensitive matching to dealer header lines (field_extractor.py:175,189,
 from __future__ import annotations
 
 import re
+from functools import lru_cache as _lru_cache
 from typing import Dict, List, Optional, Tuple
 
 from .. import constants as C
@@ -360,28 +361,33 @@ def dealer_col(text):
 
 def with_pattern_fields(df, text_col: str = "combined_text"):
     """Add pat_* value/confidence columns for all four fields."""
+    vals, confs = _pattern_field_cols(text_col)
+    return df.withColumns(vals).withColumns(confs)
+
+
+@_lru_cache(maxsize=None)
+def _pattern_field_cols(text_col: str):
+    """Static Column trees, built once (regex CASE cascades are hundreds
+    of py4j calls; see plans/pipeline.py plan-build cost note)."""
     F = _F()
     text = F.col(text_col)
-    df = df.withColumns(
-        {
-            "pat_hp": hp_col(text),
-            "pat_cost": cost_col(text),
-            "pat_model": model_col(text),
-            "pat_dealer": dealer_col(text),
-        }
-    )
-    return df.withColumns(
-        {
-            "pat_hp_conf": F.when(F.col("pat_hp").isNotNull(),
-                                  F.lit(C.CONF_HP_PATTERN)).otherwise(0.0),
-            "pat_cost_conf": F.when(F.col("pat_cost").isNotNull(),
-                                    F.lit(C.CONF_COST_PATTERN)).otherwise(0.0),
-            "pat_model_conf": F.when(F.col("pat_model").isNotNull(),
-                                     F.lit(C.CONF_MODEL_PATTERN)).otherwise(0.0),
-            "pat_dealer_conf": F.when(F.col("pat_dealer").isNotNull(),
-                                      F.lit(C.CONF_DEALER_PATTERN)).otherwise(0.0),
-        }
-    )
+    vals = {
+        "pat_hp": hp_col(text),
+        "pat_cost": cost_col(text),
+        "pat_model": model_col(text),
+        "pat_dealer": dealer_col(text),
+    }
+    confs = {
+        "pat_hp_conf": F.when(F.col("pat_hp").isNotNull(),
+                              F.lit(C.CONF_HP_PATTERN)).otherwise(0.0),
+        "pat_cost_conf": F.when(F.col("pat_cost").isNotNull(),
+                                F.lit(C.CONF_COST_PATTERN)).otherwise(0.0),
+        "pat_model_conf": F.when(F.col("pat_model").isNotNull(),
+                                 F.lit(C.CONF_MODEL_PATTERN)).otherwise(0.0),
+        "pat_dealer_conf": F.when(F.col("pat_dealer").isNotNull(),
+                                  F.lit(C.CONF_DEALER_PATTERN)).otherwise(0.0),
+    }
+    return vals, confs
 
 
 def conf_bucket_col(conf):

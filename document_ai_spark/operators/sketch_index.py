@@ -1,0 +1,208 @@
+"""Incremental near-dup detection against a PERSISTED sketch index.
+
+A real 100 TB training-data pipeline never recomputes corpus-wide MinHash
+sketches per run: sketches of already-ingested documents are computed
+once, persisted, and every new micro-batch is deduped by (a) comparing
+its docs against each other and (b) joining its banded sketches against
+the committed index — then its sketches are appended for the next batch.
+
+Layout (mirrors the ManifestStore commit discipline, streaming/store.py):
+one parquet directory per committed batch under ``root/index/``, written
+to ``root/_staging/`` first and atomically renamed — a crash mid-append
+leaves the index at the previous consistent snapshot, and re-running the
+batch is idempotent (same banded rows overwrite staging and re-rename).
+
+Scale shape: the per-batch work shuffles only the BATCH's (doc_id,
+8-hash sketch) rows; the committed index is touched by one equi-join on
+(band, band_hash) that is pre-filtered with a broadcast semi-join on the
+batch's band keys — a micro-batch of 10^5 docs probes ~bands x 10^5
+buckets of a 10^12-row index and never scans the rest. Both the batch
+buckets and the matched index buckets are capped (deterministically, by
+sorted doc_id) so one degenerate shingle bucket cannot expand O(n^2)
+pairs in a reducer.
+
+Parity contract (tested): running k batches incrementally emits exactly
+the pair set of ``banded_near_dup_pairs`` recomputed over the union —
+each pair (a, b) with a in batch i, b in batch j <= i surfaces when
+batch i lands, once.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import List
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MAX_BUCKET,
+    _cap_bucket_items,
+    with_minhash_sketch,
+)
+
+_INDEX_SCHEMA = ("doc_id string, minhash_sketch array<string>, "
+                 "band int, band_hash string")
+
+
+def banded_sketch_rows(df: DataFrame, bands: int = LSH_BANDS,
+                       rows: int = LSH_ROWS) -> DataFrame:
+    """(doc_id, minhash_sketch, band, band_hash) — one row per doc per
+    band; the unit the index stores and joins on."""
+    s = with_minhash_sketch(df).select("doc_id", "minhash_sketch")
+    band_expr = F.explode(F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> named_struct("
+        f"  'band', b,"
+        f"  'band_hash', md5(concat_ws('|', slice(minhash_sketch, "
+        f"                b * {rows} + 1, {rows})))))"
+    )).alias("bk")
+    return (s.select("doc_id", "minhash_sketch", band_expr)
+            .select("doc_id", "minhash_sketch", "bk.band", "bk.band_hash"))
+
+
+def _expand_pairs(grouped: DataFrame, max_bucket: int) -> DataFrame:
+    """(band,bucket) item lists -> candidate pairs with both sketches."""
+    grouped = _cap_bucket_items(grouped, max_bucket)
+    return grouped.select(F.explode(F.expr(
+        "flatten(transform(items, (x, i) -> "
+        "  transform(slice(items, i + 2, size(items)), y -> "
+        "    struct(x.doc_id AS id_x, y.doc_id AS id_y, "
+        "           x.minhash_sketch AS sk_a, y.minhash_sketch AS sk_b))))"
+    )).alias("p")).select("p.*")
+
+
+def _verify(pairs: DataFrame, jaccard_min: float) -> DataFrame:
+    """Canonicalize, de-dup across bands/sources, sketch-Jaccard filter."""
+    pairs = pairs.select(
+        F.least("id_x", "id_y").alias("doc_a"),
+        F.greatest("id_x", "id_y").alias("doc_b"),
+        "sk_a", "sk_b",
+    ).groupBy("doc_a", "doc_b").agg(
+        F.first("sk_a").alias("sk_a"), F.first("sk_b").alias("sk_b"))
+    inter = F.size(F.array_intersect("sk_a", "sk_b"))
+    union = F.size(F.array_union("sk_a", "sk_b"))
+    return (pairs.withColumn("jaccard", F.round(inter / union, 6))
+            .where(F.col("jaccard") >= jaccard_min)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+class SketchIndex:
+    """Persisted banded-MinHash index with atomic batch commits."""
+
+    def __init__(self, root: str, bands: int = LSH_BANDS,
+                 rows: int = LSH_ROWS):
+        self.root = root
+        self.index_dir = os.path.join(root, "index")
+        self.staging_dir = os.path.join(root, "_staging")
+        for d in (self.index_dir, self.staging_dir):
+            os.makedirs(d, exist_ok=True)
+        # (bands, rows) define the band hashes; mixing parameters across
+        # batches would make index rows silently un-joinable. Pin them.
+        meta_path = os.path.join(root, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if (meta["bands"], meta["rows"]) != (bands, rows):
+                raise ValueError(
+                    f"index at {root} was built with bands={meta['bands']}, "
+                    f"rows={meta['rows']}; cannot append with "
+                    f"bands={bands}, rows={rows}")
+        else:
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"bands": bands, "rows": rows}, f)
+            os.rename(tmp, meta_path)
+        self.bands, self.rows = bands, rows
+
+    def _batch_seq(self, name: str) -> int:
+        with open(os.path.join(self.index_dir, name, "_seq.json")) as f:
+            return json.load(f)["seq"]
+
+    def committed_batches(self) -> List[str]:
+        """Committed batch names in COMMIT order (the _seq.json stamped
+        at commit, not lexicographic names)."""
+        done = [d for d in os.listdir(self.index_dir)
+                if os.path.exists(os.path.join(self.index_dir, d,
+                                               "_SUCCESS"))]
+        return sorted(done, key=self._batch_seq)
+
+    def index_df(self, spark: SparkSession,
+                 before_seq: int = None) -> DataFrame:
+        """Committed index rows; with ``before_seq``, only batches
+        committed strictly earlier (what a replayed batch must see)."""
+        paths = [os.path.join(self.index_dir, d)
+                 for d in self.committed_batches()
+                 if before_seq is None or self._batch_seq(d) < before_seq]
+        if not paths:
+            return spark.createDataFrame([], _INDEX_SCHEMA)
+        return spark.read.parquet(*paths)
+
+    def append_and_find(self, spark: SparkSession, batch_df: DataFrame,
+                        batch_id: str, jaccard_min: float = 0.5,
+                        max_bucket: int = MAX_BUCKET) -> DataFrame:
+        """Near-dup pairs involving at least one doc of ``batch_df``
+        (batch-internal + batch-vs-index), then commit the batch's
+        sketches. Re-running an already-committed batch_id returns its
+        pairs again without double-appending (idempotent resume)."""
+        stage = os.path.join(self.staging_dir, batch_id)
+        final = os.path.join(self.index_dir, batch_id)
+        replay = os.path.exists(os.path.join(final, "_SUCCESS"))
+        if replay:
+            src, seq = final, self._batch_seq(batch_id)
+        else:
+            # Materialize the banded rows ONCE (parquet write is the
+            # materialization): pair-finding below reads them several
+            # times, and the same files become the committed index batch.
+            banded_sketch_rows(batch_df, self.bands, self.rows) \
+                .write.mode("overwrite").parquet(stage)
+            src = stage
+            seq = 1 + max((self._batch_seq(d)
+                           for d in self.committed_batches()), default=0)
+            with open(os.path.join(stage, "_seq.json"), "w") as f:
+                json.dump({"seq": seq}, f)
+        new = spark.read.parquet(src)
+
+        # (a) batch-internal pairs: group new rows by (band, band_hash).
+        new_grouped = (
+            new.groupBy("band", "band_hash")
+            .agg(F.collect_list(F.struct("doc_id", "minhash_sketch"))
+                 .alias("items"))
+            .where(F.size("items") > 1))
+        intra = _expand_pairs(new_grouped, max_bucket)
+
+        # (b) batch-vs-index pairs. Probe-side pre-filter: the index scan
+        # keeps only buckets the batch actually touches (broadcast of the
+        # batch's band keys — micro-batch-sized), THEN the matched index
+        # buckets are capped and joined.
+        # before_seq: a replayed batch probes exactly the index it saw
+        # the first time — not itself (self-pairs, duplicated intra
+        # pairs) and not later-committed batches (pairs those batches
+        # already emitted).
+        has_prior = any(self._batch_seq(d) < seq
+                        for d in self.committed_batches())
+        cands = intra
+        if has_prior:
+            keys = new.select("band", "band_hash").distinct()
+            idx = self.index_df(spark, before_seq=seq).join(
+                F.broadcast(keys), ["band", "band_hash"], "left_semi")
+            w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
+            idx = (idx.withColumn("_rn", F.row_number().over(w))
+                   .where(F.col("_rn") <= max_bucket).drop("_rn"))
+            cross = new.alias("n").join(
+                idx.alias("o"), ["band", "band_hash"]).select(
+                F.col("n.doc_id").alias("id_x"),
+                F.col("o.doc_id").alias("id_y"),
+                F.col("n.minhash_sketch").alias("sk_a"),
+                F.col("o.minhash_sketch").alias("sk_b"))
+            cands = intra.unionByName(cross)
+
+        # Materialize before the commit rename below invalidates the
+        # staging path the lazy plan reads from.
+        pairs = _verify(cands, jaccard_min).localCheckpoint()
+
+        if not replay:
+            shutil.rmtree(final, ignore_errors=True)
+            os.rename(stage, final)
+        return pairs

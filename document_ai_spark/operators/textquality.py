@@ -106,6 +106,56 @@ def with_fingerprint(df: DataFrame, k: int = 20) -> DataFrame:
     })
 
 
+def with_token_estimate(df: DataFrame) -> DataFrame:
+    """BPE-ish token-count estimate for training-budget accounting.
+
+    No tokenizer library ships in this environment, so the estimate
+    mirrors how byte-pair pre-tokenizers segment text (the GPT-2-family
+    pattern: letter runs, digit runs, punctuation as separate tokens):
+
+      * each LETTER run contributes ceil(len/4) tokens — BPE merges
+        average ~4 chars/token on English-like text, and a 15-char word
+        is several tokens, not one;
+      * each DIGIT run contributes ceil(len/3) — modern vocabs chunk
+        digits in groups of <= 3;
+      * every other non-space char (punctuation/symbol) is 1 token.
+
+    Pure JVM regexp/HOF expressions — the corpus streams once, no
+    Python — and deterministic, so DuckDB computes the identical number
+    (oracle row token_budget)."""
+    letters = F.expr(
+        "aggregate(regexp_extract_all(text, '[A-Za-z]+', 0), 0, "
+        "(acc, w) -> acc + cast(ceil(length(w) / 4.0) as int))")
+    digits = F.expr(
+        "aggregate(regexp_extract_all(text, '[0-9]+', 0), 0, "
+        "(acc, d) -> acc + cast(ceil(length(d) / 3.0) as int))")
+    punct = F.expr(
+        "size(regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0))")
+    return df.withColumn(
+        "token_estimate", (letters + digits + punct).cast("long"))
+
+
+def token_budget(df: DataFrame) -> DataFrame:
+    """Per-(lang, source) training-token budget rollup: document count,
+    total/mean estimated tokens, and each group's share of the corpus
+    budget. The groupBy keys are low-cardinality, so the aggregation is
+    one partial-agg shuffle; the corpus total joins back as a broadcast
+    of the 1-row aggregate (never a driver scalar)."""
+    est = with_token_estimate(df)
+    per = est.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("token_estimate").alias("total_tokens"),
+        F.round(F.avg("token_estimate"), 6).alias("avg_tokens"))
+    corpus = per.select(
+        F.sum("total_tokens").cast("double").alias("corpus_tokens"))
+    return (per.crossJoin(F.broadcast(corpus))
+            .withColumn("budget_share",
+                        F.round(F.col("total_tokens")
+                                / F.col("corpus_tokens"), 6))
+            .drop("corpus_tokens")
+            .orderBy("lang", "source"))
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 20) -> DataFrame:
     """Corpus-level TF-IDF term ranking: per word, document frequency,
     total term frequency, idf = ln((N+1)/(df+1)), ranked by summed

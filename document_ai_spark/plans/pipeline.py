@@ -29,10 +29,18 @@ pandas UDF; there is no per-row Python and no driver-side collect.
 """
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
+
+# Plan-build cost note: Column objects are immutable expression trees, so
+# every STATIC subtree (fixed column names, no per-call inputs) is built
+# once behind an lru_cache and reused across extract() calls. Building
+# this pipeline's ~10^3 expression nodes through py4j measured 1.8 s of
+# pure driver-side serial time per call — a constant that neither
+# parallelism level can touch and that a 12 s benchmark job feels hard.
 
 from .. import constants as C
 from ..functions import extraction as X
@@ -214,27 +222,21 @@ _PARSED_COLS = [
 ]
 
 
-def parse_spans(docs_df: DataFrame, payloads_df: DataFrame) -> DataFrame:
-    """explode -> single payload join -> kind-routed parse. SINGLE scan.
+def span_prep(docs_df: DataFrame) -> DataFrame:
+    """explode -> map-side boilerplate strip -> salted join key. The
+    pre-join half of parse_spans, exposed so a bucketed ingest
+    (sources/bucketed.py) can persist its output keyed by `_jk` and make
+    the payload join exchange-free.
 
     explode_outer keeps zero-span docs alive as a single null-kind row
     (routed through the text path with empty text) so they still appear
     in the extractions table — plain explode would silently drop them.
 
-    One pass, not two: the earlier union-of-filtered-branches form put the
-    source subtree in the plan twice, so every extraction run scanned the
-    interleaved table twice — at 100 TB that is the whole job's IO bill
-    doubled. Both parse UDFs run over all spans with O(1) fast paths for
-    the rows they don't own (text is NULL for media spans, page_w is NULL
-    for text spans). The single-subtree plan also makes df.observe()
-    row-count metrics well-defined (a duplicated subtree would double- or
-    reject-count them).
-
-    LEFT join: a media span whose media_ref has no payload row must not
-    vanish silently (the reference records a per-file error for unreadable
-    media, backend/main.py:545-552). It survives as an empty placeholder
-    span, flagged payload_missing and rolled up per-doc so data loss is
-    observable at scale instead of discovered by row-count forensics.
+    Boilerplate-strip BEFORE the join: it runs map-side (pre-shuffle) and
+    its output is a fraction of the raw HTML, so the join shuffles the
+    small stripped text, never the raw markup. Media rows feed NULL into
+    the UDF (its O(1) fast path) — their text comes from the payload
+    parse after the join.
 
     Text spans don't carry a real media_ref, and routing them through the
     join under one shared key ('' or NULL) would funnel every text span
@@ -242,41 +244,67 @@ def parse_spans(docs_df: DataFrame, payloads_df: DataFrame) -> DataFrame:
     salted sentinel key that can never match the payload side and spreads
     evenly across partitions.
     """
-    spans = docs_df.select(
+    strip_col, join_key = _span_prep_cols()
+    return (docs_df.select(
         "doc_id", F.explode_outer("spans").alias("s")
     ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+        .withColumn("span_text_pre", strip_col)
+        .drop("text")
+        .withColumn("_jk", join_key))
 
+
+@lru_cache(maxsize=None)
+def _span_prep_cols():
     is_media = F.col("kind") == "media"
-    # Boilerplate-strip BEFORE the join: it runs map-side (pre-shuffle) and
-    # its output is a fraction of the raw HTML, so the join shuffles the
-    # small stripped text, never the raw markup. Media rows feed NULL into
-    # the UDF (its O(1) fast path) — their text comes from the payload
-    # parse after the join.
-    spans = (spans.withColumn(
-        "span_text_pre",
-        _main_text_udf(F.when(is_media, F.lit(None)).otherwise(F.col("text"))))
-        .drop("text"))
+    strip_col = _main_text_udf(
+        F.when(is_media, F.lit(None)).otherwise(F.col("text")))
     join_key = F.when(is_media, F.col("media_ref")).otherwise(
         F.concat(F.lit("__nonmedia__"),
                  F.pmod(F.xxhash64("doc_id", "offset"), F.lit(4096))
                  .cast("string")))
-    # shuffle_hash hint: the payload table is corpus-proportional (it IS
-    # the media bytes), so Spark's size-based broadcast pick — which fires
-    # at test SFs where payloads squeeze under the 10MB threshold — is the
-    # wrong strategy at any real scale: a broadcast build is serial driver
-    # work that grows with the corpus and parallelizes with nothing.
-    # Shuffle-hash keeps both sides partitioned and the build per-reducer.
-    pay = payloads_df.withColumnRenamed("media_ref", "_jk").hint("shuffle_hash")
+    return strip_col, join_key
 
-    joined = (spans.withColumn("_jk", join_key)
-              .join(pay, "_jk", "left")
-              .withColumn("parsed", _media_parse_udf(
-                  "page_w", "page_h", "tokens", "kv_pairs", "marks")))
+
+def parse_spans_from(spans: DataFrame, payloads_keyed: DataFrame
+                     ) -> DataFrame:
+    """Payload join + kind-routed parse over span_prep output.
+
+    ``payloads_keyed`` carries its join key as `_jk` (= media_ref). When
+    both inputs come from tables bucketed by `_jk` with the same bucket
+    count (sources/bucketed.py ingest), the join plans with ZERO
+    exchanges — each task zips bucket i of both tables; the test suite
+    asserts the 2-exchange drop.
+
+    LEFT join: a media span whose media_ref has no payload row must not
+    vanish silently (the reference records a per-file error for unreadable
+    media, backend/main.py:545-552). It survives as an empty placeholder
+    span, flagged payload_missing and rolled up per-doc so data loss is
+    observable at scale instead of discovered by row-count forensics.
+
+    shuffle_hash hint: the payload table is corpus-proportional (it IS
+    the media bytes), so Spark's size-based broadcast pick — which fires
+    at test SFs where payloads squeeze under the 10MB threshold — is the
+    wrong strategy at any real scale: a broadcast build is serial driver
+    work that grows with the corpus and parallelizes with nothing.
+    Shuffle-hash keeps both sides partitioned and the build per-reducer
+    (and on bucketed input it needs no exchange at all).
+    """
+    return (spans
+            .join(payloads_keyed.hint("shuffle_hash"), "_jk", "left")
+            .withColumn("parsed", _media_parse_udf(
+                "page_w", "page_h", "tokens", "kv_pairs", "marks"))
+            .withColumns(_route_cols())
+            .select(*_PARSED_COLS))
+
+
+@lru_cache(maxsize=None)
+def _route_cols() -> dict:
+    is_media = F.col("kind") == "media"
 
     def route(media_col, text_val):
         return F.when(is_media, media_col).otherwise(text_val)
 
-    return joined.withColumns({
+    return {
         "span_text": route(F.col("parsed.span_text"),
                            F.col("span_text_pre")),
         "sig_present": route(F.col("parsed.sig_present"), F.lit(False)),
@@ -294,7 +322,24 @@ def parse_spans(docs_df: DataFrame, payloads_df: DataFrame) -> DataFrame:
         "n_header": route(F.col("parsed.n_header"), F.lit(0)),
         "n_body": route(F.col("parsed.n_body"), F.lit(0)),
         "n_footer": route(F.col("parsed.n_footer"), F.lit(0)),
-    }).select(*_PARSED_COLS)
+    }
+
+
+def parse_spans(docs_df: DataFrame, payloads_df: DataFrame) -> DataFrame:
+    """explode -> single payload join -> kind-routed parse. SINGLE scan.
+
+    One pass, not two: the earlier union-of-filtered-branches form put the
+    source subtree in the plan twice, so every extraction run scanned the
+    interleaved table twice — at 100 TB that is the whole job's IO bill
+    doubled. Both parse UDFs run over all spans with O(1) fast paths for
+    the rows they don't own (text is NULL for media spans, page_w is NULL
+    for text spans). The single-subtree plan also makes df.observe()
+    row-count metrics well-defined (a duplicated subtree would double- or
+    reject-count them). See span_prep / parse_spans_from for the halves.
+    """
+    return parse_spans_from(
+        span_prep(docs_df),
+        payloads_df.withColumnRenamed("media_ref", "_jk"))
 
 
 def _kv_cand(col_name: str):
@@ -308,6 +353,15 @@ def _kv_cand(col_name: str):
 def reassemble(parsed: DataFrame, salt_buckets: int = C.MEDIA_SALT_BUCKETS
                ) -> DataFrame:
     """Salted two-phase per-doc reassembly (north_rule skew handling)."""
+    salt_col, aggs1, aggs2, combined = _reassemble_exprs(salt_buckets)
+    phase1 = (parsed.withColumn("salt", salt_col)
+              .groupBy("doc_id", "salt").agg(*aggs1))
+    return (phase1.groupBy("doc_id").agg(*aggs2)
+            .withColumn("combined_text", combined))
+
+
+@lru_cache(maxsize=None)
+def _reassemble_exprs(salt_buckets: int) -> tuple:
     # Null-kind placeholder rows (zero-span docs) keep the group alive but
     # contribute no span: collect_list skips null elements.
     span_struct = F.when(
@@ -317,62 +371,62 @@ def reassemble(parsed: DataFrame, salt_buckets: int = C.MEDIA_SALT_BUCKETS
             F.col("span_text"), F.col("media_ref"),
         ),
     )
-    phase1 = (
-        parsed
-        .withColumn("salt", F.pmod(F.col("offset"), F.lit(salt_buckets)))
-        .groupBy("doc_id", "salt")
-        .agg(
-            F.collect_list(span_struct).alias("part_spans"),
-            F.max(F.col("sig_present").cast("int")).alias("p_sig"),
-            F.max("sig_conf").alias("p_sig_conf"),
-            F.max(F.col("stamp_present").cast("int")).alias("p_stamp"),
-            F.max("stamp_conf").alias("p_stamp_conf"),
-            F.min(_kv_cand("kv_dealer")).alias("p_kv_dealer"),
-            F.min(_kv_cand("kv_model")).alias("p_kv_model"),
-            F.min(_kv_cand("kv_hp")).alias("p_kv_hp"),
-            F.min(_kv_cand("kv_cost")).alias("p_kv_cost"),
-            F.sum(F.col("payload_missing").cast("long")).alias("p_missing"),
-            F.sum("n_header").alias("p_header"),
-            F.sum("n_body").alias("p_body"),
-            F.sum("n_footer").alias("p_footer"),
-        )
+    salt_col = F.pmod(F.col("offset"), F.lit(salt_buckets))
+    aggs1 = (
+        F.collect_list(span_struct).alias("part_spans"),
+        F.max(F.col("sig_present").cast("int")).alias("p_sig"),
+        F.max("sig_conf").alias("p_sig_conf"),
+        F.max(F.col("stamp_present").cast("int")).alias("p_stamp"),
+        F.max("stamp_conf").alias("p_stamp_conf"),
+        F.min(_kv_cand("kv_dealer")).alias("p_kv_dealer"),
+        F.min(_kv_cand("kv_model")).alias("p_kv_model"),
+        F.min(_kv_cand("kv_hp")).alias("p_kv_hp"),
+        F.min(_kv_cand("kv_cost")).alias("p_kv_cost"),
+        F.sum(F.col("payload_missing").cast("long")).alias("p_missing"),
+        F.sum("n_header").alias("p_header"),
+        F.sum("n_body").alias("p_body"),
+        F.sum("n_footer").alias("p_footer"),
     )
-    doc = (
-        phase1.groupBy("doc_id")
-        .agg(
-            F.array_sort(F.flatten(F.collect_list("part_spans"))
-                         ).alias("sorted_spans"),
-            (F.max("p_sig") == 1).alias("signature_present"),
-            F.max("p_sig_conf").alias("signature_conf"),
-            (F.max("p_stamp") == 1).alias("stamp_present"),
-            F.max("p_stamp_conf").alias("stamp_conf"),
-            F.min("p_kv_dealer").getField("v").alias("kv_dealer"),
-            F.min("p_kv_model").getField("v").alias("kv_model"),
-            F.min("p_kv_hp").getField("v").alias("kv_hp"),
-            F.min("p_kv_cost").getField("v").alias("kv_cost"),
-            F.sum("p_missing").alias("n_missing_payloads"),
-            # Doc-level header/body/footer block counts — the structured
-            # zones output of the reference OCR stage (ocr_service.py:
-            # 143-165), summed over the doc's media pages.
-            F.struct(
-                F.sum("p_header").alias("header"),
-                F.sum("p_body").alias("body"),
-                F.sum("p_footer").alias("footer"),
-            ).alias("zones"),
-        )
+    aggs2 = (
+        F.array_sort(F.flatten(F.collect_list("part_spans"))
+                     ).alias("sorted_spans"),
+        (F.max("p_sig") == 1).alias("signature_present"),
+        F.max("p_sig_conf").alias("signature_conf"),
+        (F.max("p_stamp") == 1).alias("stamp_present"),
+        F.max("p_stamp_conf").alias("stamp_conf"),
+        F.min("p_kv_dealer").getField("v").alias("kv_dealer"),
+        F.min("p_kv_model").getField("v").alias("kv_model"),
+        F.min("p_kv_hp").getField("v").alias("kv_hp"),
+        F.min("p_kv_cost").getField("v").alias("kv_cost"),
+        F.sum("p_missing").alias("n_missing_payloads"),
+        # Doc-level header/body/footer block counts — the structured
+        # zones output of the reference OCR stage (ocr_service.py:
+        # 143-165), summed over the doc's media pages.
+        F.struct(
+            F.sum("p_header").alias("header"),
+            F.sum("p_body").alias("body"),
+            F.sum("p_footer").alias("footer"),
+        ).alias("zones"),
     )
-    return doc.withColumn(
-        "combined_text",
-        F.array_join(
-            F.transform("sorted_spans", lambda s: s.getField("span_text")),
-            C.PAGE_BREAK,
-        ),
+    combined = F.array_join(
+        F.transform("sorted_spans", lambda s: s.getField("span_text")),
+        C.PAGE_BREAK,
     )
+    return salt_col, aggs1, aggs2, combined
 
 
 def _ensemble(df: DataFrame) -> DataFrame:
     """patterns -> fuzzy (strictly-greater conf) -> kv fill (missing or
     conf<0.5) -> range nulling + trim. Pure CASE expressions."""
+    stage1, stage2 = _ensemble_exprs()
+    return (df.withColumns(stage1).withColumns(stage2)
+            .drop("d_val", "d_conf", "d_method", "m_val", "m_conf",
+                  "m_method", "h_val", "h_conf", "h_method", "c_val",
+                  "c_conf", "c_method"))
+
+
+@lru_cache(maxsize=None)
+def _ensemble_exprs() -> tuple:
     fz_d_conf = F.col("fz.dealer_score") / 100.0
     fz_m_conf = F.col("fz.model_score") / 100.0
     use_fd = F.col("fz.dealer_match").isNotNull() & \
@@ -380,7 +434,7 @@ def _ensemble(df: DataFrame) -> DataFrame:
     use_fm = F.col("fz.model_match").isNotNull() & \
         (fz_m_conf > F.col("pat_model_conf"))
 
-    df = df.withColumns({
+    stage1 = {
         "d_val": F.when(use_fd, F.col("fz.dealer_match"))
                   .otherwise(F.col("pat_dealer")),
         "d_conf": F.when(use_fd, fz_d_conf).otherwise(F.col("pat_dealer_conf")),
@@ -397,7 +451,7 @@ def _ensemble(df: DataFrame) -> DataFrame:
         "c_val": F.col("pat_cost"),
         "c_conf": F.col("pat_cost_conf"),
         "c_method": F.when(F.col("pat_cost").isNotNull(), F.lit("pattern")),
-    })
+    }
 
     # KV fill — normalization mirrors functions.extraction.normalize_kv_value.
     kv_hp = F.nullif(F.regexp_replace("kv_hp", "[^0-9]", ""), F.lit("")) \
@@ -427,7 +481,7 @@ def _ensemble(df: DataFrame) -> DataFrame:
     # Post-process: range nulling + trim (field_extractor.py:394-419).
     hp_ok = h_val.between(C.HP_MIN, C.HP_MAX)
     cost_ok = c_val.between(float(C.COST_MIN), float(C.COST_MAX))
-    return df.withColumns({
+    stage2 = {
         "dealer_name": X.py_strip(d_val),
         "dealer_conf": d_conf,
         "dealer_method": d_method,
@@ -440,8 +494,8 @@ def _ensemble(df: DataFrame) -> DataFrame:
         "asset_cost": F.when(cost_ok, c_val),
         "cost_conf": F.when(cost_ok, c_conf).otherwise(0.0),
         "cost_method": c_method,
-    }).drop("d_val", "d_conf", "d_method", "m_val", "m_conf", "m_method",
-            "h_val", "h_conf", "h_method", "c_val", "c_conf", "c_method")
+    }
+    return stage1, stage2
 
 
 def _validate(df: DataFrame) -> DataFrame:
@@ -452,8 +506,7 @@ def _validate(df: DataFrame) -> DataFrame:
     pipeline — measured 3x the full-pipeline cost. A memoized scalar UDF
     touches each row once and pays difflib only per distinct value per
     worker (the live domain is ~the 24 master strings)."""
-    dealer_udf = _make_valid_udf(C.DEALER_MASTER, C.FUZZY_DEALER_VALID_MIN)
-    model_udf = _make_valid_udf(C.MODEL_MASTER, C.FUZZY_MODEL_VALID_MIN)
+    dealer_udf, model_udf = _valid_udfs()
     return (
         df.withColumn("dv", dealer_udf("dealer_name"))
         .withColumn("mv", model_udf("model_name"))
@@ -467,31 +520,64 @@ def _validate(df: DataFrame) -> DataFrame:
     )
 
 
+@lru_cache(maxsize=None)
+def _valid_udfs() -> tuple:
+    return (_make_valid_udf(C.DEALER_MASTER, C.FUZZY_DEALER_VALID_MIN),
+            _make_valid_udf(C.MODEL_MASTER, C.FUZZY_MODEL_VALID_MIN))
+
+
 def extract(docs_df: DataFrame, payloads_df: DataFrame,
             salt_buckets: int = C.MEDIA_SALT_BUCKETS) -> DataFrame:
     """Full pipeline: interleaved docs + payloads -> extractions table
     (one row per doc: fields, confidences, detections, reassembled spans)."""
-    parsed = parse_spans(docs_df, payloads_df)
+    return _finish(parse_spans(docs_df, payloads_df), salt_buckets)
+
+
+def extract_from_spans(spans_prepped: DataFrame, payloads_keyed: DataFrame,
+                       salt_buckets: int = C.MEDIA_SALT_BUCKETS) -> DataFrame:
+    """Full pipeline over pre-prepped span/payload tables (span_prep
+    schema, payloads keyed by `_jk`) — the entry the bucketed storage
+    layout (sources/bucketed.py) uses to run the payload join with zero
+    exchanges. Output is identical to extract() on the original inputs."""
+    return _finish(parse_spans_from(spans_prepped, payloads_keyed),
+                   salt_buckets)
+
+
+def _finish(parsed: DataFrame, salt_buckets: int) -> DataFrame:
     doc = reassemble(parsed, salt_buckets)
     doc = X.with_pattern_fields(doc, "combined_text")
+    gate_cols, fz_raw, fz, overall, out_spans = _finish_exprs()
+    doc = (doc.withColumns(gate_cols)
+           .withColumn("fz_raw", fz_raw)
+           .withColumn("fz", fz)
+           .drop("d_verb", "m_verb", "fz_raw"))
+    doc = _ensemble(doc)
+    doc = _validate(doc)
+    return (doc.withColumn("overall_confidence", overall)
+            .withColumn("out_spans", out_spans)
+            .drop("sorted_spans", "fz", "kv_dealer", "kv_model", "kv_hp",
+                  "kv_cost", "pat_hp", "pat_cost", "pat_model", "pat_dealer",
+                  "pat_hp_conf", "pat_cost_conf", "pat_model_conf",
+                  "pat_dealer_conf"))
 
+
+@lru_cache(maxsize=None)
+def _finish_exprs() -> tuple:
     # JVM verbatim pre-gate: resolve score-100 matches with contains()
     # cascades (whole-stage codegen) and hand Python ONLY the rows/lists it
     # still owns — difflib never runs for a doc whose dealer AND model
     # appear verbatim (~70-75% of the corpus; exactness argued at
     # _first_verbatim/_assert_gate_sound).
     up = F.upper(F.col("combined_text"))
-    doc = doc.withColumns({
+    gate_cols = {
         "d_verb": _first_verbatim(up, C.DEALER_MASTER),
         "m_verb": _first_verbatim(up, C.MODEL_MASTER),
-    })
+    }
     need_d = F.col("d_verb").isNull()
     need_m = F.col("m_verb").isNull()
-    doc = doc.withColumn(
-        "fz_raw",
-        _fuzzy_udf(F.when(need_d | need_m, F.col("combined_text")),
-                   need_d, need_m))
-    doc = doc.withColumn("fz", F.struct(
+    fz_raw = _fuzzy_udf(F.when(need_d | need_m, F.col("combined_text")),
+                        need_d, need_m)
+    fz = F.struct(
         F.coalesce(F.col("d_verb"), F.col("fz_raw.dealer_match"))
          .alias("dealer_match"),
         F.when(~need_d, F.lit(100)).otherwise(F.col("fz_raw.dealer_score"))
@@ -500,19 +586,14 @@ def extract(docs_df: DataFrame, payloads_df: DataFrame,
          .alias("model_match"),
         F.when(~need_m, F.lit(100)).otherwise(F.col("fz_raw.model_score"))
          .alias("model_score"),
-    )).drop("d_verb", "m_verb", "fz_raw")
-    doc = _ensemble(doc)
-    doc = _validate(doc)
+    )
 
     confs = F.array("dealer_conf", "model_conf", "hp_conf", "cost_conf",
                     "signature_conf", "stamp_conf")
     pos = F.filter(confs, lambda c: c > 0)
-    doc = doc.withColumn(
-        "overall_confidence",
-        F.when(F.size(pos) > 0,
-               F.aggregate(pos, F.lit(0.0), lambda a, x: a + x)
-               / F.size(pos)),
-    )
+    overall = F.when(
+        F.size(pos) > 0,
+        F.aggregate(pos, F.lit(0.0), lambda a, x: a + x) / F.size(pos))
 
     out_spans = F.transform(
         "sorted_spans",
@@ -523,11 +604,7 @@ def extract(docs_df: DataFrame, payloads_df: DataFrame,
             s.getField("offset").alias("order"),
         ),
     )
-    return doc.withColumn("out_spans", out_spans).drop(
-        "sorted_spans", "fz", "kv_dealer", "kv_model", "kv_hp", "kv_cost",
-        "pat_hp", "pat_cost", "pat_model", "pat_dealer",
-        "pat_hp_conf", "pat_cost_conf", "pat_model_conf", "pat_dealer_conf",
-    )
+    return gate_cols, fz_raw, fz, overall, out_spans
 
 
 def output_spans(extractions: DataFrame) -> DataFrame:

@@ -32,3 +32,34 @@ def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the executed plan."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange hashpartitioning")
+
+
+def ingest_extraction_tables(spark: SparkSession, docs_df: DataFrame,
+                             payloads_df: DataFrame, prefix: str,
+                             buckets: int = 16) -> tuple:
+    """Persist the extraction inputs in the exchange-free storage layout:
+    span_prep output and the payload table both bucketed by the payload
+    join key `_jk` with the same bucket count.
+
+    This is the documented at-scale layout (SCALE.md exchange budget rows
+    1+2): the payload join is an equi-join on a unique key, so storing
+    both sides pre-hashed by that key removes both of its exchanges — at
+    100 TB the join's shuffle IS those two exchanges' network bill, and
+    the boilerplate-strip UDF cost lands once at ingest instead of once
+    per downstream run. Returns (spans_table, payloads_table)."""
+    from ..plans.pipeline import span_prep
+
+    spans_t, pays_t = f"{prefix}_spans", f"{prefix}_payloads"
+    write_bucketed(span_prep(docs_df), spans_t, "_jk", buckets)
+    write_bucketed(payloads_df.withColumnRenamed("media_ref", "_jk"),
+                   pays_t, "_jk", buckets)
+    return spans_t, pays_t
+
+
+def extract_bucketed(spark: SparkSession, prefix: str) -> DataFrame:
+    """Extraction pipeline over an ingest_extraction_tables layout: the
+    payload join plans with zero exchanges (plan-asserted in tests)."""
+    from ..plans.pipeline import extract_from_spans
+
+    return extract_from_spans(spark.table(f"{prefix}_spans"),
+                              spark.table(f"{prefix}_payloads"))

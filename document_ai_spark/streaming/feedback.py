@@ -60,6 +60,46 @@ def similar_feedback(feedback: DataFrame, doc_type: str,
     )
 
 
+def stream_dedup(spark: SparkSession, in_dir: str, index_root: str,
+                 pairs_dir: str, checkpoint_dir: str,
+                 jaccard_min: float = 0.5):
+    """Incremental near-dup detection over a document stream: each
+    micro-batch is deduped against the PERSISTED sketch index (batch
+    internal + batch-vs-all-previous), its pairs land under
+    ``pairs_dir/batch=<id>/``, and its sketches are committed to the
+    index for the next batch (operators/sketch_index.py).
+
+    Exactly-once across restarts: foreachBatch replays a batch with the
+    SAME batch_id, append_and_find is idempotent per batch_id, and the
+    per-batch output directory is overwritten, not appended. Returns the
+    StreamingQuery."""
+    from ..operators.sketch_index import SketchIndex
+
+    idx = SketchIndex(index_root)
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = idx.append_and_find(
+            spark, batch_df.select("doc_id", "text"),
+            batch_id=f"stream-{batch_id}", jaccard_min=jaccard_min)
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_dir}/batch={batch_id}")
+
+    return (
+        stream.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_extract(spark: SparkSession, in_dir: str, out_dir: str,
                    checkpoint_dir: str, payloads_df: DataFrame):
     """Structured Streaming ingest: watch in_dir for new interleaved-doc

@@ -48,3 +48,32 @@ def test_bucketed_join_has_no_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_bucketed_extraction_drops_two_exchanges(spark, corpus_dfs):
+    """Extraction on the bucketed storage layout: the payload join's two
+    exchanges disappear from the plan and the output stays identical."""
+    from document_ai_spark.plans.pipeline import extract
+    from document_ai_spark.sources.bucketed import (
+        extract_bucketed,
+        ingest_extraction_tables,
+    )
+
+    docs_df, payloads_df = corpus_dfs
+    ingest_extraction_tables(spark, docs_df, payloads_df,
+                             "t_extract_b", buckets=8)
+    try:
+        plain = extract(docs_df, payloads_df)
+        bucketed = extract_bucketed(spark, "t_extract_b")
+        n_plain, n_bucketed = exchange_count(plain), exchange_count(bucketed)
+        assert n_bucketed == n_plain - 2, (
+            f"expected 2 fewer exchanges, got {n_plain} -> {n_bucketed}")
+
+        cols = ["doc_id", "dealer_name", "model_name", "horse_power",
+                "asset_cost", "overall_confidence", "combined_text"]
+        rows_p = sorted(map(tuple, plain.select(cols).collect()))
+        rows_b = sorted(map(tuple, bucketed.select(cols).collect()))
+        assert rows_p == rows_b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_extract_b_spans")
+        spark.sql("DROP TABLE IF EXISTS t_extract_b_payloads")
