@@ -1606,6 +1606,91 @@ FROM per ORDER BY lang, source
 """
 
 
+def _q_curation_budget(spark, sf):
+    """End-to-end curation composition (operators/curation.py): quality
+    gate -> near-dup cluster removal -> per-(lang, source) token budget,
+    over the dup-planted corpus (mutated copies keep lang/source)."""
+    from document_ai_spark.operators.curation import curate
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang", "source")
+    mut = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("array_join(slice(split(trim(text), '\\\\s+'), 2, "
+               "size(split(trim(text), '\\\\s+'))), ' ')").alias("text"),
+        "lang", "source")
+    return curate(d.unionByName(mut), quality_min=0.8, jaccard_min=0.5)
+
+
+_SQL_CURATION_BUDGET = f"""
+WITH RECURSIVE
+base AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(list_slice(str_split_regex(trim(text), '\\s+'), 2,
+                         len(str_split_regex(trim(text), '\\s+'))), ' ')
+           AS text,
+         lang, source FROM documents),
+scored AS (
+  SELECT doc_id, text, lang, source,
+         ROUND((CASE WHEN n < 10 THEN n/10.0 WHEN n > 1000 THEN 0.5
+                     ELSE 1.0 END) * 0.6
+               + (CASE WHEN sr BETWEEN 0.05 AND 0.6 THEN 1.0
+                       ELSE 0.5 END) * 0.4, 6) AS quality_score
+  FROM (SELECT doc_id, text, lang, source, len(toks) AS n,
+               ROUND(len(list_filter(toks,
+                   w -> list_contains({_STOP_SQL}, lower(w))))
+                     / len(toks), 6) AS sr
+        FROM (SELECT doc_id, text, lang, source,
+                     str_split_regex(trim(text), '\\s+') AS toks
+              FROM base))),
+q AS (SELECT doc_id, text, lang, source FROM scored
+      WHERE quality_score >= 0.8),
+sk AS (
+  SELECT doc_id,
+         list_slice(list_sort(list_distinct(
+             list_transform({_SHINGLE_SQL}, s -> md5(s)))), 1, 8) AS sketch
+  FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks FROM q)),
+banded AS (
+  SELECT doc_id, sketch, t.b AS band,
+         md5(array_to_string(list_slice(sketch, t.b*2 + 1, t.b*2 + 2), '|'))
+         AS band_hash
+  FROM sk, range(0, 4) t(b)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.sketch) AS sk_a, any_value(b.sketch) AS sk_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE len(list_intersect(sk_a, sk_b))
+        / len(list_distinct(sk_a || sk_b)) >= 0.5),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT DISTINCT u AS doc_id, u AS r FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.doc_id = e.v),
+clusters AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id),
+kept AS (
+  SELECT * FROM q WHERE doc_id NOT IN
+    (SELECT doc_id FROM clusters WHERE doc_id != cluster)),
+est AS (
+  SELECT lang, source, {_TOKEN_EST_SQL} AS token_estimate FROM kept),
+per AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(token_estimate) AS BIGINT) AS total_tokens,
+         ROUND(AVG(token_estimate), 6) AS avg_tokens
+  FROM est GROUP BY lang, source)
+SELECT lang, source, n_docs, total_tokens, avg_tokens,
+       ROUND(total_tokens / (SELECT CAST(SUM(total_tokens) AS DOUBLE)
+                             FROM per), 6) AS budget_share
+FROM per ORDER BY lang, source
+"""
+
+
 def _q_incremental_near_dup(spark, sf):
     """k-batch INCREMENTAL near-dup via the persisted sketch index
     (operators/sketch_index.py): the oracle is the plain corpus-wide
@@ -1699,6 +1784,7 @@ _REGISTRY: dict[str, tuple] = {
     "token_estimate": (_q_token_estimate, _SQL_TOKEN_ESTIMATE),
     "token_budget": (_q_token_budget, _SQL_TOKEN_BUDGET),
     "incremental_near_dup": (_q_incremental_near_dup, _SQL_BANDED_NEAR_DUP),
+    "curation_budget": (_q_curation_budget, _SQL_CURATION_BUDGET),
 }
 
 

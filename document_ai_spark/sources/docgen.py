@@ -354,8 +354,14 @@ def build_corpus_df(spark, n_docs: int, seed: int = 42, partitions: int = 32):
             rows = []
             for i in pdf["id"]:
                 rows.extend(gen_doc(int(i), seed)[1])
+            # Empty batch: columns MUST be object-typed — a bare
+            # pd.DataFrame({...: []}) defaults to float64 and Arrow
+            # cannot convert float64 -> list<struct> (hit whenever a
+            # partition draws no media docs, i.e. small corpora spread
+            # over many partitions).
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
-                {f.name: [] for f in payload_schema().fields})
+                {f.name: pd.Series([], dtype=object)
+                 for f in payload_schema().fields})
 
     payloads = base.mapInPandas(gen_payloads, schema=payload_schema())
     return docs, payloads
