@@ -1711,6 +1711,88 @@ def _q_incremental_near_dup(spark, sf):
     return out.orderBy("doc_a", "doc_b")
 
 
+def _q_repetition_stats(spark, sf):
+    """Gopher-style per-doc repetition filters (operators/textquality.py
+    repetition_stats): dup-line fraction, top-bigram token fraction,
+    symbol-to-word ratio — computed relationally (explode + two grouped
+    counts), never a per-row distinct-count loop."""
+    from document_ai_spark.operators.textquality import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+_SQL_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, text, str_split_regex(trim(text), '\\s+') AS t
+  FROM documents),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_symbols
+  FROM toks),
+lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id, unnest(str_split(text, chr(10))) AS l
+        FROM documents)
+  WHERE trim(l) <> ''),
+line_stats AS (
+  SELECT doc_id, SUM(c) AS n_lines,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines
+  FROM (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY 1, 2)
+  GROUP BY doc_id),
+bigrams AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, greatest(len(t) - 1, 1)),
+      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bigram
+  FROM toks),
+bigram_stats AS (
+  SELECT doc_id, MAX(c) AS top_bigram_count
+  FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bigrams GROUP BY 1, 2)
+  GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(COALESCE(ls.dup_lines, 0) / COALESCE(ls.n_lines, 1), 6)
+         AS dup_line_frac,
+       ROUND(CASE WHEN b.n_tokens >= 2
+                  THEN bs.top_bigram_count * 2.0 / b.n_tokens
+                  ELSE 0.0 END, 6) AS top_bigram_frac,
+       ROUND(b.n_symbols / greatest(b.n_tokens, 1), 6) AS symbol_word_ratio
+FROM base b
+LEFT JOIN line_stats ls USING (doc_id)
+LEFT JOIN bigram_stats bs USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def _q_contamination(spark, sf):
+    """Benchmark decontamination (operators/curation.py contamination):
+    eval set = every 97th doc_id, blocklist = its distinct word 3-grams
+    (broadcast), corpus = the rest; returns per-doc distinct-hit counts."""
+    from document_ai_spark.operators.curation import contamination, eval_ngrams
+
+    d = _t(spark, sf, "documents")
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    evals = d.where(F.col("doc_id") % 97 == 0)
+    return (contamination(corpus, eval_ngrams(evals, n=3), n=3)
+            .orderBy("doc_id"))
+
+
+_SQL_CONTAMINATION = """
+WITH toks AS (
+  SELECT doc_id, str_split_regex(trim(text), '\\s+') AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, greatest(len(t) - 2, 1)),
+      i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS ngram
+  FROM toks),
+block AS (SELECT DISTINCT ngram FROM grams WHERE doc_id % 97 = 0)
+SELECT g.doc_id, COUNT(DISTINCT g.ngram) AS n_hits
+FROM grams g JOIN block USING (ngram)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple] = {
@@ -1785,6 +1867,8 @@ _REGISTRY: dict[str, tuple] = {
     "token_budget": (_q_token_budget, _SQL_TOKEN_BUDGET),
     "incremental_near_dup": (_q_incremental_near_dup, _SQL_BANDED_NEAR_DUP),
     "curation_budget": (_q_curation_budget, _SQL_CURATION_BUDGET),
+    "repetition_stats": (_q_repetition_stats, _SQL_REPETITION),
+    "contamination": (_q_contamination, _SQL_CONTAMINATION),
 }
 
 

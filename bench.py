@@ -85,6 +85,21 @@ def _run_headline(spark) -> dict:
     return out
 
 
+# Shuffle partitions for the scaling pair: a CONSTANT, sized to the DATA
+# (60k docs ≈ 90 MB post-strip → 16 × ~6 MB tasks), identical at both
+# cluster sizes — exactly how a real cluster sizes shuffles (partition
+# count follows data volume, not executor count; growing the cluster
+# shrinks tasks-per-executor, not task count). Round 3 finding: scaling
+# partitions WITH the thread count (old: threads*8) charged the 4N leg
+# 4x the per-task fixed overhead (Arrow stream setup + Python runner
+# init per task, measured ~0.3-0.5 s/task on UDF stages) and read as a
+# 0.61 "efficiency" that was really asymmetric task overhead: at 64 vs
+# 16 partitions the identical job measured 25.2 s vs 13.8 s at 8
+# threads. With the constant, both legs pay identical total overhead
+# and the ratio isolates actual scaling.
+SCALE_SHUFFLE = int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "16"))
+
+
 def _extraction_trial(master_threads: int, corpus_dir: str) -> float:
     """One cold SparkSession at the given parallelism; one timed run."""
     from document_ai_spark.plans.pipeline import extract
@@ -92,7 +107,7 @@ def _extraction_trial(master_threads: int, corpus_dir: str) -> float:
 
     spark = get_spark(f"bench-extract-{master_threads}",
                       master=f"local[{master_threads}]",
-                      shuffle_partitions=master_threads * 8,
+                      shuffle_partitions=SCALE_SHUFFLE,
                       extra_conf=_SCALING_CONF)
     # Benign PythonAccumulatorV2 teardown traces (stale accumulator socket
     # from the previous stopped session) would otherwise land in the

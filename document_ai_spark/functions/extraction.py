@@ -284,27 +284,77 @@ def _ascii_digits(col):
     return F.translate(col, _DEVANAGARI_DIGITS, "0123456789")
 
 
-def hp_col(text):
+# ---------------------------------------------------------------------------
+# Keyword pre-screens for the pattern regexes.
+#
+# Java regex scans the FULL text per pattern (~6-15 us/KB); String.contains
+# is an intrinsified indexOf (~20x cheaper). Each guard below is a SOUND
+# superset of its regex — the guard literals appear verbatim (case-folded)
+# in every possible match, so `guard == false` implies `no match` and the
+# regex can be skipped under a codegen branch. Measured corpus hit rates
+# (bench corpus, sf0.1): HORSE/ONLY/अश्वशक्ति 0.0, एचपी 0.18, AMOUNT 0.22,
+# COST 0.23, TOTAL 0.51, HP 0.75 — i.e. most of the 17 full-text regex
+# scans are skipped for most documents. Soundness is property-tested
+# against the unguarded forms in tests/test_extraction_parity.py.
+# Keys are indices into the corresponding *_PATTERNS list; a missing key
+# means no useful guard exists (e.g. cost[0]'s 'RS' hits 99% of docs).
+# ---------------------------------------------------------------------------
+_HP_GUARDS = {0: ["HP"], 1: ["HP", "H.P"], 2: ["HP"], 3: ["HORSE"],
+              4: ["एचपी"], 5: ["अश्वशक्ति"]}
+_COST_GUARDS = {1: ["TOTAL"], 2: ["GRAND"], 3: ["AMOUNT"], 4: ["FULL"],
+                5: ["ONLY"], 6: ["COST"]}
+_MODEL_GUARDS = {0: ["MODEL"]}
+
+
+def _guard(up, literals):
+    """OR of upper-cased contains checks; None literals -> no guard."""
+    F = _F()
+    g = None
+    for lit in literals:
+        c = up.contains(F.lit(lit))
+        g = c if g is None else (g | c)
+    return g
+
+
+def hp_col(text, up=None):
     """HP cascade as coalesce over per-pattern validated extracts.
 
     (?U) matches Python re's Unicode-aware \\d/\\s (field_extractor.py
-    uses `re` defaults, which match Devanagari digits)."""
+    uses `re` defaults, which match Devanagari digits). `up` is an
+    optional pre-computed upper(text) column the keyword guards run
+    against (computed inline when absent)."""
     F = _F()
+    if up is None:
+        up = F.upper(text)
     candidates = []
-    for pat in C.HP_PATTERNS:
+    for i, pat in enumerate(C.HP_PATTERNS):
         # try_cast: '' (no match) and malformed digits become NULL, matching
         # the reference's swallowed ValueError (field_extractor.py:183).
         v = _ascii_digits(F.regexp_extract(text, "(?iU)" + pat, 1)) \
             .try_cast("int")
-        candidates.append(F.when(v.between(C.HP_MIN, C.HP_MAX), v))
+        cand = F.when(v.between(C.HP_MIN, C.HP_MAX), v)
+        if i in _HP_GUARDS:
+            cand = F.when(_guard(up, _HP_GUARDS[i]), cand)
+        candidates.append(cand)
     return F.coalesce(*candidates)
 
 
-def cost_col(text):
-    """All-pattern findall -> clean -> filter>10k -> max, as array exprs."""
+def cost_col(text, up=None):
+    """All-pattern findall -> clean -> filter>10k -> max, as array exprs.
+
+    findall can't short-circuit (every pattern's matches feed the max),
+    so the keyword guards replace a skipped pattern's array with a typed
+    empty array before the concat."""
     F = _F()
-    arrays = [F.regexp_extract_all(text, F.lit("(?iU)" + pat), 1)
-              for pat in C.COST_PATTERNS]
+    if up is None:
+        up = F.upper(text)
+    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+    arrays = []
+    for i, pat in enumerate(C.COST_PATTERNS):
+        arr = F.regexp_extract_all(text, F.lit("(?iU)" + pat), 1)
+        if i in _COST_GUARDS:
+            arr = F.when(_guard(up, _COST_GUARDS[i]), arr).otherwise(empty)
+        arrays.append(arr)
     allm = F.concat(*arrays)
     nums = F.transform(
         allm,
@@ -316,11 +366,13 @@ def cost_col(text):
     return F.array_max(valid)
 
 
-def model_col(text):
+def model_col(text, up=None):
     """Model cascade; 2-group pattern joins groups with a space."""
     F = _F()
+    if up is None:
+        up = F.upper(text)
     candidates = []
-    for pat, n_groups in C.MODEL_PATTERNS:
+    for i, (pat, n_groups) in enumerate(C.MODEL_PATTERNS):
         jpat = "(?iU)" + pat
         if n_groups == 1:
             raw = F.regexp_extract(text, jpat, 1)
@@ -330,8 +382,22 @@ def model_col(text):
             g2 = F.regexp_extract(text, jpat, 2)
             raw = F.when(g1 != "", F.concat_ws(" ", g1, g2))
         v = py_strip(raw)
-        candidates.append(F.when(F.length(v) > C.MODEL_MIN_LEN, v))
+        cand = F.when(F.length(v) > C.MODEL_MIN_LEN, v)
+        if i in _MODEL_GUARDS:
+            cand = F.when(_guard(up, _MODEL_GUARDS[i]), cand)
+        candidates.append(cand)
     return F.coalesce(*candidates)
+
+
+# Per-line keyword guards for the dealer patterns (case-SENSITIVE, like
+# the patterns): every possible match of pattern i contains one of these
+# literals verbatim, so a line without all of them skips that regex.
+_DEALER_GUARDS = {
+    0: ["Ltd", "Limited", "Corporation", "Tractors", "Sales", "Dealer"],
+    1: ["Dealer"],
+    2: ["Tractors"],
+    3: ["Agro", "Agriculture", "Industries"],
+}
 
 
 def dealer_col(text):
@@ -344,10 +410,11 @@ def dealer_col(text):
     def per_line(line):
         stripped = py_strip(line)
         cands = []
-        for pat in C.DEALER_PATTERNS:
+        for i, pat in enumerate(C.DEALER_PATTERNS):
             # (?U) only — dealer matching stays case-SENSITIVE.
             v = py_strip(F.regexp_extract(stripped, "(?U)" + pat, 1))
-            cands.append(F.when(F.length(v) > C.DEALER_MIN_LEN, v))
+            cand = F.when(F.length(v) > C.DEALER_MIN_LEN, v)
+            cands.append(F.when(_guard(line, _DEALER_GUARDS[i]), cand))
         return F.coalesce(*cands)
 
     per_line_hits = F.filter(
@@ -360,9 +427,17 @@ def dealer_col(text):
 
 
 def with_pattern_fields(df, text_col: str = "combined_text"):
-    """Add pat_* value/confidence columns for all four fields."""
+    """Add pat_* value/confidence columns for all four fields.
+
+    The upper-cased text the keyword guards scan is materialized ONCE as
+    a scratch column (`_pf_up`) rather than re-derived inside each of the
+    ~14 guard expressions — one byte-copy per row instead of one per
+    guard (subexpression elimination would usually dedupe it, but an
+    explicit attribute makes the single evaluation structural)."""
+    F = _F()
     vals, confs = _pattern_field_cols(text_col)
-    return df.withColumns(vals).withColumns(confs)
+    return (df.withColumn("_pf_up", F.upper(F.col(text_col)))
+            .withColumns(vals).withColumns(confs).drop("_pf_up"))
 
 
 @_lru_cache(maxsize=None)
@@ -371,10 +446,11 @@ def _pattern_field_cols(text_col: str):
     of py4j calls; see plans/pipeline.py plan-build cost note)."""
     F = _F()
     text = F.col(text_col)
+    up = F.col("_pf_up")
     vals = {
-        "pat_hp": hp_col(text),
-        "pat_cost": cost_col(text),
-        "pat_model": model_col(text),
+        "pat_hp": hp_col(text, up),
+        "pat_cost": cost_col(text, up),
+        "pat_model": model_col(text, up),
         "pat_dealer": dealer_col(text),
     }
     confs = {

@@ -44,3 +44,38 @@ def curate(docs: DataFrame, quality_min: float = 0.8,
               .select("doc_id"))
     kept = q.join(losers, "doc_id", "left_anti")
     return token_budget(kept)
+
+
+def eval_ngrams(eval_docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-grams of an evaluation/benchmark set: the
+    contamination blocklist. Eval sets are small (10^3-10^5 docs), so
+    the result broadcasts."""
+    from .dedup import _word_shingles
+    return (eval_docs
+            .select(F.explode(_word_shingles(n)).alias("ngram"))
+            .distinct())
+
+
+def contamination(docs: DataFrame, blocklist: DataFrame, n: int = 3
+                  ) -> DataFrame:
+    """Per-document benchmark-contamination hits: (doc_id, n_hits) for
+    every doc sharing >= 1 word n-gram with the eval blocklist.
+
+    The standard decontamination step before training (GPT-3 appendix C
+    style, word-n-gram variant). Scale shape: the corpus streams ONCE —
+    explode n-grams map-side, inner-join against the BROADCAST blocklist
+    (no corpus shuffle on the join), then one groupBy(doc_id) with
+    map-side partial counts. No stage carries more than
+    (doc_id, ngram)-sized rows."""
+    from .dedup import _word_shingles
+    grams = docs.select("doc_id", F.explode(_word_shingles(n)).alias("ngram"))
+    return (grams.join(F.broadcast(blocklist), "ngram")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("ngram").alias("n_hits")))
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 3
+                  ) -> DataFrame:
+    """Corpus minus every document contaminated by the eval set."""
+    hits = contamination(docs, eval_ngrams(eval_docs, n), n)
+    return docs.join(hits.select("doc_id"), "doc_id", "left_anti")

@@ -183,3 +183,66 @@ def tfidf_top_terms(df: DataFrame, k: int = 20) -> DataFrame:
                 * F.log((F.col("n_docs") + 1) / (F.col("doc_freq") + 1)), 6)
         .alias("tfidf"))
     return (scored.orderBy(F.desc("tfidf"), F.asc("word")).limit(k))
+
+
+def repetition_stats(df: DataFrame) -> DataFrame:
+    """Per-document Gopher-style repetition statistics (Rae et al. 2021,
+    "Scaling Language Models", Table A1 — the standard pretraining
+    repetition filters):
+
+      * dup_line_frac     — fraction of (non-empty, trimmed) lines that
+                            are occurrences of a line appearing more than
+                            once in the document
+      * top_bigram_frac   — fraction of tokens covered by the document's
+                            most frequent word bigram (count*2 / n_tokens)
+      * symbol_word_ratio — non-alphanumeric symbol count / token count
+
+    Scale shape: the per-line and per-bigram counts are RELATIONAL
+    (explode -> groupBy(doc_id, item) -> groupBy(doc_id)), not per-row
+    HOF loops — a 10 MB pathological document costs O(items) across the
+    cluster instead of O(items * distinct) inside one task, and both
+    shuffles get map-side partial aggregation. Joins back to the doc
+    table are on doc_id only."""
+    base = df.select(
+        "doc_id",
+        F.size(tokens_col()).alias("n_tokens"),
+        F.expr("size(regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0))")
+        .alias("n_symbols"),
+    )
+    lines = (df.select("doc_id",
+                       F.explode(F.split("text", "\n")).alias("line"))
+             .select("doc_id", F.trim("line").alias("line"))
+             .where(F.col("line") != ""))
+    line_stats = (lines.groupBy("doc_id", "line")
+                  .agg(F.count("*").alias("c"))
+                  .groupBy("doc_id")
+                  .agg(F.sum("c").alias("n_lines"),
+                       F.sum(F.when(F.col("c") > 1, F.col("c"))
+                             .otherwise(F.lit(0))).alias("dup_lines")))
+    toks = tokens_col()
+    bigram_arr = F.expr(
+        "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 1, 1)), "
+        "i -> array_join(slice(split(trim(text), '\\\\s+'), i, 2), ' '))")
+    bigrams = df.select("doc_id", F.explode(bigram_arr).alias("bigram"))
+    bigram_stats = (bigrams.groupBy("doc_id", "bigram")
+                    .agg(F.count("*").alias("c"))
+                    .groupBy("doc_id")
+                    .agg(F.max("c").alias("top_bigram_count")))
+    return (base
+            .join(line_stats, "doc_id", "left")
+            .join(bigram_stats, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.round(F.coalesce(F.col("dup_lines"), F.lit(0))
+                        / F.coalesce(F.col("n_lines"), F.lit(1)), 6)
+                .alias("dup_line_frac"),
+                F.round(F.when(F.col("n_tokens") >= 2,
+                               F.col("top_bigram_count") * 2.0
+                               / F.col("n_tokens"))
+                        .otherwise(F.lit(0.0)), 6)
+                .alias("top_bigram_frac"),
+                F.round(F.col("n_symbols")
+                        / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+                .alias("symbol_word_ratio"),
+            ))
