@@ -144,8 +144,17 @@ def banded_near_dup_pairs(df: DataFrame, jaccard_min: float = 0.5,
     that differ in their minimum shingle but agree on ANY band — higher
     recall at the cost of `bands` shuffled copies of (doc_id, sketch).
     Pair expansion happens inside (band, bucket) groups, so the join is
-    still equi, never cross. Pairs found by several bands are de-duped
-    with a groupBy before the verify stage emits them once.
+    still equi, never cross. A pair agreeing on several bands is emitted
+    ONCE — at its FIRST colliding band, decided locally inside the
+    expansion (each side's sketch is in the bucket, so earlier-band
+    slices compare in-place) — which removes the pair-dedup shuffle an
+    explicit groupBy(doc_a, doc_b) would cost. At 10^12 docs that
+    shuffle is the largest intermediate in the whole dedup path (every
+    multi-band candidate pair, each carrying two sketches). Caveat under
+    the cap: a pair whose first-collision band was truncated by
+    `max_bucket` is dropped even if co-present in a later band — caps
+    only engage on adversarial buckets and the drop is observed, never
+    silent.
     """
     s = with_minhash_sketch(df).select("doc_id", "minhash_sketch")
     # One row per (band, band_hash): explode the sketch into band keys.
@@ -164,24 +173,31 @@ def banded_near_dup_pairs(df: DataFrame, jaccard_min: float = 0.5,
         .where(F.size("items") > 1)
     )
     grouped = _cap_bucket_items(grouped, max_bucket)
+    # First-collision-band filter: emit (x, y) in band b only when no
+    # earlier band b' < b bucketed them together (slice equality; equal
+    # slices <=> equal md5 band keys). Purely local — no dedup exchange.
+    first_band = (
+        "CASE WHEN band = 0 THEN true ELSE NOT exists("
+        "  transform(sequence(0, band - 1), b -> "
+        f"    slice(x.minhash_sketch, b * {rows} + 1, {rows}) == "
+        f"    slice(y.minhash_sketch, b * {rows} + 1, {rows})), "
+        "  t -> t) END"
+    )
     pairs = grouped.select(F.explode(F.expr(
         "flatten(transform(items, (x, i) -> "
-        "  transform(slice(items, i + 2, size(items)), y -> "
+        "  transform(filter(slice(items, i + 2, size(items)), "
+        f"            y -> {first_band}), y -> "
         "    struct(x.doc_id AS id_x, y.doc_id AS id_y, "
         "           x.minhash_sketch AS sk_a, y.minhash_sketch AS sk_b))))"
     )).alias("p")).select("p.*")
-    pairs = pairs.select(
-        F.least("id_x", "id_y").alias("doc_a"),
-        F.greatest("id_x", "id_y").alias("doc_b"),
-        "sk_a", "sk_b",
-    ).groupBy("doc_a", "doc_b").agg(
-        F.first("sk_a").alias("sk_a"), F.first("sk_b").alias("sk_b"))
     inter = F.size(F.array_intersect("sk_a", "sk_b"))
     union = F.size(F.array_union("sk_a", "sk_b"))
     return (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= jaccard_min)
-        .select("doc_a", "doc_b", "jaccard")
+        .select(F.least("id_x", "id_y").alias("doc_a"),
+                F.greatest("id_x", "id_y").alias("doc_b"),
+                "jaccard")
     )
 
 

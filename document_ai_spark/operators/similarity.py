@@ -260,31 +260,44 @@ def embedding_near_dups(emb: DataFrame, cos_min: float = 0.95,
     bucket. Pair expansion is intra-(band, bucket) only, buckets are
     capped at `max_bucket` with an observed drop metric, and bucket items
     are vec_id-sorted so pairs come out id_a < id_b without a
-    least/greatest pass. Pairs caught by several bands are de-duplicated
-    with a groupBy before the cosine verify."""
+    least/greatest pass. A pair colliding in several bands is emitted
+    ONCE — at its FIRST colliding band, decided locally from the bucket
+    vector each item carries — so no pair-dedup shuffle exists; at scale
+    that exchange (every multi-band candidate pair carrying two full
+    embeddings) is the path's largest intermediate. Cap caveat: a pair
+    whose first-collision band was truncated is dropped even if
+    co-present later; caps engage only on adversarial buckets and the
+    drop is observed."""
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    bucket_vec = F.array(*[
+        _band_bucket(F.col("emb"), band, rows) for band in range(bands)])
     band_keys = F.array(*[
         F.struct(F.lit(band).alias("band"),
-                 _band_bucket(F.col("emb"), band, rows).alias("bucket"))
+                 F.element_at("bks", band + 1).alias("bucket"))
         for band in range(bands)])
-    banded = (base.select("vec_id", "emb",
-                          F.explode(band_keys).alias("bk"))
-              .select("vec_id", "emb", "bk.band", "bk.bucket"))
+    banded = (base.withColumn("bks", bucket_vec)
+              .select("vec_id", "emb", "bks",
+                      F.explode(band_keys).alias("bk"))
+              .select("vec_id", "emb", "bks", "bk.band", "bk.bucket"))
     grouped = (
         banded.groupBy("band", "bucket")
-        .agg(F.collect_list(F.struct("vec_id", "emb")).alias("items"))
+        .agg(F.collect_list(F.struct("vec_id", "emb", "bks")).alias("items"))
         .where(F.size("items") > 1)
     )
     grouped = _cap_bucket_items(grouped, max_bucket)
+    first_band = (
+        "CASE WHEN band = 0 THEN true ELSE NOT exists("
+        "  slice(zip_with(x.bks, y.bks, (a, c) -> a = c), 1, band), "
+        "  t -> t) END"
+    )
     pairs = grouped.select(F.explode(F.expr(
         "flatten(transform(items, (x, i) -> "
-        "  transform(slice(items, i + 2, size(items)), y -> "
+        "  transform(filter(slice(items, i + 2, size(items)), "
+        f"            y -> {first_band}), y -> "
         "    struct(x.vec_id AS id_a, y.vec_id AS id_b, "
         "           x.emb AS emb_a, y.emb AS emb_b))))"
     )).alias("p")).select("p.*")
-    pairs = pairs.groupBy("id_a", "id_b").agg(
-        F.first("emb_a").alias("emb_a"), F.first("emb_b").alias("emb_b"))
     return (
         pairs.withColumn("cos_sim", F.round(_cosine("emb_a", "emb_b"), 6))
         .where(F.col("cos_sim") >= cos_min)

@@ -62,30 +62,47 @@ def banded_sketch_rows(df: DataFrame, bands: int = LSH_BANDS,
             .select("doc_id", "minhash_sketch", "bk.band", "bk.band_hash"))
 
 
-def _expand_pairs(grouped: DataFrame, max_bucket: int) -> DataFrame:
-    """(band,bucket) item lists -> candidate pairs with both sketches."""
+def _first_band_cond(sk_x: str, sk_y: str, rows: int) -> str:
+    """SQL condition: the current `band` is the FIRST band where the two
+    sketches' band slices agree — the local (shuffle-free) multi-band
+    pair dedup used across the dedup family (see
+    dedup.banded_near_dup_pairs)."""
+    return (
+        "CASE WHEN band = 0 THEN true ELSE NOT exists("
+        "  transform(sequence(0, band - 1), b -> "
+        f"    slice({sk_x}, b * {rows} + 1, {rows}) == "
+        f"    slice({sk_y}, b * {rows} + 1, {rows})), "
+        "  t -> t) END"
+    )
+
+
+def _expand_pairs(grouped: DataFrame, max_bucket: int,
+                  rows: int = LSH_ROWS) -> DataFrame:
+    """(band,bucket) item lists -> candidate pairs with both sketches,
+    each multi-band pair emitted once (first-collision band, locally)."""
     grouped = _cap_bucket_items(grouped, max_bucket)
+    cond = _first_band_cond("x.minhash_sketch", "y.minhash_sketch", rows)
     return grouped.select(F.explode(F.expr(
         "flatten(transform(items, (x, i) -> "
-        "  transform(slice(items, i + 2, size(items)), y -> "
+        "  transform(filter(slice(items, i + 2, size(items)), "
+        f"            y -> {cond}), y -> "
         "    struct(x.doc_id AS id_x, y.doc_id AS id_y, "
         "           x.minhash_sketch AS sk_a, y.minhash_sketch AS sk_b))))"
     )).alias("p")).select("p.*")
 
 
 def _verify(pairs: DataFrame, jaccard_min: float) -> DataFrame:
-    """Canonicalize, de-dup across bands/sources, sketch-Jaccard filter."""
-    pairs = pairs.select(
-        F.least("id_x", "id_y").alias("doc_a"),
-        F.greatest("id_x", "id_y").alias("doc_b"),
-        "sk_a", "sk_b",
-    ).groupBy("doc_a", "doc_b").agg(
-        F.first("sk_a").alias("sk_a"), F.first("sk_b").alias("sk_b"))
+    """Canonicalize and sketch-Jaccard filter. Pairs arrive already
+    unique: intra-batch and batch-vs-index sources are disjoint (the
+    index holds only earlier batches), and each source emits a
+    multi-band pair once via the first-collision-band filter."""
     inter = F.size(F.array_intersect("sk_a", "sk_b"))
     union = F.size(F.array_union("sk_a", "sk_b"))
     return (pairs.withColumn("jaccard", F.round(inter / union, 6))
             .where(F.col("jaccard") >= jaccard_min)
-            .select("doc_a", "doc_b", "jaccard"))
+            .select(F.least("id_x", "id_y").alias("doc_a"),
+                    F.greatest("id_x", "id_y").alias("doc_b"),
+                    "jaccard"))
 
 
 class SketchIndex:
@@ -170,7 +187,7 @@ class SketchIndex:
             .agg(F.collect_list(F.struct("doc_id", "minhash_sketch"))
                  .alias("items"))
             .where(F.size("items") > 1))
-        intra = _expand_pairs(new_grouped, max_bucket)
+        intra = _expand_pairs(new_grouped, max_bucket, self.rows)
 
         # (b) batch-vs-index pairs. Probe-side pre-filter: the index scan
         # keeps only buckets the batch actually touches (broadcast of the
@@ -190,12 +207,15 @@ class SketchIndex:
             w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
             idx = (idx.withColumn("_rn", F.row_number().over(w))
                    .where(F.col("_rn") <= max_bucket).drop("_rn"))
-            cross = new.alias("n").join(
+            cross = (new.alias("n").join(
                 idx.alias("o"), ["band", "band_hash"]).select(
+                "band",
                 F.col("n.doc_id").alias("id_x"),
                 F.col("o.doc_id").alias("id_y"),
                 F.col("n.minhash_sketch").alias("sk_a"),
                 F.col("o.minhash_sketch").alias("sk_b"))
+                .where(F.expr(_first_band_cond("sk_a", "sk_b", self.rows)))
+                .drop("band"))
             cands = intra.unionByName(cross)
 
         # Materialize before the commit rename below invalidates the
