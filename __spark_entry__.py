@@ -1793,6 +1793,129 @@ ORDER BY g.doc_id
 """
 
 
+def _q_explanation_summary(spark, sf):
+    """Reference provide_explanation's document-level narrative (reference
+    backend/services/agentic_ai.py:328-389) over the events table's
+    deterministic confidence surrogate (value/200, as case_bucket):
+    per user_id, the summary sentence, and the manual-review
+    recommendation listing low-confidence fields (sorted; the reference
+    iterates dict order, which is presentation, not semantics)."""
+    e = _t(spark, sf, "events")
+    conf = F.col("value") / 200.0
+    g = (e.groupBy("user_id").agg(
+        F.count("*").alias("n_fields"),
+        F.sum(F.when(conf >= 0.8, 1).otherwise(0)).alias("n_high"),
+        F.round(F.avg(conf) * 100).cast("int").alias("overall_pct"),
+        F.array_join(
+            F.array_sort(F.collect_set(
+                F.when(conf < 0.7, F.col("event_type")))),
+            ", ").alias("low_fields")))
+    summary = F.concat(
+        F.lit("Extracted "), F.col("n_high").cast("string"),
+        F.lit("/"), F.col("n_fields").cast("string"),
+        F.lit(" fields with high confidence. Overall confidence: "),
+        F.col("overall_pct").cast("string"), F.lit("%"))
+    rec = F.when(
+        F.col("low_fields") != "",
+        F.concat(F.lit("Manual review recommended for: "),
+                 F.col("low_fields")))
+    return (g.select("user_id", summary.alias("summary"),
+                     rec.alias("recommendation"))
+            .orderBy("user_id"))
+
+
+_SQL_EXPLANATION_SUMMARY = """
+WITH g AS (
+  SELECT user_id,
+         COUNT(*) AS n_fields,
+         SUM(CASE WHEN value/200.0 >= 0.8 THEN 1 ELSE 0 END) AS n_high,
+         CAST(ROUND(AVG(value/200.0) * 100) AS INT) AS overall_pct,
+         array_to_string(list_sort(list(DISTINCT event_type)
+             FILTER (WHERE value/200.0 < 0.7)), ', ') AS low_fields
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       'Extracted ' || n_high || '/' || n_fields ||
+       ' fields with high confidence. Overall confidence: ' ||
+       overall_pct || '%' AS summary,
+       CASE WHEN low_fields <> ''
+            THEN 'Manual review recommended for: ' || low_fields
+       END AS recommendation
+FROM g ORDER BY user_id
+"""
+
+
+def _q_field_reasoning(spark, sf):
+    """Reference per-field explanation rows (agentic_ai.py:348-364):
+    reasoning sentence + confidence level (thresholds = the conf_bucket
+    surface, agentic_ai.py:391-402) per event-as-field."""
+    e = _t(spark, sf, "events")
+    conf = F.col("value") / 200.0
+    reasoning = F.when(
+        F.col("value").isNull(), F.lit("Could not extract this field")
+    ).otherwise(F.concat(
+        F.lit("Extracted using "), F.col("event_type"),
+        F.lit(" method with "),
+        F.round(conf * 100).cast("int").cast("string"),
+        F.lit("% confidence")))
+    level = F.when(F.col("value").isNull(), F.lit("none")) \
+        .otherwise(X.conf_bucket_col(conf))
+    return (e.select("event_id", reasoning.alias("reasoning"),
+                     level.alias("confidence_level"))
+            .orderBy("event_id"))
+
+
+_SQL_FIELD_REASONING = """
+SELECT event_id,
+       CASE WHEN value IS NULL THEN 'Could not extract this field'
+            ELSE 'Extracted using ' || event_type || ' method with ' ||
+                 CAST(ROUND(value/200.0 * 100) AS INT) || '% confidence'
+       END AS reasoning,
+       CASE WHEN value IS NULL THEN 'none'
+            WHEN value/200.0 >= 0.9 THEN 'very_high'
+            WHEN value/200.0 >= 0.8 THEN 'high'
+            WHEN value/200.0 >= 0.6 THEN 'medium'
+            WHEN value/200.0 >= 0.4 THEN 'low'
+            ELSE 'very_low' END AS confidence_level
+FROM events ORDER BY event_id
+"""
+
+
+def _q_stratified_sample(spark, sf):
+    """Deterministic md5-prefix sampling (operators/curation.py
+    deterministic_sample) audited per stratum: total vs sampled counts
+    and the realized rate per (lang, source)."""
+    from document_ai_spark.operators.curation import deterministic_sample
+
+    d = _t(spark, sf, "documents")
+    s = (deterministic_sample(d, fraction=0.25)
+         .groupBy("lang", "source").agg(F.count("*").alias("n_sampled")))
+    t = d.groupBy("lang", "source").agg(F.count("*").alias("n_total"))
+    return (t.join(s, ["lang", "source"], "left")
+            .select("lang", "source", "n_total",
+                    F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+                    F.round(F.coalesce("n_sampled", F.lit(0))
+                            / F.col("n_total"), 6).alias("rate"))
+            .orderBy("lang", "source"))
+
+
+_SQL_STRATIFIED_SAMPLE = """
+WITH s AS (
+  SELECT lang, source, COUNT(*) AS n_sampled
+  FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+  GROUP BY lang, source),
+t AS (
+  SELECT lang, source, COUNT(*) AS n_total
+  FROM documents GROUP BY lang, source)
+SELECT t.lang, t.source, t.n_total,
+       COALESCE(s.n_sampled, 0) AS n_sampled,
+       ROUND(COALESCE(s.n_sampled, 0) / CAST(t.n_total AS DOUBLE), 6)
+         AS rate
+FROM t LEFT JOIN s ON t.lang = s.lang AND t.source = s.source
+ORDER BY t.lang, t.source
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple] = {
@@ -1869,6 +1992,9 @@ _REGISTRY: dict[str, tuple] = {
     "curation_budget": (_q_curation_budget, _SQL_CURATION_BUDGET),
     "repetition_stats": (_q_repetition_stats, _SQL_REPETITION),
     "contamination": (_q_contamination, _SQL_CONTAMINATION),
+    "explanation_summary": (_q_explanation_summary, _SQL_EXPLANATION_SUMMARY),
+    "field_reasoning": (_q_field_reasoning, _SQL_FIELD_REASONING),
+    "stratified_sample": (_q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
 }
 
 

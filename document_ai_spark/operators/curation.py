@@ -79,3 +79,18 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 3
     """Corpus minus every document contaminated by the eval set."""
     hits = contamination(docs, eval_ngrams(eval_docs, n), n)
     return docs.join(hits.select("doc_id"), "doc_id", "left_anti")
+
+
+def deterministic_sample(docs: DataFrame, fraction: float = 0.25,
+                         key: str = "doc_id") -> DataFrame:
+    """Reproducible corpus sampling: keep a row iff the first two hex
+    chars of md5(key) fall below floor(fraction * 256).
+
+    Unlike df.sample(), the decision is a pure function of the row key —
+    identical across runs, engines (DuckDB computes the same md5), and
+    cluster layouts, which is what eval-set carving and A/B corpus
+    splits need at 10^12 docs. Map-side only: no shuffle, no RNG state.
+    Fraction granularity is 1/256."""
+    cut = format(int(fraction * 256), "02x")
+    return docs.where(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 2) < F.lit(cut))
