@@ -63,3 +63,33 @@ def extract_bucketed(spark: SparkSession, prefix: str) -> DataFrame:
 
     return extract_from_spans(spark.table(f"{prefix}_spans"),
                               spark.table(f"{prefix}_payloads"))
+
+
+def write_range_layout(df: DataFrame, path: str, partitions: int = 32,
+                       key: str = "doc_id") -> None:
+    """Range-partitioned, key-sorted parquet layout for result tables.
+
+    ``repartitionByRange(key)`` + ``sortWithinPartitions(key)`` gives
+    every output file a DISJOINT key range, so parquet min/max footer
+    stats prune a point lookup (SURVEY §2 S6) or key-range scan to ONE
+    file instead of a full-table scan — the read-side complement of the
+    hash-bucketed join layout above. Range boundaries come from Spark's
+    reservoir sampling of the key distribution, so skewed key spaces
+    still split into ~equal files (north_rule: repartitionByRange on
+    doc_id)."""
+    from pyspark.sql import functions as F
+
+    (df.repartitionByRange(partitions, F.col(key))
+       .sortWithinPartitions(key)
+       .write.mode("overwrite").parquet(path))
+
+
+def file_key_ranges(spark: SparkSession, path: str, key: str = "doc_id"):
+    """(file, min_key, max_key) per parquet file — the layout audit the
+    range-layout test asserts disjointness on."""
+    from pyspark.sql import functions as F
+
+    return (spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(F.min(key).alias("min_key"), F.max(key).alias("max_key"))
+            .collect())

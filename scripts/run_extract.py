@@ -40,6 +40,12 @@ def main() -> None:
                          "join key first (exchange-free payload join; the "
                          "documented at-scale storage layout) and run a "
                          "single-shot extraction from those tables")
+    ap.add_argument("--range-layout", action="store_true",
+                    help="additionally publish the extractions "
+                         "range-partitioned + sorted by doc_id "
+                         "(<output>/by_doc_id): every file covers a "
+                         "disjoint doc_id range so point lookups / "
+                         "range scans footer-prune to one file")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -85,6 +91,13 @@ def main() -> None:
     total = lineage.agg({"rows_out": "sum"}).collect()[0][0]
     print(f"committed {len(store.committed_buckets())} buckets, "
           f"{total} documents extracted -> {args.output}/data")
+
+    if args.range_layout:
+        from document_ai_spark.sources.bucketed import write_range_layout
+        write_range_layout(spark.read.parquet(f"{args.output}/data"),
+                           f"{args.output}/by_doc_id",
+                           partitions=args.buckets)
+        print(f"range layout published -> {args.output}/by_doc_id")
     spark.stop()
 
 

@@ -77,3 +77,27 @@ def test_bucketed_extraction_drops_two_exchanges(spark, corpus_dfs):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_extract_b_spans")
         spark.sql("DROP TABLE IF EXISTS t_extract_b_payloads")
+
+
+def test_range_layout_disjoint_and_pruned(spark, tmp_path):
+    from document_ai_spark.sources.bucketed import (
+        file_key_ranges, write_range_layout)
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("doc-"), F.format_string("%06d", "id"))
+        .alias("doc_id"),
+        (F.col("id") * 2).alias("v"))
+    out = str(tmp_path / "range_layout")
+    write_range_layout(df, out, partitions=8)
+
+    ranges = sorted((r["min_key"], r["max_key"])
+                    for r in file_key_ranges(spark, out))
+    assert len(ranges) == 8
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file key ranges overlap"
+
+    # point lookup pushes the predicate to the scan (footer pruning)
+    plan = (spark.read.parquet(out).where(F.col("doc_id") == "doc-000042")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,doc-000042)]" \
+        in plan
