@@ -202,7 +202,12 @@ def repetition_stats(df: DataFrame) -> DataFrame:
     HOF loops — a 10 MB pathological document costs O(items) across the
     cluster instead of O(items * distinct) inside one task, and both
     shuffles get map-side partial aggregation. Joins back to the doc
-    table are on doc_id only."""
+    table are on doc_id only. The plan reads the (doc_id, text)
+    projection THREE times (base / lines / bigrams branches); at corpus
+    scale either pre-materialize that 2-column projection or persist()
+    the input — the alternative (one pass with per-doc distinct-count
+    HOFs) trades bounded re-scan IO for unbounded per-task compute on
+    adversarial documents, the wrong trade at 100 TB."""
     base = df.select(
         "doc_id",
         F.size(tokens_col()).alias("n_tokens"),

@@ -103,3 +103,35 @@ def test_udf_agrees_with_pure_function(spark):
            df.select("i", _main_text_udf(F.col("t")).alias("m")).collect()}
     for i, t in enumerate(samples):
         assert got[i] == extract_main_text(t), repr(t)
+
+
+def test_malformed_and_hostile_markup_degrade_gracefully():
+    """Every weird input must produce SOME deterministic output (never
+    raise), and fast/reference paths must agree wherever both parse."""
+    from document_ai_spark.functions.textops import (
+        extract_main_text, segment_blocks, segment_blocks_reference)
+
+    hostile = [
+        '<div class="a>b">quote traps a gt</div>',       # > inside attr
+        "<div><p>unclosed everywhere",
+        "text < notatag > more",
+        "<script>if (a<b && c>d) {}</script><p>" + "x" * 60 + "</p>",
+        "<!-- comment --><p>" + "y" * 60 + "</p>",        # forces fallback
+        "<!DOCTYPE html><p>" + "z" * 60 + "</p>",
+        "<p>" + "&amp;" * 30 + "</p>",
+        "<a href=/x/>slash-attr anchor</a>",
+        "<" * 50,
+        "<p></p>" * 200,
+        "\x00<div>nul</div>",
+        "<DIV><P>UPPER TAGS " + "w" * 50 + "</P></DIV>",
+    ]
+    for h in hostile:
+        out1 = extract_main_text(h)
+        out2 = extract_main_text(h)
+        assert out1 == out2, "non-deterministic output"
+        # parity whenever the fast path claims the input (it may decline)
+        fast = segment_blocks(h)
+        ref = segment_blocks_reference(h)
+        if [b.texts for b in fast] == [b.texts for b in ref]:
+            assert [(b.text, b.is_content()) for b in fast] == \
+                   [(b.text, b.is_content()) for b in ref]
