@@ -159,24 +159,34 @@ def kmeans_codebook(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS,
     """
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    train = base.where(F.col("vec_id") % sample_mod == 0)
+    # Iterative-lineage discipline: without materialization, iteration i's
+    # lazy plan CONTAINS iterations 0..i-1, so the training set is scanned
+    # O(iters^2) times and the plan tree grows per round. persist() pins
+    # the sampled training frame (the only re-read input) and the k-row
+    # codebook is eagerly localCheckpoint()ed each round — executor-side,
+    # no driver collect — truncating the lineage to a constant.
+    train = base.where(F.col("vec_id") % sample_mod == 0).persist()
     cents = base.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cent"))
-    for _ in range(iters):
-        assigned = _assign(train, cents)
-        means = (
-            assigned.select("centroid_id",
-                            F.posexplode("emb").alias("pos", "v"))
-            .groupBy("centroid_id", "pos")
-            .agg(F.round(F.avg("v"), 6).alias("av"))
-            .groupBy("centroid_id")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "av"))),
-                lambda s: s.getField("av")).alias("new_cent"))
-        )
-        cents = (cents.join(means, "centroid_id", "left")
-                 .select("centroid_id",
-                         F.coalesce("new_cent", "cent").alias("cent")))
+    try:
+        for _ in range(iters):
+            assigned = _assign(train, cents)
+            means = (
+                assigned.select("centroid_id",
+                                F.posexplode("emb").alias("pos", "v"))
+                .groupBy("centroid_id", "pos")
+                .agg(F.round(F.avg("v"), 6).alias("av"))
+                .groupBy("centroid_id")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "av"))),
+                    lambda s: s.getField("av")).alias("new_cent"))
+            )
+            cents = (cents.join(means, "centroid_id", "left")
+                     .select("centroid_id",
+                             F.coalesce("new_cent", "cent").alias("cent"))
+                     .localCheckpoint())
+    finally:
+        train.unpersist()
     return cents
 
 
