@@ -754,16 +754,22 @@ def _q_banded_near_dup(spark, sf):
             .orderBy("doc_a", "doc_b"))
 
 
+_SIG_SQL = ("[list_min(list_transform(sh, s -> "
+            "md5(CAST(i AS VARCHAR) || ':' || s))) for i in range(0, 8)]")
+
 _SQL_BANDED_NEAR_DUP = f"""
 WITH base AS ({_DUP_DOCS_SQL}),
 sk AS (
   SELECT doc_id,
          list_slice(list_sort(list_distinct(
-             list_transform({_SHINGLE_SQL}, s -> md5(s)))), 1, 8) AS sketch
-  FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks FROM base)),
+             list_transform(sh, s -> md5(s)))), 1, 8) AS sketch,
+         {_SIG_SQL} AS sig
+  FROM (SELECT doc_id, {_SHINGLE_SQL} AS sh
+        FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+              FROM base))),
 banded AS (
   SELECT doc_id, sketch, t.b AS band,
-         md5(array_to_string(list_slice(sketch, t.b*2 + 1, t.b*2 + 2), '|'))
+         md5(array_to_string(list_slice(sig, t.b*2 + 1, t.b*2 + 2), '|'))
          AS band_hash
   FROM sk, range(0, 4) t(b)),
 pairs AS (
@@ -797,11 +803,14 @@ base AS ({_DUP_DOCS_SQL}),
 sk AS (
   SELECT doc_id,
          list_slice(list_sort(list_distinct(
-             list_transform({_SHINGLE_SQL}, s -> md5(s)))), 1, 8) AS sketch
-  FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks FROM base)),
+             list_transform(sh, s -> md5(s)))), 1, 8) AS sketch,
+         {_SIG_SQL} AS sig
+  FROM (SELECT doc_id, {_SHINGLE_SQL} AS sh
+        FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+              FROM base))),
 banded AS (
   SELECT doc_id, sketch, t.b AS band,
-         md5(array_to_string(list_slice(sketch, t.b*2 + 1, t.b*2 + 2), '|'))
+         md5(array_to_string(list_slice(sig, t.b*2 + 1, t.b*2 + 2), '|'))
          AS band_hash
   FROM sk, range(0, 4) t(b)),
 cand AS (
@@ -1649,11 +1658,14 @@ q AS (SELECT doc_id, text, lang, source FROM scored
 sk AS (
   SELECT doc_id,
          list_slice(list_sort(list_distinct(
-             list_transform({_SHINGLE_SQL}, s -> md5(s)))), 1, 8) AS sketch
-  FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks FROM q)),
+             list_transform(sh, s -> md5(s)))), 1, 8) AS sketch,
+         {_SIG_SQL} AS sig
+  FROM (SELECT doc_id, {_SHINGLE_SQL} AS sh
+        FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+              FROM q))),
 banded AS (
   SELECT doc_id, sketch, t.b AS band,
-         md5(array_to_string(list_slice(sketch, t.b*2 + 1, t.b*2 + 2), '|'))
+         md5(array_to_string(list_slice(sig, t.b*2 + 1, t.b*2 + 2), '|'))
          AS band_hash
   FROM sk, range(0, 4) t(b)),
 cand AS (

@@ -54,19 +54,23 @@ def _cap_bucket_items(grouped: DataFrame, max_bucket: int) -> DataFrame:
             .drop("_n"))
 
 
-def _word_shingles(k: int = SHINGLE_K):
-    """Array of k-word shingles (space-joined), via SQL higher-order fns.
+def _word_shingles_sql(k: int = SHINGLE_K) -> str:
+    """SQL text of the k-word shingle array (space-joined).
 
     The tokens array is wrapped in a 1-element array + transform so the
     regex split evaluates ONCE per row — referencing split() directly
     inside the per-shingle lambda would re-split the text per shingle
     (O(len^2), measured 4x slower at sf0.1)."""
-    return F.expr(
+    return (
         "element_at(transform(array(split(trim(text), '\\\\s+')), toks -> "
         f"  transform(sequence(1, greatest(size(toks) - {k - 1}, 1)), "
         f"            i -> array_join(slice(toks, i, {k}), ' '))"
         "), 1)"
     )
+
+
+def _word_shingles(k: int = SHINGLE_K):
+    return F.expr(_word_shingles_sql(k))
 
 
 def with_minhash_sketch(df: DataFrame, sketch_size: int = SKETCH_SIZE
@@ -79,6 +83,34 @@ def with_minhash_sketch(df: DataFrame, sketch_size: int = SKETCH_SIZE
         "minhash_sketch": sketch,
         "minhash_bucket": F.element_at(sketch, 1),
     })
+
+
+def with_minhash_signature(df: DataFrame, n_hashes: int = SKETCH_SIZE
+                           ) -> DataFrame:
+    """k-permutation MinHash signature: position i = min over the doc's
+    shingles of md5('i:' || shingle) — i.e. k independent hash functions.
+
+    Why this EXISTS next to the bottom-k sketch: LSH banding needs
+    POSITION-STABLE signatures. Slicing a bottom-k (ordered) sketch into
+    bands is insertion-UNstable — one new small hash shifts every later
+    position and all bands miss at once (measured: a jaccard-0.78 pair,
+    one appended word, 0/4 band hits). Position i here depends only on
+    the shingle SET under hash i, so a near-dup pair agrees on each
+    position independently with probability ~jaccard. The bottom-k
+    sketch remains the (cheaper, single-hash-pass) exact-jaccard
+    estimator used by the verify stage and min-bucket candidates.
+
+    The shingle array is materialized once inside the expression (same
+    single-split discipline as _word_shingles); cost is n_hashes md5
+    evaluations per shingle, all JVM codegen."""
+    sh = _word_shingles_sql()
+    sig = F.expr(
+        f"element_at(transform(array({sh}), sh -> "
+        f"  transform(sequence(0, {n_hashes - 1}), i -> "
+        "     array_min(transform(sh, s -> "
+        "       md5(concat(cast(i as string), ':', s)))))), 1)"
+    )
+    return df.withColumn("minhash_sig", sig)
 
 
 def exact_duplicates(df: DataFrame) -> DataFrame:
@@ -143,6 +175,11 @@ def banded_near_dup_pairs(df: DataFrame, jaccard_min: float = 0.5,
     vs near_dup_pairs (single min-hash bucket): banding catches pairs
     that differ in their minimum shingle but agree on ANY band — higher
     recall at the cost of `bands` shuffled copies of (doc_id, sketch).
+    Band keys come from the k-PERMUTATION signature
+    (with_minhash_signature), not slices of the bottom-k sketch: bottom-k
+    positions shift under insertion, so banding them loses exactly the
+    near-miss pairs banding exists to catch. The bottom-k sketch still
+    rides along as the verify stage's jaccard estimator.
     Pair expansion happens inside (band, bucket) groups, so the join is
     still equi, never cross. A pair agreeing on several bands is emitted
     ONCE — at its FIRST colliding band, decided locally inside the
@@ -156,31 +193,34 @@ def banded_near_dup_pairs(df: DataFrame, jaccard_min: float = 0.5,
     only engage on adversarial buckets and the drop is observed, never
     silent.
     """
-    s = with_minhash_sketch(df).select("doc_id", "minhash_sketch")
-    # One row per (band, band_hash): explode the sketch into band keys.
+    s = with_minhash_signature(with_minhash_sketch(df)).select(
+        "doc_id", "minhash_sketch", "minhash_sig")
+    # One row per (band, band_hash): explode the signature into band keys.
     band_expr = F.explode(F.expr(
         f"transform(sequence(0, {bands - 1}), b -> named_struct("
         f"  'band', b,"
-        f"  'band_hash', md5(concat_ws('|', slice(minhash_sketch, "
+        f"  'band_hash', md5(concat_ws('|', slice(minhash_sig, "
         f"                b * {rows} + 1, {rows})))))"
     )).alias("bk")
-    banded = s.select("doc_id", "minhash_sketch", band_expr).select(
-        "doc_id", "minhash_sketch", "bk.band", "bk.band_hash")
+    banded = s.select("doc_id", "minhash_sketch", "minhash_sig",
+                      band_expr).select(
+        "doc_id", "minhash_sketch", "minhash_sig", "bk.band", "bk.band_hash")
     grouped = (
         banded.groupBy("band", "band_hash")
-        .agg(F.collect_list(F.struct("doc_id", "minhash_sketch"))
-             .alias("items"))
+        .agg(F.collect_list(
+            F.struct("doc_id", "minhash_sketch", "minhash_sig"))
+            .alias("items"))
         .where(F.size("items") > 1)
     )
     grouped = _cap_bucket_items(grouped, max_bucket)
     # First-collision-band filter: emit (x, y) in band b only when no
-    # earlier band b' < b bucketed them together (slice equality; equal
-    # slices <=> equal md5 band keys). Purely local — no dedup exchange.
+    # earlier band b' < b bucketed them together (signature-slice
+    # equality <=> equal md5 band keys). Purely local — no dedup exchange.
     first_band = (
         "CASE WHEN band = 0 THEN true ELSE NOT exists("
         "  transform(sequence(0, band - 1), b -> "
-        f"    slice(x.minhash_sketch, b * {rows} + 1, {rows}) == "
-        f"    slice(y.minhash_sketch, b * {rows} + 1, {rows})), "
+        f"    slice(x.minhash_sig, b * {rows} + 1, {rows}) == "
+        f"    slice(y.minhash_sig, b * {rows} + 1, {rows})), "
         "  t -> t) END"
     )
     pairs = grouped.select(F.explode(F.expr(

@@ -40,38 +40,44 @@ from .dedup import (
     LSH_ROWS,
     MAX_BUCKET,
     _cap_bucket_items,
+    with_minhash_signature,
     with_minhash_sketch,
 )
 
 _INDEX_SCHEMA = ("doc_id string, minhash_sketch array<string>, "
-                 "band int, band_hash string")
+                 "minhash_sig array<string>, band int, band_hash string")
 
 
 def banded_sketch_rows(df: DataFrame, bands: int = LSH_BANDS,
                        rows: int = LSH_ROWS) -> DataFrame:
-    """(doc_id, minhash_sketch, band, band_hash) — one row per doc per
-    band; the unit the index stores and joins on."""
-    s = with_minhash_sketch(df).select("doc_id", "minhash_sketch")
+    """(doc_id, minhash_sketch, minhash_sig, band, band_hash) — one row
+    per doc per band; the unit the index stores and joins on. Band keys
+    come from the position-stable k-permutation signature; the bottom-k
+    sketch rides along for the exact-jaccard verify (see
+    dedup.with_minhash_signature for why the two coexist)."""
+    s = with_minhash_signature(with_minhash_sketch(df)).select(
+        "doc_id", "minhash_sketch", "minhash_sig")
     band_expr = F.explode(F.expr(
         f"transform(sequence(0, {bands - 1}), b -> named_struct("
         f"  'band', b,"
-        f"  'band_hash', md5(concat_ws('|', slice(minhash_sketch, "
+        f"  'band_hash', md5(concat_ws('|', slice(minhash_sig, "
         f"                b * {rows} + 1, {rows})))))"
     )).alias("bk")
-    return (s.select("doc_id", "minhash_sketch", band_expr)
-            .select("doc_id", "minhash_sketch", "bk.band", "bk.band_hash"))
+    return (s.select("doc_id", "minhash_sketch", "minhash_sig", band_expr)
+            .select("doc_id", "minhash_sketch", "minhash_sig",
+                    "bk.band", "bk.band_hash"))
 
 
-def _first_band_cond(sk_x: str, sk_y: str, rows: int) -> str:
+def _first_band_cond(sig_x: str, sig_y: str, rows: int) -> str:
     """SQL condition: the current `band` is the FIRST band where the two
-    sketches' band slices agree — the local (shuffle-free) multi-band
+    SIGNATURES' band slices agree — the local (shuffle-free) multi-band
     pair dedup used across the dedup family (see
     dedup.banded_near_dup_pairs)."""
     return (
         "CASE WHEN band = 0 THEN true ELSE NOT exists("
         "  transform(sequence(0, band - 1), b -> "
-        f"    slice({sk_x}, b * {rows} + 1, {rows}) == "
-        f"    slice({sk_y}, b * {rows} + 1, {rows})), "
+        f"    slice({sig_x}, b * {rows} + 1, {rows}) == "
+        f"    slice({sig_y}, b * {rows} + 1, {rows})), "
         "  t -> t) END"
     )
 
@@ -81,7 +87,7 @@ def _expand_pairs(grouped: DataFrame, max_bucket: int,
     """(band,bucket) item lists -> candidate pairs with both sketches,
     each multi-band pair emitted once (first-collision band, locally)."""
     grouped = _cap_bucket_items(grouped, max_bucket)
-    cond = _first_band_cond("x.minhash_sketch", "y.minhash_sketch", rows)
+    cond = _first_band_cond("x.minhash_sig", "y.minhash_sig", rows)
     return grouped.select(F.explode(F.expr(
         "flatten(transform(items, (x, i) -> "
         "  transform(filter(slice(items, i + 2, size(items)), "
@@ -184,8 +190,9 @@ class SketchIndex:
         # (a) batch-internal pairs: group new rows by (band, band_hash).
         new_grouped = (
             new.groupBy("band", "band_hash")
-            .agg(F.collect_list(F.struct("doc_id", "minhash_sketch"))
-                 .alias("items"))
+            .agg(F.collect_list(
+                F.struct("doc_id", "minhash_sketch", "minhash_sig"))
+                .alias("items"))
             .where(F.size("items") > 1))
         intra = _expand_pairs(new_grouped, max_bucket, self.rows)
 
@@ -213,9 +220,11 @@ class SketchIndex:
                 F.col("n.doc_id").alias("id_x"),
                 F.col("o.doc_id").alias("id_y"),
                 F.col("n.minhash_sketch").alias("sk_a"),
-                F.col("o.minhash_sketch").alias("sk_b"))
-                .where(F.expr(_first_band_cond("sk_a", "sk_b", self.rows)))
-                .drop("band"))
+                F.col("o.minhash_sketch").alias("sk_b"),
+                F.col("n.minhash_sig").alias("sig_a"),
+                F.col("o.minhash_sig").alias("sig_b"))
+                .where(F.expr(_first_band_cond("sig_a", "sig_b", self.rows)))
+                .drop("band", "sig_a", "sig_b"))
             cands = intra.unionByName(cross)
 
         # Materialize before the commit rename below invalidates the

@@ -128,3 +128,72 @@ def stream_extract(spark: SparkSession, in_dir: str, out_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_curate(spark: SparkSession, in_dir: str, index_root: str,
+                  out_dir: str, checkpoint_dir: str,
+                  quality_min: float = 0.8, jaccard_min: float = 0.5):
+    """Streaming training-data curation: per micro-batch, quality-gate ->
+    near-dup against the PERSISTED sketch index -> append survivors.
+
+    Keep rule (greedy first-seen-wins — the standard streaming dedup
+    contract): a batch doc is dropped iff it near-dups ANY doc from an
+    earlier batch (earlier wins, regardless of id), or a smaller-id doc
+    within its own batch. Every gated doc's sketch joins the index
+    (winners AND losers), so a future doc chained to a dropped one is
+    still caught — transitive families stay collapsed across batches
+    without ever recomputing corpus-wide sketches. This intentionally
+    differs from batch `curate` only in representative choice for
+    clusters that SPAN batches (first-seen vs global-min id); the pair
+    sets are identical (oracle row incremental_near_dup).
+
+    Exactly-once: append_and_find is idempotent per batch_id and each
+    batch's survivors land in an overwritten per-batch directory.
+    Returns the StreamingQuery; read ``out_dir`` afterwards for the kept
+    corpus (token_budget over it gives the running training budget)."""
+    from ..operators.sketch_index import SketchIndex
+    from ..operators.textquality import with_quality_score
+
+    idx = SketchIndex(index_root)
+    stream = (
+        spark.readStream
+        .schema("doc_id string, text string, lang string, source string")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        gated = (with_quality_score(batch_df)
+                 .where(F.col("quality_score") >= quality_min)
+                 .select("doc_id", "text", "lang", "source"))
+        pairs = idx.append_and_find(
+            spark, gated.select("doc_id", "text"),
+            batch_id=f"curate-{batch_id}", jaccard_min=jaccard_min)
+        b = gated.select("doc_id")
+        b_a = b.withColumnRenamed("doc_id", "doc_a")
+        b_b = b.withColumnRenamed("doc_id", "doc_b")
+        # pairs are canonical doc_a < doc_b. Losers:
+        #   both in batch      -> doc_b (larger id)
+        #   one side in batch  -> the batch side (the earlier doc wins)
+        both_b = (pairs.join(F.broadcast(b_a), "doc_a", "left_semi")
+                  .join(F.broadcast(b_b), "doc_b", "left_semi")
+                  .select(F.col("doc_b").alias("doc_id")))
+        cross_a = (pairs.join(F.broadcast(b_a), "doc_a", "left_semi")
+                   .join(F.broadcast(b_b), "doc_b", "left_anti")
+                   .select(F.col("doc_a").alias("doc_id")))
+        cross_b = (pairs.join(F.broadcast(b_b), "doc_b", "left_semi")
+                   .join(F.broadcast(b_a), "doc_a", "left_anti")
+                   .select(F.col("doc_b").alias("doc_id")))
+        losers = both_b.unionByName(cross_a).unionByName(cross_b).distinct()
+        kept = gated.join(losers, "doc_id", "left_anti")
+        kept.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    return (
+        stream.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -52,22 +52,55 @@ def test_pairs_match_bruteforce_dedup(spark):
     df = spark.createDataFrame(rows, "doc_id string, text string")
     got = {(r["doc_a"], r["doc_b"])
            for r in banded_near_dup_pairs(df, jaccard_min=0.3).collect()}
-    # brute force: exact sketch-jaccard over all pairs that share any band
+    # brute force: band agreement on the k-permutation SIGNATURE, verify
+    # by exact jaccard over the bottom-k sketch — both recomputed in
+    # plain python from the raw text
+    import hashlib
+
     from document_ai_spark.operators.dedup import (
-        LSH_BANDS, LSH_ROWS, with_minhash_sketch)
-    sk = {r["doc_id"]: r["minhash_sketch"]
-          for r in with_minhash_sketch(df).collect()}
+        LSH_BANDS, LSH_ROWS, SHINGLE_K, SKETCH_SIZE)
+
+    def shingles(text):
+        toks = text.strip().split()
+        n = max(len(toks) - (SHINGLE_K - 1), 1)
+        return [" ".join(toks[i:i + SHINGLE_K]) for i in range(n)]
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def sketch(text):
+        return sorted({md5(s) for s in shingles(text)})[:SKETCH_SIZE]
+
+    def signature(text):
+        sh = shingles(text)
+        return [min(md5(f"{i}:{s}") for s in sh)
+                for i in range(SKETCH_SIZE)]
+
+    texts = dict(rows)
+    sk = {d: sketch(t) for d, t in texts.items()}
+    sig = {d: signature(t) for d, t in texts.items()}
     expect = set()
-    for a, b in itertools.combinations(sorted(sk), 2):
-        sa, sb = sk[a], sk[b]
+    for a, b in itertools.combinations(sorted(texts), 2):
         bands_agree = any(
-            sa[band * LSH_ROWS:(band + 1) * LSH_ROWS]
-            == sb[band * LSH_ROWS:(band + 1) * LSH_ROWS]
+            sig[a][band * LSH_ROWS:(band + 1) * LSH_ROWS]
+            == sig[b][band * LSH_ROWS:(band + 1) * LSH_ROWS]
             for band in range(LSH_BANDS))
         if not bands_agree:
             continue
-        inter = len(set(sa) & set(sb))
-        union = len(set(sa) | set(sb))
+        inter = len(set(sk[a]) & set(sk[b]))
+        union = len(set(sk[a]) | set(sk[b]))
         if union and inter / union >= 0.3:
             expect.add((a, b))
     assert got == expect
+
+
+def test_banding_survives_single_word_insertion(spark):
+    """Regression: bottom-k POSITIONAL banding missed this pair entirely
+    (an inserted small hash shifts every band); k-permutation signature
+    banding must catch it."""
+    text = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to find a quiet place for a long afternoon nap")
+    df = spark.createDataFrame(
+        [("a", text), ("b", text + " extra")], "doc_id string, text string")
+    pairs = banded_near_dup_pairs(df, jaccard_min=0.4).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [("a", "b")]
