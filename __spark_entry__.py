@@ -754,8 +754,14 @@ def _q_banded_near_dup(spark, sf):
             .orderBy("doc_a", "doc_b"))
 
 
-_SIG_SQL = ("[list_min(list_transform(sh, s -> "
-            "md5(CAST(i AS VARCHAR) || ':' || s))) for i in range(0, 8)]")
+# k-permutation MinHash mirror of dedup.with_minhash_signature: one md5
+# per shingle (28-bit prefix), k LCG permutations mod the Mersenne prime.
+_MINHASH_A_SQL = "[" + ", ".join(str(a) for a in D.MINHASH_A) + "]"
+_MINHASH_B_SQL = "[" + ", ".join(str(b) for b in D.MINHASH_B) + "]"
+_HS_SQL = "list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)"
+_SIG_SQL = (f"[list_min(list_transform(hs, h -> "
+            f"({_MINHASH_A_SQL}[i + 1] * h + {_MINHASH_B_SQL}[i + 1]) "
+            f"% {D.MINHASH_P})) for i in range(0, 8)]")
 
 _SQL_BANDED_NEAR_DUP = f"""
 WITH base AS ({_DUP_DOCS_SQL}),
@@ -764,9 +770,11 @@ sk AS (
          list_slice(list_sort(list_distinct(
              list_transform(sh, s -> md5(s)))), 1, 8) AS sketch,
          {_SIG_SQL} AS sig
-  FROM (SELECT doc_id, {_SHINGLE_SQL} AS sh
-        FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
-              FROM base))),
+  FROM (SELECT doc_id, sh, {_HS_SQL} AS hs
+        FROM (SELECT doc_id, {_SHINGLE_SQL} AS sh
+              FROM (SELECT doc_id,
+                           str_split_regex(trim(text), '\\s+') AS toks
+                    FROM base)))),
 banded AS (
   SELECT doc_id, sketch, t.b AS band,
          md5(array_to_string(list_slice(sig, t.b*2 + 1, t.b*2 + 2), '|'))
@@ -805,9 +813,11 @@ sk AS (
          list_slice(list_sort(list_distinct(
              list_transform(sh, s -> md5(s)))), 1, 8) AS sketch,
          {_SIG_SQL} AS sig
-  FROM (SELECT doc_id, {_SHINGLE_SQL} AS sh
-        FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
-              FROM base))),
+  FROM (SELECT doc_id, sh, {_HS_SQL} AS hs
+        FROM (SELECT doc_id, {_SHINGLE_SQL} AS sh
+              FROM (SELECT doc_id,
+                           str_split_regex(trim(text), '\\s+') AS toks
+                    FROM base)))),
 banded AS (
   SELECT doc_id, sketch, t.b AS band,
          md5(array_to_string(list_slice(sig, t.b*2 + 1, t.b*2 + 2), '|'))
@@ -1660,9 +1670,11 @@ sk AS (
          list_slice(list_sort(list_distinct(
              list_transform(sh, s -> md5(s)))), 1, 8) AS sketch,
          {_SIG_SQL} AS sig
-  FROM (SELECT doc_id, {_SHINGLE_SQL} AS sh
-        FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
-              FROM q))),
+  FROM (SELECT doc_id, sh, {_HS_SQL} AS hs
+        FROM (SELECT doc_id, {_SHINGLE_SQL} AS sh
+              FROM (SELECT doc_id,
+                           str_split_regex(trim(text), '\\s+') AS toks
+                    FROM q)))),
 banded AS (
   SELECT doc_id, sketch, t.b AS band,
          md5(array_to_string(list_slice(sig, t.b*2 + 1, t.b*2 + 2), '|'))

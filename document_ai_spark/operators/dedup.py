@@ -85,30 +85,52 @@ def with_minhash_sketch(df: DataFrame, sketch_size: int = SKETCH_SIZE
     })
 
 
+# k-permutation MinHash family: ONE md5 per shingle (28-bit prefix) run
+# through k linear-congruential permutations h_i(x) = (A[i]*x + B[i]) mod P.
+# P is the Mersenne prime 2^31-1; A[i]*x < 2^31 * 2^28 = 2^59, so the
+# arithmetic is exact in 64-bit on BOTH engines (DuckDB BIGINT errors on
+# overflow; Java long would silently wrap — staying under 2^63 keeps the
+# two bit-identical). Constants are arbitrary fixed odd values < P.
+MINHASH_P = 2147483647
+MINHASH_A = [1103515245, 1299709, 15485863, 32452843,
+             49979687, 67867967, 86028121, 104395301]
+MINHASH_B = [12345, 54321, 771919, 104729,
+             224737, 350377, 479909, 611953]
+
+
 def with_minhash_signature(df: DataFrame, n_hashes: int = SKETCH_SIZE
                            ) -> DataFrame:
     """k-permutation MinHash signature: position i = min over the doc's
-    shingles of md5('i:' || shingle) — i.e. k independent hash functions.
+    shingles of the i-th LCG permutation of the shingle's 28-bit md5
+    prefix — k independent MinHash functions at ONE md5 per shingle.
 
     Why this EXISTS next to the bottom-k sketch: LSH banding needs
     POSITION-STABLE signatures. Slicing a bottom-k (ordered) sketch into
     bands is insertion-UNstable — one new small hash shifts every later
     position and all bands miss at once (measured: a jaccard-0.78 pair,
     one appended word, 0/4 band hits). Position i here depends only on
-    the shingle SET under hash i, so a near-dup pair agrees on each
-    position independently with probability ~jaccard. The bottom-k
-    sketch remains the (cheaper, single-hash-pass) exact-jaccard
-    estimator used by the verify stage and min-bucket candidates.
+    the shingle SET under permutation i, so a near-dup pair agrees on
+    each position independently with probability ~jaccard. The bottom-k
+    sketch remains the exact-jaccard estimator used by the verify stage
+    and min-bucket candidates.
 
-    The shingle array is materialized once inside the expression (same
-    single-split discipline as _word_shingles); cost is n_hashes md5
-    evaluations per shingle, all JVM codegen."""
+    The shingle array and the per-shingle base hashes are materialized
+    once inside the expression (single-split discipline, one md5 pass);
+    the k permutations are integer multiply-add-mod — all JVM codegen."""
+    assert n_hashes <= len(MINHASH_A)
     sh = _word_shingles_sql()
+    a_arr = "array(" + ", ".join(str(a) for a in MINHASH_A[:n_hashes]) + ")"
+    b_arr = "array(" + ", ".join(str(b) for b in MINHASH_B[:n_hashes]) + ")"
     sig = F.expr(
         f"element_at(transform(array({sh}), sh -> "
-        f"  transform(sequence(0, {n_hashes - 1}), i -> "
-        "     array_min(transform(sh, s -> "
-        "       md5(concat(cast(i as string), ':', s)))))), 1)"
+        "  element_at(transform(array(transform(sh, s -> "
+        "      cast(conv(substring(md5(s), 1, 7), 16, 10) as bigint))), "
+        "    hs -> "
+        f"    transform(sequence(0, {n_hashes - 1}), i -> "
+        f"      array_min(transform(hs, h -> "
+        f"        pmod(element_at({a_arr}, i + 1) * h "
+        f"             + element_at({b_arr}, i + 1), {MINHASH_P}))))), 1)"
+        "), 1)"
     )
     return df.withColumn("minhash_sig", sig)
 

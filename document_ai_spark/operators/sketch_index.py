@@ -45,7 +45,7 @@ from .dedup import (
 )
 
 _INDEX_SCHEMA = ("doc_id string, minhash_sketch array<string>, "
-                 "minhash_sig array<string>, band int, band_hash string")
+                 "minhash_sig array<bigint>, band int, band_hash string")
 
 
 def banded_sketch_rows(df: DataFrame, bands: int = LSH_BANDS,

@@ -58,7 +58,8 @@ def test_pairs_match_bruteforce_dedup(spark):
     import hashlib
 
     from document_ai_spark.operators.dedup import (
-        LSH_BANDS, LSH_ROWS, SHINGLE_K, SKETCH_SIZE)
+        LSH_BANDS, LSH_ROWS, MINHASH_A, MINHASH_B, MINHASH_P, SHINGLE_K,
+        SKETCH_SIZE)
 
     def shingles(text):
         toks = text.strip().split()
@@ -72,8 +73,9 @@ def test_pairs_match_bruteforce_dedup(spark):
         return sorted({md5(s) for s in shingles(text)})[:SKETCH_SIZE]
 
     def signature(text):
-        sh = shingles(text)
-        return [min(md5(f"{i}:{s}") for s in sh)
+        hs = [int(md5(s)[:7], 16) for s in shingles(text)]
+        return [min((MINHASH_A[i] * h + MINHASH_B[i]) % MINHASH_P
+                    for h in hs)
                 for i in range(SKETCH_SIZE)]
 
     texts = dict(rows)
