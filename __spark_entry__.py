@@ -1940,6 +1940,34 @@ ORDER BY t.lang, t.source
 """
 
 
+def _q_unigram_logprob(spark, sf):
+    """Unigram-LM quality score (operators/textquality.py
+    with_unigram_logprob): mean ln P(word) under the corpus's own
+    add-one-smoothed unigram model — the cheap perplexity-proxy filter."""
+    from document_ai_spark.operators.textquality import with_unigram_logprob
+
+    return (with_unigram_logprob(_t(spark, sf, "documents"))
+            .orderBy("doc_id"))
+
+
+_SQL_UNIGRAM_LOGPROB = """
+WITH words AS (
+  SELECT doc_id, lower(w) AS word
+  FROM (SELECT doc_id,
+               unnest(str_split_regex(trim(text), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> ''),
+freqs AS (SELECT word, COUNT(*) AS wc FROM words GROUP BY word),
+tot AS (SELECT CAST(SUM(wc) AS DOUBLE) AS n_tok,
+               CAST(COUNT(*) AS DOUBLE) AS vocab FROM freqs)
+SELECT doc_id,
+       ROUND(AVG(ln((wc + 1) / (n_tok + vocab))), 6) AS unigram_logprob,
+       COUNT(*) AS n_scored_tokens
+FROM words JOIN freqs USING (word), tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple] = {
@@ -2019,6 +2047,7 @@ _REGISTRY: dict[str, tuple] = {
     "explanation_summary": (_q_explanation_summary, _SQL_EXPLANATION_SUMMARY),
     "field_reasoning": (_q_field_reasoning, _SQL_FIELD_REASONING),
     "stratified_sample": (_q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
+    "unigram_logprob": (_q_unigram_logprob, _SQL_UNIGRAM_LOGPROB),
 }
 
 

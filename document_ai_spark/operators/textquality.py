@@ -251,3 +251,34 @@ def repetition_stats(df: DataFrame) -> DataFrame:
                         / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
                 .alias("symbol_word_ratio"),
             ))
+
+
+def with_unigram_logprob(df: DataFrame) -> DataFrame:
+    """Unigram language-model score per document: mean over tokens of
+    ln P(word), with P estimated from THIS corpus (add-one smoothing
+    over the observed vocabulary). The cheap perplexity-proxy quality
+    filter — word-salad and boilerplate docs score far below natural
+    text because they over-use rare tokens.
+
+    Scale shape: one explode -> groupBy(word) frequency table (partial
+    map-side agg; vocab cardinality << token count), joined back to the
+    exploded tokens on the word key (NOT broadcast — at web scale the
+    vocabulary is 10^8+ rows), then one groupBy(doc_id) mean. Corpus
+    totals ride along as a broadcast 1-row aggregate, never a driver
+    scalar."""
+    words = (df.select("doc_id",
+                       F.explode(tokens_col()).alias("word"))
+             .where(F.col("word") != "")
+             .select("doc_id", F.lower("word").alias("word")))
+    freqs = words.groupBy("word").agg(F.count("*").alias("wc"))
+    totals = freqs.agg(
+        F.sum("wc").cast("double").alias("n_tokens_corpus"),
+        F.count("*").cast("double").alias("vocab"))
+    scored = (words.join(freqs, "word")
+              .crossJoin(F.broadcast(totals))
+              .withColumn("lp", F.log((F.col("wc") + 1)
+                                      / (F.col("n_tokens_corpus")
+                                         + F.col("vocab")))))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.avg("lp"), 6).alias("unigram_logprob"),
+                 F.count("*").alias("n_scored_tokens")))
