@@ -135,3 +135,24 @@ def test_malformed_and_hostile_markup_degrade_gracefully():
         if [b.texts for b in fast] == [b.texts for b in ref]:
             assert [(b.text, b.is_content()) for b in fast] == \
                    [(b.text, b.is_content()) for b in ref]
+
+
+def test_unicode_markup_parity():
+    """Devanagari / CJK / emoji / RTL content through both tokenizer
+    paths: identical blocks, deterministic output, no exceptions."""
+    from document_ai_spark.functions.textops import (
+        extract_main_text, segment_blocks, segment_blocks_reference)
+
+    cases = [
+        "<div><p>ट्रैक्टर ५५ एचपी की कीमत Rs. ९,११,७६९ है " + "य" * 40
+        + "</p></div>",
+        "<p>混合内容 with latin ٱلْعَرَبِيَّة and עברית " + "字" * 50 + "</p>",
+        "<p>emoji 🚜💰 inside <a href='x'>लिंक 🙂</a> " + "e" * 50 + "</p>",
+        "नमस्ते\n<div>देवनागरी ब्लॉक " + "क" * 60 + "</div>\nplain tail",
+    ]
+    for h in cases:
+        assert extract_main_text(h) == extract_main_text(h)
+        fast = segment_blocks(h)
+        ref = segment_blocks_reference(h)
+        assert [(b.text, b.is_content()) for b in fast] == \
+               [(b.text, b.is_content()) for b in ref]
