@@ -307,7 +307,7 @@ _MODEL_GUARDS = {0: ["MODEL"]}
 
 
 def _guard(up, literals):
-    """OR of upper-cased contains checks; None literals -> no guard."""
+    """OR of contains checks over the given literals."""
     F = _F()
     g = None
     for lit in literals:

@@ -31,7 +31,7 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
          "--input", str(tmp_path / "corpus"),
          "--output", str(out),
          "--buckets", "2", "--range-layout"],
-        capture_output=True, text=True, timeout=420)
+        capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "300 documents extracted" in proc.stdout
     assert (out / "data").exists()
