@@ -1719,19 +1719,29 @@ def _q_incremental_near_dup(spark, sf):
     """k-batch INCREMENTAL near-dup via the persisted sketch index
     (operators/sketch_index.py): the oracle is the plain corpus-wide
     banded LSH recompute, so a green row proves incremental == batch."""
+    import shutil
     import tempfile
 
     from document_ai_spark.operators.sketch_index import SketchIndex
 
     docs = _dup_docs(spark, sf)
-    idx = SketchIndex(tempfile.mkdtemp(prefix="sketch_idx_"))
-    parts = [docs.where(F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
-                               F.lit(3)) == i) for i in range(3)]
-    out = None
-    for i, b in enumerate(parts):
-        p = idx.append_and_find(spark, b, batch_id=f"b{i}",
-                                jaccard_min=0.5)
-        out = p if out is None else out.unionByName(p)
+    # The only registry entry with a write side effect (the persisted
+    # index); append_and_find localCheckpoints its result eagerly, so the
+    # on-disk index is safe to remove before returning — repeated driver/
+    # bench/test invocations leave no /tmp residue.
+    root = tempfile.mkdtemp(prefix="sketch_idx_")
+    try:
+        idx = SketchIndex(root)
+        parts = [docs.where(
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
+                   F.lit(3)) == i) for i in range(3)]
+        out = None
+        for i, b in enumerate(parts):
+            p = idx.append_and_find(spark, b, batch_id=f"b{i}",
+                                    jaccard_min=0.5)
+            out = p if out is None else out.unionByName(p)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return out.orderBy("doc_a", "doc_b")
 
 

@@ -90,7 +90,16 @@ def deterministic_sample(docs: DataFrame, fraction: float = 0.25,
     identical across runs, engines (DuckDB computes the same md5), and
     cluster layouts, which is what eval-set carving and A/B corpus
     splits need at 10^12 docs. Map-side only: no shuffle, no RNG state.
-    Fraction granularity is 1/256."""
+
+    Granularity is 1/256 (two hex chars): fraction rounds DOWN to
+    floor(fraction * 256)/256, so any fraction < 1/256 keeps nothing.
+    fraction >= 1.0 returns the input unchanged (the naive hex compare
+    would break there: format(256,'02x') is the 3-char '100', and
+    'ff' > '100' lexicographically keeps only ~1/16 of rows)."""
+    if fraction <= 0:
+        raise ValueError(f"fraction must be positive, got {fraction}")
+    if fraction >= 1.0:
+        return docs
     cut = format(int(fraction * 256), "02x")
     return docs.where(
         F.substring(F.md5(F.col(key).cast("string")), 1, 2) < F.lit(cut))

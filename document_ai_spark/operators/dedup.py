@@ -40,7 +40,15 @@ def _cap_bucket_items(grouped: DataFrame, max_bucket: int) -> DataFrame:
     (collect_list order is not), and the truncation is NOT silent: an
     `observe` metric (lsh_cap_N: n_dropped_candidates / max_bucket_size)
     is attached to the plan and surfaces through QueryExecution listeners
-    and the UI on every run."""
+    and the UI on every run.
+
+    Interaction with first-collision-band pair dedup (banded_near_dup_pairs,
+    similarity.embedding_near_dups, sketch_index cross pairs): when a
+    pair's FIRST colliding band is truncated away by the cap, the pair is
+    lost entirely — a later band where both sides survive still skips it
+    (its first-band filter sees the earlier collision). The metric counts
+    bucket truncation, not these suppressed later-band recoveries;
+    accepted trade-off, caps only engage on adversarial buckets."""
     _cap_obs_counter[0] += 1
     sized = grouped.withColumn("_n", F.size("items")).observe(
         f"lsh_cap_{_cap_obs_counter[0]}",

@@ -47,6 +47,14 @@ from .dedup import (
 _INDEX_SCHEMA = ("doc_id string, minhash_sketch array<string>, "
                  "minhash_sig array<bigint>, band int, band_hash string")
 
+# On-disk format version, stamped into _meta.json at creation and checked
+# on open. Bump whenever the row schema or the band-hash derivation
+# changes (v2 = band hashes over k-permutation signature slices + the
+# minhash_sig column; v1 indexes banded the bottom-k sketch and carry no
+# sig column — appending v2 rows to a v1 index would silently never join
+# old band hashes against new ones).
+_INDEX_FORMAT = 2
+
 
 def banded_sketch_rows(df: DataFrame, bands: int = LSH_BANDS,
                        rows: int = LSH_ROWS) -> DataFrame:
@@ -121,12 +129,20 @@ class SketchIndex:
         self.staging_dir = os.path.join(root, "_staging")
         for d in (self.index_dir, self.staging_dir):
             os.makedirs(d, exist_ok=True)
-        # (bands, rows) define the band hashes; mixing parameters across
-        # batches would make index rows silently un-joinable. Pin them.
+        # (bands, rows) define the band hashes and `format` the row schema
+        # + hash derivation; mixing either across batches would make index
+        # rows silently un-joinable. Pin all three.
         meta_path = os.path.join(root, "_meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
+            fmt = meta.get("format", 1)   # pre-versioning indexes are v1
+            if fmt != _INDEX_FORMAT:
+                raise ValueError(
+                    f"index at {root} has on-disk format v{fmt}; this code "
+                    f"writes v{_INDEX_FORMAT} (band hashes over k-perm "
+                    "signature slices). Rebuild the index — appending "
+                    "would silently find zero cross-batch pairs.")
             if (meta["bands"], meta["rows"]) != (bands, rows):
                 raise ValueError(
                     f"index at {root} was built with bands={meta['bands']}, "
@@ -135,7 +151,8 @@ class SketchIndex:
         else:
             tmp = meta_path + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"bands": bands, "rows": rows}, f)
+                json.dump({"bands": bands, "rows": rows,
+                           "format": _INDEX_FORMAT}, f)
             os.rename(tmp, meta_path)
         self.bands, self.rows = bands, rows
 

@@ -70,3 +70,22 @@ def test_decontaminate_blocklist_is_broadcast(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_deterministic_sample_full_fraction_and_bounds(spark):
+    """fraction >= 1.0 keeps everything (the naive 2-hex-char compare
+    would silently keep ~1/16); non-positive fractions raise."""
+    import pytest
+
+    from document_ai_spark.operators.curation import deterministic_sample
+
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(64)])
+    assert deterministic_sample(docs, fraction=1.0).count() == 64
+    assert deterministic_sample(docs, fraction=1.5).count() == 64
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, fraction=0.0)
+    # Sub-1.0 fractions stay a strict, deterministic subset.
+    half = deterministic_sample(docs, fraction=0.5)
+    n = half.count()
+    assert 0 < n < 64
+    assert half.exceptAll(docs).count() == 0

@@ -104,3 +104,18 @@ def test_stream_dedup_parity(spark, tmp_path):
         got |= _pairset(spark.read.parquet(d))
     full = _pairset(banded_near_dup_pairs(docs, jaccard_min=JACCARD_MIN))
     assert got == full
+
+
+def test_old_format_index_rejected(spark, tmp_path):
+    """A pre-versioning (v1) index — band hashes over bottom-k sketch
+    slices, no minhash_sig column — must be refused, not silently
+    appended to (new band hashes would never join old ones)."""
+    import json
+    import os
+
+    root = str(tmp_path / "sketch_idx_v1")
+    os.makedirs(root)
+    with open(os.path.join(root, "_meta.json"), "w") as f:
+        json.dump({"bands": 4, "rows": 2}, f)   # v1: no format field
+    with pytest.raises(ValueError, match="format"):
+        SketchIndex(root)
