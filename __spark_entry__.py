@@ -20,11 +20,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from document_ai_spark import constants as C                      # noqa: E402
 from document_ai_spark.functions import extraction as X          # noqa: E402
+from document_ai_spark.functions.tokenize import (                # noqa: E402
+    ALPHA_RANGES,
+    CJK_RANGES,
+    duck_tokens_sql,
+)
 from document_ai_spark.operators import dedup as D               # noqa: E402
 from document_ai_spark.operators import similarity as S          # noqa: E402
 from document_ai_spark.operators import textquality as TQ        # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
+
+# DuckDB mirror of the script-aware tokenizer (functions/tokenize.py):
+# RE2 reads the exact same \x{hhhh}-range pattern Java regex does, so
+# both engines produce identical token arrays (tests/test_cjk_tokenize).
+_DUCK_TOKS = duck_tokens_sql("text")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -591,10 +601,11 @@ _SQL_TOKEN_STATS = f"""
 SELECT doc_id,
        len(toks) AS n_tokens,
        ROUND(len(list_filter(toks, w -> list_contains({_STOP_SQL}, lower(w))))
-             / len(toks), 6) AS stopword_ratio,
-       ROUND(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
-             / len(toks), 6) AS mean_word_len
-FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+             / greatest(len(toks), 1), 6) AS stopword_ratio,
+       ROUND(CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+                  AS DOUBLE)
+             / greatest(len(toks), 1), 6) AS mean_word_len
+FROM (SELECT doc_id, {_DUCK_TOKS} AS toks
       FROM documents) ORDER BY doc_id
 """
 
@@ -612,8 +623,9 @@ SELECT doc_id,
                      ELSE 0.5 END) * 0.4, 6) AS quality_score
 FROM (SELECT doc_id, len(toks) AS n,
              ROUND(len(list_filter(toks,
-                 w -> list_contains({_STOP_SQL}, lower(w)))) / len(toks), 6) AS sr
-      FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+                 w -> list_contains({_STOP_SQL}, lower(w))))
+                   / greatest(len(toks), 1), 6) AS sr
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks
             FROM documents))
 ORDER BY doc_id
 """
@@ -645,7 +657,7 @@ def _sql_lang_guess():
 SELECT lang_guess, COUNT(*) AS n FROM (
   SELECT {best} AS lang_guess FROM (
     SELECT {hits_select}
-    FROM (SELECT str_split_regex(trim(text), '\\s+') AS toks FROM documents)))
+    FROM (SELECT {_DUCK_TOKS} AS toks FROM documents)))
 GROUP BY lang_guess ORDER BY lang_guess
 """
 
@@ -680,8 +692,10 @@ _DUP_DOCS_SQL = """
 SELECT doc_id, text FROM documents
 UNION ALL
 SELECT doc_id + 1000000 AS doc_id,
-       array_to_string(list_slice(str_split_regex(trim(text), '\\s+'), 2,
-                       len(str_split_regex(trim(text), '\\s+'))), ' ') AS text
+       coalesce(array_to_string(
+           list_slice(str_split_regex(trim(text), '\\s+'), 2,
+                      len(str_split_regex(trim(text), '\\s+'))), ' '), '')
+         AS text
 FROM documents
 """
 
@@ -703,16 +717,22 @@ GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY content_hash
 
 
 _SHINGLE_SQL = (
+    # `if len(toks) > 0`: zero-token docs have ZERO shingles, mirroring
+    # dedup._word_shingles_sql's CASE guard.
     "[array_to_string(list_slice(toks, i, i + 2), ' ') "
-    "for i in range(1, greatest(len(toks) - 2, 1) + 1)]"
+    "for i in range(1, greatest(len(toks) - 2, 1) + 1) if len(toks) > 0]"
 )
 
 
 def _q_minhash_sketch(spark, sf):
     d = D.with_minhash_sketch(_t(spark, sf, "documents"))
+    # NULL (not '') sketch string for zero-token docs: DuckDB's
+    # array_to_string on an empty list is NULL, so mirror that here.
     return d.select(
         "doc_id", "minhash_bucket",
-        F.array_join("minhash_sketch", "|").alias("sketch")).orderBy("doc_id")
+        F.when(F.size("minhash_sketch") > 0,
+               F.array_join("minhash_sketch", "|")).alias("sketch")
+    ).orderBy("doc_id")
 
 
 _SQL_MINHASH = f"""
@@ -721,7 +741,7 @@ FROM (
   SELECT doc_id,
          list_slice(list_sort(list_distinct(
              list_transform({_SHINGLE_SQL}, s -> md5(s)))), 1, 8) AS sk
-  FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks
         FROM documents))
 ORDER BY doc_id
 """
@@ -738,7 +758,7 @@ sk AS (
   SELECT doc_id,
          list_slice(list_sort(list_distinct(
              list_transform({_SHINGLE_SQL}, s -> md5(s)))), 1, 8) AS sketch
-  FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks FROM base))
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM base))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        ROUND(len(list_intersect(a.sketch, b.sketch))
              / len(list_distinct(a.sketch || b.sketch)), 6) AS jaccard
@@ -773,8 +793,9 @@ sk AS (
   FROM (SELECT doc_id, sh, {_HS_SQL} AS hs
         FROM (SELECT doc_id, {_SHINGLE_SQL} AS sh
               FROM (SELECT doc_id,
-                           str_split_regex(trim(text), '\\s+') AS toks
-                    FROM base)))),
+                           {_DUCK_TOKS} AS toks
+                    FROM base))
+        WHERE len(sh) > 0)),
 banded AS (
   SELECT doc_id, sketch, t.b AS band,
          md5(array_to_string(list_slice(sig, t.b*2 + 1, t.b*2 + 2), '|'))
@@ -816,8 +837,9 @@ sk AS (
   FROM (SELECT doc_id, sh, {_HS_SQL} AS hs
         FROM (SELECT doc_id, {_SHINGLE_SQL} AS sh
               FROM (SELECT doc_id,
-                           str_split_regex(trim(text), '\\s+') AS toks
-                    FROM base)))),
+                           {_DUCK_TOKS} AS toks
+                    FROM base))
+        WHERE len(sh) > 0)),
 banded AS (
   SELECT doc_id, sketch, t.b AS band,
          md5(array_to_string(list_slice(sig, t.b*2 + 1, t.b*2 + 2), '|'))
@@ -881,12 +903,13 @@ def _sql_simhash():
         f">= n THEN {1 << b} ELSE 0 END)"
         for b in range(D.SIMHASH_BITS))
     return f"""
-SELECT doc_id, CAST({ones} AS BIGINT) AS simhash
+SELECT doc_id,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE {ones} END AS BIGINT) AS simhash
 FROM (SELECT doc_id,
-             list_transform(str_split_regex(trim(text), '\\s+'),
+             list_transform(toks,
                  w -> ('0x' || substr(md5(w), 1, 4))::BIGINT) AS hs,
-             len(str_split_regex(trim(text), '\\s+')) AS n
-      FROM documents)
+             len(toks) AS n
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents))
 ORDER BY doc_id
 """
 
@@ -904,7 +927,7 @@ def _q_ngram_jaccard(spark, sf):
 _SQL_NGRAM_JACCARD = f"""
 WITH sh AS (
   SELECT doc_id, list_distinct({_SHINGLE_SQL}) AS shingles
-  FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks
         FROM documents)),
 pairs AS (
   SELECT p.doc_id AS probe_id, d.doc_id AS doc_id,
@@ -1531,10 +1554,10 @@ def _q_tfidf_terms(spark, sf):
     return TQ.tfidf_top_terms(_t(spark, sf, "documents"), k=20)
 
 
-_SQL_TFIDF = """
+_SQL_TFIDF = f"""
 WITH words AS (
   SELECT doc_id, lower(w) AS word
-  FROM (SELECT doc_id, UNNEST(str_split_regex(trim(text), '\\s+')) AS w
+  FROM (SELECT doc_id, UNNEST({_DUCK_TOKS}) AS w
         FROM documents)
   WHERE w != ''),
 n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
@@ -1592,12 +1615,14 @@ def _q_token_estimate(spark, sf):
             .select("doc_id", "token_estimate").orderBy("doc_id"))
 
 
-_TOKEN_EST_SQL = """
+_TOKEN_EST_SQL = f"""
 CAST(coalesce(list_sum(list_transform(regexp_extract_all(text,
-         '[A-Za-z]+'), w -> CAST(ceil(length(w) / 4.0) AS INT))), 0)
+         '[{ALPHA_RANGES}]+'), w -> CAST(ceil(length(w) / 4.0) AS INT))), 0)
    + coalesce(list_sum(list_transform(regexp_extract_all(text,
          '[0-9]+'), d -> CAST(ceil(length(d) / 3.0) AS INT))), 0)
-   + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+   + len(regexp_extract_all(text, '[{CJK_RANGES}]'))
+   + len(regexp_extract_all(text, '[^{ALPHA_RANGES}0-9\\s{CJK_RANGES}]'))
+   AS BIGINT)
 """
 
 _SQL_TOKEN_ESTIMATE = f"""
@@ -1646,8 +1671,9 @@ base AS (
   SELECT doc_id, text, lang, source FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id,
-         array_to_string(list_slice(str_split_regex(trim(text), '\\s+'), 2,
-                         len(str_split_regex(trim(text), '\\s+'))), ' ')
+         coalesce(array_to_string(
+             list_slice(str_split_regex(trim(text), '\\s+'), 2,
+                        len(str_split_regex(trim(text), '\\s+'))), ' '), '')
            AS text,
          lang, source FROM documents),
 scored AS (
@@ -1659,9 +1685,9 @@ scored AS (
   FROM (SELECT doc_id, text, lang, source, len(toks) AS n,
                ROUND(len(list_filter(toks,
                    w -> list_contains({_STOP_SQL}, lower(w))))
-                     / len(toks), 6) AS sr
+                     / greatest(len(toks), 1), 6) AS sr
         FROM (SELECT doc_id, text, lang, source,
-                     str_split_regex(trim(text), '\\s+') AS toks
+                     {_DUCK_TOKS} AS toks
               FROM base))),
 q AS (SELECT doc_id, text, lang, source FROM scored
       WHERE quality_score >= 0.8),
@@ -1673,7 +1699,7 @@ sk AS (
   FROM (SELECT doc_id, sh, {_HS_SQL} AS hs
         FROM (SELECT doc_id, {_SHINGLE_SQL} AS sh
               FROM (SELECT doc_id,
-                           str_split_regex(trim(text), '\\s+') AS toks
+                           {_DUCK_TOKS} AS toks
                     FROM q)))),
 banded AS (
   SELECT doc_id, sketch, t.b AS band,
@@ -1755,13 +1781,14 @@ def _q_repetition_stats(spark, sf):
     return repetition_stats(_t(spark, sf, "documents")).orderBy("doc_id")
 
 
-_SQL_REPETITION = """
+_SQL_REPETITION = f"""
 WITH toks AS (
-  SELECT doc_id, text, str_split_regex(trim(text), '\\s+') AS t
+  SELECT doc_id, text, {_DUCK_TOKS} AS t
   FROM documents),
 base AS (
   SELECT doc_id, len(t) AS n_tokens,
-         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_symbols
+         len(regexp_extract_all(text,
+             '[^{ALPHA_RANGES}0-9\\s{CJK_RANGES}]')) AS n_symbols
   FROM toks),
 lines AS (
   SELECT doc_id, trim(l) AS line
@@ -1810,9 +1837,9 @@ def _q_contamination(spark, sf):
             .orderBy("doc_id"))
 
 
-_SQL_CONTAMINATION = """
+_SQL_CONTAMINATION = f"""
 WITH toks AS (
-  SELECT doc_id, str_split_regex(trim(text), '\\s+') AS t FROM documents),
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 grams AS (
   SELECT doc_id, unnest(list_transform(
       generate_series(1, greatest(len(t) - 2, 1)),
@@ -1960,11 +1987,11 @@ def _q_unigram_logprob(spark, sf):
             .orderBy("doc_id"))
 
 
-_SQL_UNIGRAM_LOGPROB = """
+_SQL_UNIGRAM_LOGPROB = f"""
 WITH words AS (
   SELECT doc_id, lower(w) AS word
   FROM (SELECT doc_id,
-               unnest(str_split_regex(trim(text), '\\s+')) AS w
+               unnest({_DUCK_TOKS}) AS w
         FROM documents)
   WHERE w <> ''),
 freqs AS (SELECT word, COUNT(*) AS wc FROM words GROUP BY word),

@@ -20,7 +20,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-SHINGLE_K = 3          # words per shingle
+from ..functions.tokenize import tokens_sql
+
+SHINGLE_K = 3          # words per shingle (char k-grams on CJK runs)
 SKETCH_SIZE = 8        # bottom-k sketch size
 SIMHASH_BITS = 16
 # Candidate-bucket hard cap: a bucket of n docs expands O(n^2) pairs inside
@@ -63,16 +65,27 @@ def _cap_bucket_items(grouped: DataFrame, max_bucket: int) -> DataFrame:
 
 
 def _word_shingles_sql(k: int = SHINGLE_K) -> str:
-    """SQL text of the k-word shingle array (space-joined).
+    """SQL text of the k-token shingle array (space-joined).
+
+    Tokens come from the script-aware tokenizer (functions/tokenize.py):
+    spaced scripts shingle by words exactly as before; CJK runs shingle
+    by character k-grams, so near-dup detection works on no-space
+    scripts instead of collapsing each document to one giant token.
 
     The tokens array is wrapped in a 1-element array + transform so the
-    regex split evaluates ONCE per row — referencing split() directly
-    inside the per-shingle lambda would re-split the text per shingle
-    (O(len^2), measured 4x slower at sf0.1)."""
+    regex tokenize evaluates ONCE per row — referencing it directly
+    inside the per-shingle lambda would re-tokenize the text per shingle
+    (O(len^2), measured 4x slower at sf0.1).
+
+    Zero-token documents (empty/whitespace-only text) have ZERO
+    shingles — not one empty-string shingle — so they never enter dedup
+    buckets; both engines mirror this (DuckDB's array_to_string(NULL
+    slices) diverges from Spark's array_join otherwise)."""
     return (
-        "element_at(transform(array(split(trim(text), '\\\\s+')), toks -> "
+        f"element_at(transform(array({tokens_sql()}), toks -> "
+        "  CASE WHEN size(toks) = 0 THEN array() ELSE "
         f"  transform(sequence(1, greatest(size(toks) - {k - 1}, 1)), "
-        f"            i -> array_join(slice(toks, i, {k}), ' '))"
+        f"            i -> array_join(slice(toks, i, {k}), ' ')) END"
         "), 1)"
     )
 
@@ -87,10 +100,16 @@ def with_minhash_sketch(df: DataFrame, sketch_size: int = SKETCH_SIZE
     over the doc's word shingles. Pure array expressions."""
     hashes = F.transform(_word_shingles(), lambda s: F.md5(s))
     sketch = F.slice(F.array_sort(F.array_distinct(hashes)), 1, sketch_size)
-    return df.withColumns({
-        "minhash_sketch": sketch,
-        "minhash_bucket": F.element_at(sketch, 1),
-    })
+    # Projection boundary between sketch and bucket: deriving the bucket
+    # from the sketch EXPRESSION would evaluate the whole tokenize ->
+    # shingle -> md5 -> sort pipeline twice per row (HOFs sit outside
+    # codegen subexpression elimination; CollapseProject's cost check
+    # keeps the two-step select uncollapsed).
+    # try_: a zero-token doc has an EMPTY sketch; its bucket is NULL
+    # (plain element_at throws out-of-bounds under ANSI mode).
+    return (df.withColumn("minhash_sketch", sketch)
+            .select("*", F.try_element_at("minhash_sketch", F.lit(1))
+                    .alias("minhash_bucket")))
 
 
 # k-permutation MinHash family: ONE md5 per shingle (28-bit prefix) run
@@ -166,7 +185,8 @@ def near_dup_pairs(df: DataFrame, jaccard_min: float = 0.6,
     observed drop metric (see _cap_bucket_items) so one degenerate shingle
     can never OOM a reducer. Returns (doc_a, doc_b, jaccard), doc_a<doc_b."""
     s = with_minhash_sketch(df).select(
-        "doc_id", "minhash_bucket", "minhash_sketch")
+        "doc_id", "minhash_bucket", "minhash_sketch").where(
+        F.size("minhash_sketch") > 0)   # zero-token docs have no bucket
     grouped = (
         s.groupBy("minhash_bucket")
         .agg(F.collect_list(F.struct("doc_id", "minhash_sketch"))
@@ -224,7 +244,8 @@ def banded_near_dup_pairs(df: DataFrame, jaccard_min: float = 0.5,
     silent.
     """
     s = with_minhash_signature(with_minhash_sketch(df)).select(
-        "doc_id", "minhash_sketch", "minhash_sig")
+        "doc_id", "minhash_sketch", "minhash_sig").where(
+        F.size("minhash_sketch") > 0)   # zero-token docs never band
     # One row per (band, band_hash): explode the signature into band keys.
     band_expr = F.explode(F.expr(
         f"transform(sequence(0, {bands - 1}), b -> named_struct("
@@ -338,22 +359,27 @@ def with_simhash(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     # exactly once per row via 1-element-array lambda wrappers — a naive
     # per-bit aggregate would hash every word `bits` times (measured 8s at
     # sf0.1; this form is sub-second). Pure integer exprs, codegen.
+    # Tokens are script-aware (CJK chars hash individually); a document
+    # with ZERO tokens gets signature 0, mirrored in the oracle (the
+    # all-zero majority vote would otherwise set every bit).
     sig = F.expr(
+        f"element_at(transform(array({tokens_sql()}), tk -> "
         "element_at(transform(array(named_struct("
-        "  'hs', transform(split(trim(text), '\\\\s+'), "
+        "  'hs', transform(tk, "
         "        w -> cast(conv(substring(md5(w), 1, 4), 16, 10) as bigint)),"
-        "  'n', size(split(trim(text), '\\\\s+')))), s -> "
+        "  'n', size(tk))), s -> "
         "element_at(transform(array(named_struct("
         "    'cnts', aggregate(s.hs, "
         f"             array_repeat(0, {bits}), "
         "              (acc, h) -> transform(acc, (c, i) -> "
         "                c + cast((shiftright(h, i) & 1) as int))),"
         "    'n', s.n)), t -> "
+        "  IF(t.n = 0, cast(0 as bigint), "
         f"  aggregate(sequence(0, {bits - 1}), cast(0 as bigint), "
         "             (acc, b) -> acc + IF(element_at(t.cnts, b + 1) * 2 >= t.n, "
         "                                  shiftleft(cast(1 as bigint), b), "
-        "                                  cast(0 as bigint)))"
-        "), 1)), 1)"
+        "                                  cast(0 as bigint))))"
+        "), 1)), 1)), 1)"
     )
     return df.withColumn("simhash", sig)
 

@@ -64,7 +64,8 @@ def banded_sketch_rows(df: DataFrame, bands: int = LSH_BANDS,
     sketch rides along for the exact-jaccard verify (see
     dedup.with_minhash_signature for why the two coexist)."""
     s = with_minhash_signature(with_minhash_sketch(df)).select(
-        "doc_id", "minhash_sketch", "minhash_sig")
+        "doc_id", "minhash_sketch", "minhash_sig").where(
+        F.size("minhash_sketch") > 0)   # zero-token docs never index
     band_expr = F.explode(F.expr(
         f"transform(sequence(0, {bands - 1}), b -> named_struct("
         f"  'band', b,"

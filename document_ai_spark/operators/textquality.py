@@ -12,6 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..constants import STOPWORDS
+from ..functions.tokenize import (
+    ALPHA_RANGES,
+    CJK_RANGES,
+    tokens_col,
+    tokens_sql,
+)
 
 # Marker words for the language-ID heuristic. The corpus is synthetic
 # word-salad, so this is a deterministic function both engines compute
@@ -23,26 +29,39 @@ LANG_MARKERS = {
 }
 
 
-def tokens_col(text=None):
-    return F.split(F.trim(text if text is not None else F.col("text")),
-                   r"\s+")
+_STOP_ARR_SQL = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
 
 def with_token_stats(df: DataFrame) -> DataFrame:
-    """Token count, stopword ratio, mean word length."""
-    toks = tokens_col()
-    n = F.size(toks)
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(
-        stop_arr, F.lower(w))))
-    return df.withColumns({
-        "n_tokens": n,
-        "stopword_ratio": F.round(n_stop / n, 6),
-        "mean_word_len": F.round(
-            F.aggregate(toks, F.lit(0),
-                        lambda acc, w: acc + F.length(w)).cast("double") / n,
-            6),
-    })
+    """Token count, stopword ratio, mean word length.
+
+    Script-aware (functions/tokenize.py): CJK chars count as individual
+    tokens, so a no-space-script document gets a real token count
+    instead of 1. Empty/whitespace-only text has 0 tokens; the ratio
+    divisions are guarded (ANSI mode would otherwise throw on /0).
+
+    Single-pass: count, stopword count, and summed length come out of
+    ONE struct over ONE tokenizer evaluation — three independent column
+    expressions would re-tokenize the text three times (measured 2x
+    slower at sf0.1; higher-order functions sit outside codegen's
+    common-subexpression elimination). The struct lands in its own
+    projection so CollapseProject's cost check keeps it materialized
+    once rather than inlining it into each consumer."""
+    ts = F.expr(
+        f"element_at(transform(array({tokens_sql()}), tk -> named_struct("
+        "  'n', size(tk), "
+        f" 'ns', size(filter(tk, w -> array_contains({_STOP_ARR_SQL}, "
+        "                                            lower(w)))), "
+        "  'sl', aggregate(tk, 0, (a, w) -> a + length(w)))), 1)")
+    n_safe = F.greatest(F.col("_ts.n"), F.lit(1)).cast("double")
+    return (df.withColumn("_ts", ts)
+            .select("*",
+                    F.col("_ts.n").alias("n_tokens"),
+                    F.round(F.col("_ts.ns") / n_safe, 6)
+                    .alias("stopword_ratio"),
+                    F.round(F.col("_ts.sl").cast("double") / n_safe, 6)
+                    .alias("mean_word_len"))
+            .drop("_ts"))
 
 
 def with_quality_score(df: DataFrame) -> DataFrame:
@@ -68,16 +87,21 @@ def with_quality_score(df: DataFrame) -> DataFrame:
 
 def with_lang_guess(df: DataFrame) -> DataFrame:
     """Marker-word language-ID: highest marker hit-count wins; ties break
-    by marker order (en < query < data); no hits -> 'unknown'."""
-    toks = tokens_col()
-    hit_cols = []
-    for name, markers in LANG_MARKERS.items():
-        marr = F.array(*[F.lit(m) for m in markers])
-        hit_cols.append(
-            F.size(F.filter(toks, lambda w: F.array_contains(marr, F.lower(w))))
-            .alias(f"hits_{name}")
-        )
-    df = df.select("*", *hit_cols)
+    by marker order (en < query < data); no hits -> 'unknown'.
+
+    All marker counts come out of ONE struct over ONE tokenizer
+    evaluation (same single-pass discipline as with_token_stats)."""
+    fields = ", ".join(
+        f"'h_{name}', size(filter(tk, w -> array_contains(array("
+        + ", ".join(f"'{m}'" for m in markers)
+        + "), lower(w))))"
+        for name, markers in LANG_MARKERS.items())
+    hits = F.expr(
+        f"element_at(transform(array({tokens_sql()}), "
+        f"tk -> named_struct({fields})), 1)")
+    df = df.withColumn("_lh", hits).select(
+        "*", *[F.col(f"_lh.h_{name}").alias(f"hits_{name}")
+               for name in LANG_MARKERS]).drop("_lh")
     names = list(LANG_MARKERS)
     best = F.lit("unknown")
     best_hits = F.lit(0)
@@ -111,28 +135,36 @@ def with_token_estimate(df: DataFrame) -> DataFrame:
 
     No tokenizer library ships in this environment, so the estimate
     mirrors how byte-pair pre-tokenizers segment text (the GPT-2-family
-    pattern: letter runs, digit runs, punctuation as separate tokens):
+    pattern: letter runs, digit runs, punctuation as separate tokens),
+    extended with a per-script CJK term:
 
-      * each LETTER run contributes ceil(len/4) tokens — BPE merges
-        average ~4 chars/token on English-like text, and a 15-char word
-        is several tokens, not one;
+      * each ALPHABETIC run (Latin incl. accents, Greek, Cyrillic,
+        Hebrew, Arabic, Devanagari — tokenize.ALPHA_RANGES) contributes
+        ceil(len/4) tokens — BPE merges average ~4 chars/token on
+        alphabetic text, and a 15-char word is several tokens, not one;
       * each DIGIT run contributes ceil(len/3) — modern vocabs chunk
         digits in groups of <= 3;
+      * each CJK character is 1 token — BPE vocabs average ~1-1.5
+        chars/token on CJK; 1/char is the conservative budget bound;
       * every other non-space char (punctuation/symbol) is 1 token.
 
     Pure JVM regexp/HOF expressions — the corpus streams once, no
     Python — and deterministic, so DuckDB computes the identical number
     (oracle row token_budget)."""
+    alpha = ALPHA_RANGES.replace("\\", "\\\\")
+    cjk = CJK_RANGES.replace("\\", "\\\\")
     letters = F.expr(
-        "aggregate(regexp_extract_all(text, '[A-Za-z]+', 0), 0, "
+        f"aggregate(regexp_extract_all(text, '[{alpha}]+', 0), 0, "
         "(acc, w) -> acc + cast(ceil(length(w) / 4.0) as int))")
     digits = F.expr(
         "aggregate(regexp_extract_all(text, '[0-9]+', 0), 0, "
         "(acc, d) -> acc + cast(ceil(length(d) / 3.0) as int))")
+    cjk_chars = F.expr(f"size(regexp_extract_all(text, '[{cjk}]', 0))")
     punct = F.expr(
-        "size(regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0))")
+        f"size(regexp_extract_all(text, '[^{alpha}0-9\\\\s{cjk}]', 0))")
     return df.withColumn(
-        "token_estimate", (letters + digits + punct).cast("long"))
+        "token_estimate",
+        (letters + digits + cjk_chars + punct).cast("long"))
 
 
 def token_budget(df: DataFrame) -> DataFrame:
@@ -208,10 +240,14 @@ def repetition_stats(df: DataFrame) -> DataFrame:
     the input — the alternative (one pass with per-doc distinct-count
     HOFs) trades bounded re-scan IO for unbounded per-task compute on
     adversarial documents, the wrong trade at 100 TB."""
+    alpha = ALPHA_RANGES.replace("\\", "\\\\")
+    cjk = CJK_RANGES.replace("\\", "\\\\")
     base = df.select(
         "doc_id",
         F.size(tokens_col()).alias("n_tokens"),
-        F.expr("size(regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0))")
+        # symbols = not alphabetic, not digit, not space, not CJK — a
+        # CJK char is a word-token, not a symbol.
+        F.expr(f"size(regexp_extract_all(text, '[^{alpha}0-9\\\\s{cjk}]', 0))")
         .alias("n_symbols"),
     )
     lines = (df.select("doc_id",
@@ -224,10 +260,14 @@ def repetition_stats(df: DataFrame) -> DataFrame:
                   .agg(F.sum("c").alias("n_lines"),
                        F.sum(F.when(F.col("c") > 1, F.col("c"))
                              .otherwise(F.lit(0))).alias("dup_lines")))
-    toks = tokens_col()
+    # Single-evaluation idiom (see dedup._word_shingles_sql): the token
+    # array materializes once per row inside array()+transform — naming
+    # the tokenizer directly in the per-bigram lambda would re-tokenize
+    # the text once per bigram (O(len^2) on pathological long docs).
     bigram_arr = F.expr(
-        "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 1, 1)), "
-        "i -> array_join(slice(split(trim(text), '\\\\s+'), i, 2), ' '))")
+        f"element_at(transform(array({tokens_sql()}), t -> "
+        "  transform(sequence(1, greatest(size(t) - 1, 1)), "
+        "            i -> array_join(slice(t, i, 2), ' '))), 1)")
     bigrams = df.select("doc_id", F.explode(bigram_arr).alias("bigram"))
     bigram_stats = (bigrams.groupBy("doc_id", "bigram")
                     .agg(F.count("*").alias("c"))
