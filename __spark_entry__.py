@@ -1771,6 +1771,66 @@ def _q_incremental_near_dup(spark, sf):
     return out.orderBy("doc_a", "doc_b")
 
 
+def _q_incremental_embed_near_dup(spark, sf):
+    """k-batch INCREMENTAL embedding near-dup via the persisted banded
+    sign-LSH index (operators/vector_index.py EmbeddingIndex): the
+    oracle is the corpus-wide embedding_near_dups recompute, so a green
+    row proves incremental == batch (sign buckets are a pure per-vector
+    function — no corpus dependence)."""
+    import shutil
+    import tempfile
+
+    from document_ai_spark.operators.vector_index import EmbeddingIndex
+
+    emb = _t(spark, sf, "embeddings")
+    dup = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * F.lit(2.0).cast("float"))
+         .alias("embedding"),
+        F.col("label"))
+    both = emb.unionByName(dup)
+    root = tempfile.mkdtemp(prefix="emb_idx_")
+    try:
+        idx = EmbeddingIndex(root)
+        parts = [both.where(
+            F.pmod(F.xxhash64(F.col("vec_id").cast("string")),
+                   F.lit(3)) == i) for i in range(3)]
+        out = None
+        for i, b in enumerate(parts):
+            p = idx.append_and_find(spark, b, batch_id=f"b{i}",
+                                    cos_min=0.999)
+            out = p if out is None else out.unionByName(p)
+    finally:
+        # append_and_find localCheckpoints eagerly; no residue left.
+        shutil.rmtree(root, ignore_errors=True)
+    return out.orderBy("id_a", "id_b")
+
+
+def _q_embed_ivf_persisted(spark, sf):
+    """IVF top-k against a PERSISTED codebook (operators/vector_index.py
+    CodebookIndex): train once, commit, reload from parquet, query. The
+    oracle is the retrain-in-line IVF SQL — a green row proves the
+    committed codebook round-trips bit-exactly (6-decimal rounding) and
+    reuse == retrain."""
+    import shutil
+    import tempfile
+
+    from document_ai_spark.operators.vector_index import CodebookIndex
+
+    emb = _t(spark, sf, "embeddings")
+    root = tempfile.mkdtemp(prefix="codebook_")
+    try:
+        cb = CodebookIndex(root)
+        cb.ensure(spark, emb)
+        # Fresh handle: force the load-from-disk path, not the trainer.
+        cents = CodebookIndex(root).centroids(spark)
+        out = S.ivf_topk(emb, probe_ids=[0, 1, 2], k=5,
+                         codebook=cents).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _q_repetition_stats(spark, sf):
     """Gopher-style per-doc repetition filters (operators/textquality.py
     repetition_stats): dup-line fraction, top-bigram token fraction,
@@ -2085,6 +2145,10 @@ _REGISTRY: dict[str, tuple] = {
     "field_reasoning": (_q_field_reasoning, _SQL_FIELD_REASONING),
     "stratified_sample": (_q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
     "unigram_logprob": (_q_unigram_logprob, _SQL_UNIGRAM_LOGPROB),
+    # round-4 additions (registry order stays stable; append only)
+    "incremental_embed_near_dup": (_q_incremental_embed_near_dup,
+                                   _sql_embed_near_dups()),
+    "embed_ivf_persisted": (_q_embed_ivf_persisted, _sql_embed_ivf_topk()),
 }
 
 

@@ -206,13 +206,21 @@ IVF_NPROBE = 2
 
 
 def ivf_topk(emb: DataFrame, probe_ids, k: int = 5,
-             n_clusters: int = IVF_K, nprobe: int = IVF_NPROBE) -> DataFrame:
+             n_clusters: int = IVF_K, nprobe: int = IVF_NPROBE,
+             codebook: DataFrame = None) -> DataFrame:
     """Approximate top-k with IVF: each probe searches its `nprobe`
     closest clusters — at 10^12 vectors the corpus is hash-partitioned by
     centroid_id and a query touches nprobe/K of it. nprobe is the
     standard IVF recall/latency dial (nprobe=1 misses every neighbor
-    whose top-1 cluster differs from the probe's)."""
-    cents = kmeans_codebook(emb, n_clusters)
+    whose top-1 cluster differs from the probe's).
+
+    ``codebook``: a pretrained (centroid_id, cent) DataFrame — e.g. from
+    vector_index.CodebookIndex — so repeated queries and incremental
+    batches skip Lloyd retraining; None trains in-line (the codebook is
+    deterministic and 6-decimal-rounded, so both paths give identical
+    results — parity-tested)."""
+    cents = codebook if codebook is not None \
+        else kmeans_codebook(emb, n_clusters)
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     assigned = _assign(base, cents)             # data side: top-1 cluster

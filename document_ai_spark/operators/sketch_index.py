@@ -28,13 +28,9 @@ batch i lands, once.
 """
 from __future__ import annotations
 
-import json
-import os
-import shutil
-from typing import List
-
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from .batch_index import AtomicBatchIndex
 from .dedup import (
     LSH_BANDS,
     LSH_ROWS,
@@ -120,65 +116,21 @@ def _verify(pairs: DataFrame, jaccard_min: float) -> DataFrame:
                     "jaccard"))
 
 
-class SketchIndex:
-    """Persisted banded-MinHash index with atomic batch commits."""
+class SketchIndex(AtomicBatchIndex):
+    """Persisted banded-MinHash index with atomic batch commits.
+
+    (bands, rows) define the band hashes and `format` the row schema +
+    hash derivation; mixing either across batches would make index rows
+    silently un-joinable — AtomicBatchIndex pins all three in
+    _meta.json and raises on mismatch."""
+
+    FORMAT = _INDEX_FORMAT
+    SCHEMA = _INDEX_SCHEMA
 
     def __init__(self, root: str, bands: int = LSH_BANDS,
                  rows: int = LSH_ROWS):
-        self.root = root
-        self.index_dir = os.path.join(root, "index")
-        self.staging_dir = os.path.join(root, "_staging")
-        for d in (self.index_dir, self.staging_dir):
-            os.makedirs(d, exist_ok=True)
-        # (bands, rows) define the band hashes and `format` the row schema
-        # + hash derivation; mixing either across batches would make index
-        # rows silently un-joinable. Pin all three.
-        meta_path = os.path.join(root, "_meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
-            fmt = meta.get("format", 1)   # pre-versioning indexes are v1
-            if fmt != _INDEX_FORMAT:
-                raise ValueError(
-                    f"index at {root} has on-disk format v{fmt}; this code "
-                    f"writes v{_INDEX_FORMAT} (band hashes over k-perm "
-                    "signature slices). Rebuild the index — appending "
-                    "would silently find zero cross-batch pairs.")
-            if (meta["bands"], meta["rows"]) != (bands, rows):
-                raise ValueError(
-                    f"index at {root} was built with bands={meta['bands']}, "
-                    f"rows={meta['rows']}; cannot append with "
-                    f"bands={bands}, rows={rows}")
-        else:
-            tmp = meta_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"bands": bands, "rows": rows,
-                           "format": _INDEX_FORMAT}, f)
-            os.rename(tmp, meta_path)
+        super().__init__(root, {"bands": bands, "rows": rows})
         self.bands, self.rows = bands, rows
-
-    def _batch_seq(self, name: str) -> int:
-        with open(os.path.join(self.index_dir, name, "_seq.json")) as f:
-            return json.load(f)["seq"]
-
-    def committed_batches(self) -> List[str]:
-        """Committed batch names in COMMIT order (the _seq.json stamped
-        at commit, not lexicographic names)."""
-        done = [d for d in os.listdir(self.index_dir)
-                if os.path.exists(os.path.join(self.index_dir, d,
-                                               "_SUCCESS"))]
-        return sorted(done, key=self._batch_seq)
-
-    def index_df(self, spark: SparkSession,
-                 before_seq: int = None) -> DataFrame:
-        """Committed index rows; with ``before_seq``, only batches
-        committed strictly earlier (what a replayed batch must see)."""
-        paths = [os.path.join(self.index_dir, d)
-                 for d in self.committed_batches()
-                 if before_seq is None or self._batch_seq(d) < before_seq]
-        if not paths:
-            return spark.createDataFrame([], _INDEX_SCHEMA)
-        return spark.read.parquet(*paths)
 
     def append_and_find(self, spark: SparkSession, batch_df: DataFrame,
                         batch_id: str, jaccard_min: float = 0.5,
@@ -187,9 +139,8 @@ class SketchIndex:
         (batch-internal + batch-vs-index), then commit the batch's
         sketches. Re-running an already-committed batch_id returns its
         pairs again without double-appending (idempotent resume)."""
-        stage = os.path.join(self.staging_dir, batch_id)
-        final = os.path.join(self.index_dir, batch_id)
-        replay = os.path.exists(os.path.join(final, "_SUCCESS"))
+        stage, final = self._stage_paths(batch_id)
+        replay = self._is_committed(batch_id)
         if replay:
             src, seq = final, self._batch_seq(batch_id)
         else:
@@ -199,10 +150,8 @@ class SketchIndex:
             banded_sketch_rows(batch_df, self.bands, self.rows) \
                 .write.mode("overwrite").parquet(stage)
             src = stage
-            seq = 1 + max((self._batch_seq(d)
-                           for d in self.committed_batches()), default=0)
-            with open(os.path.join(stage, "_seq.json"), "w") as f:
-                json.dump({"seq": seq}, f)
+            seq = self._next_seq()
+            self._stamp_seq(stage, seq)
         new = spark.read.parquet(src)
 
         # (a) batch-internal pairs: group new rows by (band, band_hash).
@@ -250,6 +199,5 @@ class SketchIndex:
         pairs = _verify(cands, jaccard_min).localCheckpoint()
 
         if not replay:
-            shutil.rmtree(final, ignore_errors=True)
-            os.rename(stage, final)
+            self._commit(stage, final)
         return pairs
