@@ -34,6 +34,50 @@ MAX_BUCKET = 256
 
 _cap_obs_counter = [0]
 
+# Active cap-metric collectors (see collect_cap_metrics): when non-empty,
+# _cap_bucket_items additionally attaches an Observation object to the
+# plan and registers it with the innermost collector, so a checkpointed
+# runner can persist the drop counts into its lineage rows.
+_cap_collectors: list = []
+
+
+class _CapCollector:
+    """Observations attached while this collector was active."""
+
+    def __init__(self):
+        self.observations = []
+
+    def summary(self) -> dict:
+        """Aggregate cap metrics AFTER the plan(s) executed: total
+        dropped candidates and the largest bucket seen. Observation.get
+        blocks until its action finishes — call this only after the
+        consuming write/collect ran."""
+        dropped, biggest = 0, 0
+        for obs in self.observations:
+            m = obs.get
+            dropped += int(m.get("n_dropped_candidates") or 0)
+            biggest = max(biggest, int(m.get("max_bucket_size") or 0))
+        return {"lsh_cap_dropped": dropped, "lsh_max_bucket": biggest}
+
+
+class collect_cap_metrics:
+    """Context manager: collect the bucket-cap observe() metrics of every
+    capped LSH plan BUILT inside the block (dedup, similarity,
+    sketch/vector index paths all flow through _cap_bucket_items).
+
+    with collect_cap_metrics() as caps:
+        out = build_and_write_plan(...)     # plan executes here
+    lineage.metrics = json.dumps({**caps.summary(), ...})
+    """
+
+    def __enter__(self) -> _CapCollector:
+        c = _CapCollector()
+        _cap_collectors.append(c)
+        return c
+
+    def __exit__(self, *exc) -> None:
+        _cap_collectors.pop()
+
 
 def _cap_bucket_items(grouped: DataFrame, max_bucket: int) -> DataFrame:
     """Deterministically truncate candidate buckets to `max_bucket` items.
@@ -58,6 +102,15 @@ def _cap_bucket_items(grouped: DataFrame, max_bucket: int) -> DataFrame:
          .alias("n_dropped_candidates"),
         F.max("_n").alias("max_bucket_size"),
     )
+    if _cap_collectors:
+        from pyspark.sql import Observation
+        obs = Observation()
+        sized = sized.observe(
+            obs,
+            F.sum(F.greatest(F.col("_n") - max_bucket, F.lit(0)))
+             .alias("n_dropped_candidates"),
+            F.max("_n").alias("max_bucket_size"))
+        _cap_collectors[-1].observations.append(obs)
     return (sized
             .withColumn("items",
                         F.slice(F.array_sort("items"), 1, max_bucket))

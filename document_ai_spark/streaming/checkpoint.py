@@ -119,6 +119,8 @@ def run_checkpointed(
     done = store.committed_buckets()
     committed_this_run = 0
 
+    from ..operators.dedup import collect_cap_metrics
+
     for b in range(buckets):
         if b in done:
             continue
@@ -132,8 +134,27 @@ def run_checkpointed(
         if tombs:
             sub = sub.where(~F.col("doc_id").isin(tombs))
         sub = sub.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
-        out = extract_fn(sub, payloads_df)
-        rows_out = store.write_bucket(b, out)   # rows ride the write job
+        # Plan metrics ride the write job itself and land in the lineage
+        # row (Lineage.metrics): missing-payload counts from the output
+        # column, LSH bucket-cap drops from any capped dedup stage the
+        # extract_fn composed (collect_cap_metrics hooks
+        # dedup._cap_bucket_items for the duration of the bucket).
+        with collect_cap_metrics() as caps:
+            out = extract_fn(sub, payloads_df)
+            obs_out = None
+            if "n_missing_payloads" in out.columns:
+                obs_out = Observation()
+                out = out.observe(
+                    obs_out,
+                    F.sum(F.col("n_missing_payloads").cast("long"))
+                     .alias("missing_payloads"))
+            rows_out = store.write_bucket(b, out)  # rows ride the write job
+        metrics = {}
+        if caps.observations:
+            metrics.update(caps.summary())
+        if obs_out is not None:
+            metrics["missing_payloads"] = int(
+                obs_out.get["missing_payloads"] or 0)
         store.commit(Lineage(
             run_id=run_id,
             partition_id=b,
@@ -142,6 +163,7 @@ def run_checkpointed(
             rows_out=rows_out,
             latency_ms=round((time.monotonic() - t0) * 1000, 3),
             committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            metrics=json.dumps(metrics, sort_keys=True),
         ))
         if tombs:
             store.clear_tombstones(b)   # applied and committed above

@@ -46,11 +46,17 @@ class Lineage:
     # 64-bit longs (not monotone) and committed_at has second granularity
     # (ties), so neither orders re-commits correctly on its own.
     seq: int = 0
+    # JSON dict of per-bucket plan metrics observed during the write job
+    # (missing_payloads, lsh_cap_dropped, lsh_max_bucket, ...) — the
+    # observe() numbers a 100 TB operator would otherwise only see in the
+    # Spark UI, persisted where resume/monitoring actually looks. Kept as
+    # a JSON string so the lineage schema stays stable as ops add metrics.
+    metrics: str = "{}"
 
 
 _LINEAGE_SCHEMA = ("run_id string, partition_id int, snapshot_id string, "
                    "rows_in long, rows_out long, latency_ms double, "
-                   "committed_at string, seq long")
+                   "committed_at string, seq long, metrics string")
 
 
 class IcebergUnavailable(RuntimeError):
@@ -223,9 +229,10 @@ class ManifestStore(SnapshotStore):
             return spark.createDataFrame([], _LINEAGE_SCHEMA)
         for r in rows:
             r.setdefault("seq", 0)
+            r.setdefault("metrics", "{}")
         return spark.createDataFrame(rows).select(
             "run_id", "partition_id", "snapshot_id", "rows_in", "rows_out",
-            "latency_ms", "committed_at", "seq")
+            "latency_ms", "committed_at", "seq", "metrics")
 
     # -- tombstones -----------------------------------------------------------
 
@@ -395,9 +402,10 @@ class IcebergStore(SnapshotStore):
             return spark.createDataFrame([], _LINEAGE_SCHEMA)
         for r in rows:
             r.setdefault("seq", 0)
+            r.setdefault("metrics", "{}")
         return spark.createDataFrame(rows).select(
             "run_id", "partition_id", "snapshot_id", "rows_in", "rows_out",
-            "latency_ms", "committed_at", "seq")
+            "latency_ms", "committed_at", "seq", "metrics")
 
     def pending_tombstones(self, bucket: int) -> List[str]:
         if not self.spark.catalog.tableExists(self.tombstone_table):

@@ -70,3 +70,53 @@ def test_lineage_metrics_recorded(spark, corpus_dfs, tmp_path):
     # Snapshot ids are monotone commit counters.
     snaps = sorted(r["snapshot_id"] for r in lin)
     assert snaps == [f"snap-{i:06d}" for i in range(4)]
+
+
+def test_observe_metrics_persisted_in_lineage(spark, corpus_dfs, tmp_path):
+    """Bucket-cap drops and missing-payload counts ride the write job as
+    observe() metrics and land in the committed lineage rows — surviving
+    a kill/resume (committed rows keep their metrics; resumed buckets
+    record their own)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from document_ai_spark.operators.dedup import banded_near_dup_pairs
+
+    docs_df, payloads_df = corpus_dfs
+
+    # --- extraction run with PLANTED missing payloads (drop half the
+    # payload rows) across a crash + resume ------------------------------
+    starved = payloads_df.where(F.xxhash64("media_ref") % 2 == 0)
+    root = str(tmp_path / "ckpt_metrics")
+    with pytest.raises(JobKilled):
+        run_checkpointed(spark, docs_df, starved, root, buckets=4,
+                         fail_after=2)
+    store = run_checkpointed(spark, docs_df, starved, root, buckets=4)
+    lin = store.lineage_df(spark).collect()
+    assert len(lin) == 4
+    got_missing = sum(json.loads(r["metrics"]).get("missing_payloads", 0)
+                      for r in lin)
+    expected_missing = (extract(docs_df, starved)
+                        .agg(F.sum("n_missing_payloads")).first()[0])
+    assert expected_missing > 0, "test corpus must starve some payloads"
+    assert got_missing == expected_missing
+
+    # --- dedup run with a HOT bucket forced over a tiny cap -------------
+    texts = spark.createDataFrame(
+        [(f"d{i:03d}", "alpha beta gamma delta epsilon zeta")
+         for i in range(12)] +
+        [(f"u{i:03d}", f"unique words {i} " + " ".join(
+            f"w{i}x{j}" for j in range(8))) for i in range(8)],
+        "doc_id string, text string")
+
+    def dedup_fn(sub, _payloads):
+        return banded_near_dup_pairs(sub, jaccard_min=0.0, max_bucket=2)
+
+    root2 = str(tmp_path / "ckpt_dedup")
+    store2 = run_checkpointed(spark, texts, payloads_df, root2, buckets=2,
+                              extract_fn=dedup_fn)
+    lin2 = [json.loads(r["metrics"])
+            for r in store2.lineage_df(spark).collect()]
+    assert any(m.get("lsh_cap_dropped", 0) > 0 for m in lin2), lin2
+    assert max(m.get("lsh_max_bucket", 0) for m in lin2) > 2
