@@ -1771,6 +1771,81 @@ def _q_incremental_near_dup(spark, sf):
     return out.orderBy("doc_a", "doc_b")
 
 
+def _q_quality_gates(spark, sf):
+    """Composite pretraining-quality gate (operators/curation.py
+    quality_gates): quality bands + Gopher repetition filters + unigram
+    LM word-salad filter, with the combined keep verdict. Thresholds
+    calibrated on the labeled micro-corpus (CALIBRATION.md)."""
+    from document_ai_spark.operators.curation import quality_gates
+
+    return (quality_gates(_t(spark, sf, "documents"), logprob_min=-8.0)
+            .orderBy("doc_id"))
+
+
+_SQL_QUALITY_GATES = f"""
+WITH toks AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents),
+q AS (
+  SELECT doc_id,
+         ROUND((CASE WHEN n < 10 THEN n/10.0 WHEN n > 1000 THEN 0.5
+                     ELSE 1.0 END) * 0.6
+               + (CASE WHEN sr BETWEEN 0.05 AND 0.6 THEN 1.0
+                       ELSE 0.5 END) * 0.4, 6) AS quality_score
+  FROM (SELECT doc_id, len(t) AS n,
+               ROUND(len(list_filter(t,
+                   w -> list_contains({_STOP_SQL}, lower(w))))
+                     / greatest(len(t), 1), 6) AS sr
+        FROM toks)),
+lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id, unnest(str_split(text, chr(10))) AS l
+        FROM documents)
+  WHERE trim(l) <> ''),
+line_stats AS (
+  SELECT doc_id, SUM(c) AS n_lines,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines
+  FROM (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY 1, 2)
+  GROUP BY doc_id),
+bigrams AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, greatest(len(t) - 1, 1)),
+      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bigram
+  FROM toks),
+bigram_stats AS (
+  SELECT doc_id, MAX(c) AS top_bigram_count
+  FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bigrams GROUP BY 1, 2)
+  GROUP BY doc_id),
+rep AS (
+  SELECT tk.doc_id,
+         ROUND(COALESCE(ls.dup_lines, 0) / COALESCE(ls.n_lines, 1), 6)
+           AS dup_line_frac,
+         ROUND(CASE WHEN len(tk.t) >= 2
+                    THEN bs.top_bigram_count * 2.0 / len(tk.t)
+                    ELSE 0.0 END, 6) AS top_bigram_frac
+  FROM toks tk
+  LEFT JOIN line_stats ls USING (doc_id)
+  LEFT JOIN bigram_stats bs USING (doc_id)),
+words AS (
+  SELECT doc_id, lower(w) AS word
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks) WHERE w <> ''),
+freqs AS (SELECT word, COUNT(*) AS wc FROM words GROUP BY word),
+tot AS (SELECT CAST(SUM(wc) AS DOUBLE) AS n_tok,
+               CAST(COUNT(*) AS DOUBLE) AS vocab FROM freqs),
+lp AS (
+  SELECT doc_id,
+         ROUND(AVG(ln((wc + 1) / (n_tok + vocab))), 6) AS unigram_logprob
+  FROM words JOIN freqs USING (word), tot GROUP BY doc_id)
+SELECT q.doc_id, q.quality_score, rep.dup_line_frac, rep.top_bigram_frac,
+       lp.unigram_logprob,
+       (q.quality_score >= 0.8 AND rep.dup_line_frac <= 0.3
+        AND rep.top_bigram_frac <= 0.2
+        AND COALESCE(lp.unigram_logprob, -1e9) >= -8.0) AS keep
+FROM q JOIN rep ON q.doc_id = rep.doc_id
+LEFT JOIN lp ON q.doc_id = lp.doc_id
+ORDER BY q.doc_id
+"""
+
+
 def _q_incremental_embed_near_dup(spark, sf):
     """k-batch INCREMENTAL embedding near-dup via the persisted banded
     sign-LSH index (operators/vector_index.py EmbeddingIndex): the
@@ -2149,6 +2224,7 @@ _REGISTRY: dict[str, tuple] = {
     "incremental_embed_near_dup": (_q_incremental_embed_near_dup,
                                    _sql_embed_near_dups()),
     "embed_ivf_persisted": (_q_embed_ivf_persisted, _sql_embed_ivf_topk()),
+    "quality_gates": (_q_quality_gates, _SQL_QUALITY_GATES),
 }
 
 

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .dedup import banded_near_dup_pairs, duplicate_clusters
-from .textquality import token_budget, with_quality_score
+from .textquality import (
+    repetition_stats,
+    token_budget,
+    with_quality_score,
+    with_unigram_logprob,
+)
 
 
 def curate(docs: DataFrame, quality_min: float = 0.8,
@@ -44,6 +49,43 @@ def curate(docs: DataFrame, quality_min: float = 0.8,
               .select("doc_id"))
     kept = q.join(losers, "doc_id", "left_anti")
     return token_budget(kept)
+
+
+def quality_gates(docs: DataFrame, quality_min: float = 0.8,
+                  dup_line_max: float = 0.3, top_bigram_max: float = 0.2,
+                  logprob_min: float = None) -> DataFrame:
+    """Composite pretraining-quality gate: per doc, every gate signal
+    plus the combined ``keep`` verdict.
+
+      * quality_score >= quality_min      (length + stopword bands)
+      * dup_line_frac <= dup_line_max     (boilerplate/chrome filter)
+      * top_bigram_frac <= top_bigram_max (Gopher repetition filter)
+      * unigram_logprob >= logprob_min    (word-salad filter; skipped
+        when logprob_min is None — the threshold is corpus-relative,
+        see CALIBRATION.md for the measured separation)
+
+    Calibrated on the labeled micro-corpus (sources/labeled.py):
+    quality_score ALONE does not reject word salad (salad scores exactly
+    0.8 — length band 1.0, stopword band floor 0.5) or repetition bombs;
+    the composite rule separates all four classes (CALIBRATION.md).
+
+    Scale shape: three audited component scans (with_quality_score,
+    repetition_stats, with_unigram_logprob) joined on doc_id only; no
+    stage carries text past its own scan. Zero-token docs have no
+    unigram row — the left join + coalesce(-inf) fails them closed."""
+    q = with_quality_score(docs).select("doc_id", "quality_score")
+    rep = repetition_stats(docs).select(
+        "doc_id", "dup_line_frac", "top_bigram_frac")
+    out = q.join(rep, "doc_id")
+    keep = ((F.col("quality_score") >= quality_min)
+            & (F.col("dup_line_frac") <= dup_line_max)
+            & (F.col("top_bigram_frac") <= top_bigram_max))
+    if logprob_min is not None:
+        lp = with_unigram_logprob(docs).select("doc_id", "unigram_logprob")
+        out = out.join(lp, "doc_id", "left")
+        keep = keep & (F.coalesce("unigram_logprob", F.lit(-1e9))
+                       >= logprob_min)
+    return out.withColumn("keep", keep)
 
 
 def eval_ngrams(eval_docs: DataFrame, n: int = 3) -> DataFrame:

@@ -53,6 +53,7 @@ _TOKEN_QUERIES = [
     "near_dup_pairs", "simhash", "token_estimate", "token_budget",
     "unigram_logprob", "repetition_stats", "contamination", "tfidf_terms",
     "lang_guess", "ngram_jaccard", "dup_clusters", "curation_budget",
+    "quality_gates",
 ]
 
 
