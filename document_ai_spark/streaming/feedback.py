@@ -197,3 +197,45 @@ def stream_curate(spark: SparkSession, in_dir: str, index_root: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_embed_dedup(spark: SparkSession, in_dir: str, index_root: str,
+                       pairs_dir: str, checkpoint_dir: str,
+                       cos_min: float = 0.95):
+    """Incremental embedding-cosine near-dup detection over a vector
+    stream — the embedding twin of stream_dedup: each micro-batch is
+    compared against the PERSISTED banded sign-LSH index (batch internal
+    + batch-vs-all-previous), its pairs land under
+    ``pairs_dir/batch=<id>/``, and its banded rows are committed to the
+    index for the next batch (operators/vector_index.py EmbeddingIndex).
+
+    Exactly-once across restarts: foreachBatch replays a batch with the
+    SAME batch_id, append_and_find is idempotent per batch_id, and the
+    per-batch output directory is overwritten, not appended. Returns the
+    StreamingQuery."""
+    from ..operators.vector_index import EmbeddingIndex
+
+    idx = EmbeddingIndex(index_root)
+    stream = (
+        spark.readStream
+        .schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = idx.append_and_find(
+            spark, batch_df.select("vec_id", "embedding"),
+            batch_id=f"stream-{batch_id}", cos_min=cos_min)
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_dir}/batch={batch_id}")
+
+    return (
+        stream.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

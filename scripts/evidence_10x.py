@@ -1,0 +1,208 @@
+"""Order-of-magnitude-larger evidence run (round-4 verdict item #3).
+
+The per-round bench corpus is 60k interleaved docs (sf0.1). This runs
+the SAME jobs once at 10x:
+
+  * full extraction over a 600k-doc generated interleaved corpus, at
+    the N / 4N scaling pair (best-of-2 each) plus a peak leg — does
+    scaling efficiency hold at 10x the input?
+  * the end-to-end curate() composition (quality gate -> banded LSH ->
+    cluster representatives -> token budget) over a 500k-doc text
+    corpus with 50k planted near-dup docs — generated JVM-side
+    (spark.range + hash exprs), no driver materialization.
+
+Recorded per job: wall time, peak JVM RSS (VmHWM of the local-mode
+JVM = driver + executors), shuffle/spill bytes landed in the session's
+blockmgr dirs, the observe() cap metrics, and the physical-plan
+Exchange count at 60k vs 600k (same plan shape = no new exchanges).
+
+Writes EVIDENCE_10X.json; BENCH.md summarizes.
+
+Usage: python scripts/evidence_10x.py [--quick]   (--quick = 1/10 sizes
+for a smoke run of the harness itself)
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F                      # noqa: E402
+
+QUICK = "--quick" in sys.argv
+N_EXTRACT = 60_000 if QUICK else 600_000
+N_CURATE = 50_000 if QUICK else 500_000
+SCALE_LOW, SCALE_HIGH, PEAK = 2, 8, 32
+SHUFFLE = 16
+
+
+def _jvm_peak_rss_mb(spark) -> float:
+    """VmHWM of the gateway JVM (local mode: driver+executors in one)."""
+    try:
+        pid = spark.sparkContext._gateway.proc.pid
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmHWM"):
+                    return round(int(line.split()[1]) / 1024, 1)
+    except Exception:                                   # noqa: BLE001
+        return -1.0
+    return -1.0
+
+
+def _blockmgr_bytes() -> int:
+    total = 0
+    for d in glob.glob("/tmp/blockmgr-*"):
+        for root, _dirs, files in os.walk(d):
+            for fn in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+    return total
+
+
+def _exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange ") + plan.count("Exchange\n")
+
+
+def _session(name, threads, extra=None):
+    from document_ai_spark.session import get_spark
+    conf = {"spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize":
+                "256k", **(extra or {})}
+    s = get_spark(name, master=f"local[{threads}]",
+                  shuffle_partitions=SHUFFLE, extra_conf=conf)
+    s.sparkContext.setLogLevel("OFF")
+    return s
+
+
+def gen_text_corpus(spark, n):
+    """(doc_id, text, lang, source) generated entirely JVM-side: ~40-word
+    docs over a 500-word hash vocabulary + 10% planted near-dup copies."""
+    base_n = int(n * 0.9)
+    vocab = ("array(" + ", ".join(
+        f"'w{i:03d}'" for i in range(500)) + ")")
+    text = (f"array_join(transform(sequence(1, 25 + pmod(id, 30)), i -> "
+            f"element_at({vocab}, 1 + cast(pmod(xxhash64(id * 1000 + i), "
+            f"500) as int))), ' ')")
+    base = spark.range(base_n).select(
+        F.col("id").alias("doc_id"), F.expr(text).alias("text"),
+        F.expr("element_at(array('en','de','fr'), "
+               "1 + cast(pmod(id, 3) as int))").alias("lang"),
+        F.expr("concat('src', pmod(id, 4))").alias("source"))
+    dups = (base.where(F.col("doc_id") < n - base_n)
+            .select((F.col("doc_id") + base_n).alias("doc_id"),
+                    F.concat("text", F.lit(" tail marker")).alias("text"),
+                    "lang", "source"))
+    return base.unionByName(dups)
+
+
+def main():
+    from document_ai_spark.operators.curation import curate
+    from document_ai_spark.operators.dedup import collect_cap_metrics
+    from document_ai_spark.plans.pipeline import extract
+    from document_ai_spark.sources.docgen import write_corpus
+    from pyspark.sql import Observation
+
+    out = {"n_extract_docs": N_EXTRACT, "n_curate_docs": N_CURATE,
+           "quick": QUICK}
+    corpus = f"/tmp/evidence_corpus_{N_EXTRACT}"
+
+    # ---- corpus generation at full parallelism -------------------------
+    s = _session("evidence-gen", PEAK)
+    if not os.path.exists(f"{corpus}/documents_interleaved.parquet"):
+        shutil.rmtree(corpus, ignore_errors=True)
+        t0 = time.monotonic()
+        write_corpus(s, corpus, n_docs=N_EXTRACT, seed=42, partitions=PEAK)
+        out["corpus_gen_sec"] = round(time.monotonic() - t0, 1)
+
+    # plan-shape check: Exchange count at the bench-scale corpus vs this
+    # one must match. NOT limit(n) — GlobalLimit adds its own exchange
+    # and would fake a difference; compare two real corpora.
+    small_corpus = f"/tmp/bench_corpus_{N_EXTRACT // 10}"
+    if not os.path.exists(f"{small_corpus}/documents_interleaved.parquet"):
+        write_corpus(s, small_corpus, n_docs=N_EXTRACT // 10, seed=42,
+                     partitions=PEAK)
+    for tag, c in (("small", small_corpus), ("large", corpus)):
+        d = s.read.parquet(f"{c}/documents_interleaved.parquet")
+        p = s.read.parquet(f"{c}/media_payloads.parquet")
+        out[f"extract_exchanges_{tag}"] = {
+            "n_docs": N_EXTRACT // 10 if tag == "small" else N_EXTRACT,
+            "exchanges": _exchanges(extract(d, p))}
+    s.stop()
+
+    # ---- extraction scaling pair at 10x --------------------------------
+    def trial(threads):
+        s = _session(f"evidence-extract-{threads}", threads)
+        try:
+            d = s.read.parquet(f"{corpus}/documents_interleaved.parquet")
+            p = s.read.parquet(f"{corpus}/media_payloads.parquet")
+            extract(d.limit(512).repartition(threads * 2), p) \
+                .write.format("noop").mode("overwrite").save()
+            spill0 = _blockmgr_bytes()
+            obs = Observation()
+            t0 = time.monotonic()
+            ext = extract(d, p).observe(
+                obs, F.sum(F.col("n_missing_payloads").cast("long"))
+                .alias("missing_payloads"))
+            ext.write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            return {"sec": round(dt, 1),
+                    "docs_per_sec": round(N_EXTRACT / dt, 1),
+                    "missing_payloads": int(
+                        obs.get["missing_payloads"] or 0),
+                    "peak_jvm_rss_mb": _jvm_peak_rss_mb(s),
+                    "shuffle_bytes": _blockmgr_bytes() - spill0}
+        finally:
+            s.stop()
+
+    legs = {}
+    for threads in (SCALE_LOW, SCALE_HIGH, PEAK):
+        trials = [trial(threads) for _ in range(2)]
+        best = min(trials, key=lambda t: t["sec"])
+        best["trials_sec"] = [t["sec"] for t in trials]
+        legs[f"t{threads}"] = best
+        print(f"extract {threads}t: {best}", flush=True)
+    eff = (legs[f"t{SCALE_HIGH}"]["docs_per_sec"]
+           / ((SCALE_HIGH / SCALE_LOW)
+              * legs[f"t{SCALE_LOW}"]["docs_per_sec"]))
+    out["extraction"] = {**legs, "scaling_efficiency": round(eff, 4),
+                         "scaling_rule":
+                             f"T({SCALE_HIGH})/(4*T({SCALE_LOW})) >= 0.8"}
+
+    # ---- curate() composition at half a million docs -------------------
+    s = _session("evidence-curate", PEAK)
+    try:
+        docs = gen_text_corpus(s, N_CURATE)
+        spill0 = _blockmgr_bytes()
+        with collect_cap_metrics() as caps:
+            t0 = time.monotonic()
+            budget = curate(docs).collect()
+            dt = time.monotonic() - t0
+        out["curate"] = {
+            "sec": round(dt, 1),
+            "docs_per_sec": round(N_CURATE / dt, 1),
+            "budget_rows": len(budget),
+            "total_tokens": int(sum(r["total_tokens"] for r in budget)),
+            **caps.summary(),
+            "peak_jvm_rss_mb": _jvm_peak_rss_mb(s),
+            "shuffle_bytes": _blockmgr_bytes() - spill0,
+        }
+        print(f"curate: {out['curate']}", flush=True)
+    finally:
+        s.stop()
+
+    path = Path(__file__).resolve().parents[1] / "EVIDENCE_10X.json"
+    path.write_text(json.dumps(out, indent=1) + "\n")
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

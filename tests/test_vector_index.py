@@ -133,3 +133,25 @@ def test_codebook_param_pinning(spark, tmp_path):
     CodebookIndex(root, k=8)
     with pytest.raises(ValueError, match="k"):
         CodebookIndex(root, k=16)
+
+
+def test_stream_embed_dedup_parity(spark, tmp_path):
+    """Streamed vector micro-batches through the persisted index == the
+    corpus-wide embedding_near_dups recompute."""
+    import glob
+
+    from document_ai_spark.streaming.feedback import stream_embed_dedup
+
+    emb = _dup_emb(spark).select("vec_id", "embedding")
+    in_dir = str(tmp_path / "vec_in")
+    for b in _batches(emb, 2):
+        b.coalesce(1).write.mode("append").parquet(in_dir)
+    q = stream_embed_dedup(spark, in_dir, str(tmp_path / "vec_idx"),
+                           str(tmp_path / "vec_pairs"),
+                           str(tmp_path / "vec_ckpt"), cos_min=COS_MIN)
+    q.awaitTermination()
+    got = set()
+    for d in glob.glob(str(tmp_path / "vec_pairs" / "batch=*")):
+        got |= _pairset(spark.read.parquet(d))
+    full = _pairset(embedding_near_dups(_dup_emb(spark), cos_min=COS_MIN))
+    assert got == full
