@@ -23,6 +23,7 @@ from document_ai_spark.functions import extraction as X          # noqa: E402
 from document_ai_spark.functions.tokenize import (                # noqa: E402
     ALPHA_RANGES,
     CJK_RANGES,
+    WS_RANGES,
     duck_tokens_sql,
 )
 from document_ai_spark.operators import dedup as D               # noqa: E402
@@ -693,8 +694,8 @@ SELECT doc_id, text FROM documents
 UNION ALL
 SELECT doc_id + 1000000 AS doc_id,
        coalesce(array_to_string(
-           list_slice(str_split_regex(trim(text), '\\s+'), 2,
-                      len(str_split_regex(trim(text), '\\s+'))), ' '), '')
+           list_slice(str_split_regex(trim(text), '[ \\x{0009}-\\x{000D}]+'), 2,
+                      len(str_split_regex(trim(text), '[ \\x{0009}-\\x{000D}]+'))), ' '), '')
          AS text
 FROM documents
 """
@@ -1338,7 +1339,7 @@ def _q_arrays_overlap(spark, sf):
 _SQL_ARRAYS_OVERLAP = r"""
 SELECT doc_id,
        len(list_intersect(toks[1:5], toks[-5:])) > 0 AS head_tail_overlap
-FROM (SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+FROM (SELECT doc_id, str_split_regex(trim(text), '[ \x{0009}-\x{000D}]+') AS toks
       FROM documents) ORDER BY doc_id
 """
 
@@ -1486,7 +1487,7 @@ SELECT doc_id,
        length(trim(text)) AS len_trim,
        starts_with(trim(text), 'the') AS starts_the,
        regexp_replace(toks[2], '[aeiou]', '_', 'g') AS second_devoweled
-FROM (SELECT doc_id, text, str_split_regex(trim(text), '\s+') AS toks
+FROM (SELECT doc_id, text, str_split_regex(trim(text), '[ \x{0009}-\x{000D}]+') AS toks
       FROM documents) ORDER BY doc_id
 """
 
@@ -1621,7 +1622,8 @@ CAST(coalesce(list_sum(list_transform(regexp_extract_all(text,
    + coalesce(list_sum(list_transform(regexp_extract_all(text,
          '[0-9]+'), d -> CAST(ceil(length(d) / 3.0) AS INT))), 0)
    + len(regexp_extract_all(text, '[{CJK_RANGES}]'))
-   + len(regexp_extract_all(text, '[^{ALPHA_RANGES}0-9\\s{CJK_RANGES}]'))
+   + len(regexp_extract_all(text,
+         '[^{ALPHA_RANGES}0-9{WS_RANGES}{CJK_RANGES}]'))
    AS BIGINT)
 """
 
@@ -1672,8 +1674,8 @@ base AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id,
          coalesce(array_to_string(
-             list_slice(str_split_regex(trim(text), '\\s+'), 2,
-                        len(str_split_regex(trim(text), '\\s+'))), ' '), '')
+             list_slice(str_split_regex(trim(text), '[ \\x{{0009}}-\\x{{000D}}]+'), 2,
+                        len(str_split_regex(trim(text), '[ \\x{{0009}}-\\x{{000D}}]+'))), ' '), '')
            AS text,
          lang, source FROM documents),
 scored AS (
@@ -1923,7 +1925,7 @@ WITH toks AS (
 base AS (
   SELECT doc_id, len(t) AS n_tokens,
          len(regexp_extract_all(text,
-             '[^{ALPHA_RANGES}0-9\\s{CJK_RANGES}]')) AS n_symbols
+             '[^{ALPHA_RANGES}0-9{WS_RANGES}{CJK_RANGES}]')) AS n_symbols
   FROM toks),
 lines AS (
   SELECT doc_id, trim(l) AS line

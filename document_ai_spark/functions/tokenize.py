@@ -35,6 +35,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+# Whitespace, spelled EXPLICITLY: Java regex \s is [ \t\n\x0B\f\r] but
+# RE2's \s excludes \x0B (vertical tab) — a real divergence found by the
+# cross-engine fuzz test (test_cjk_tokenize.py). Both engines read this
+# class identically, so no bare \s appears in any shared pattern. The
+# set equals Java's \s, which keeps the hybrid split() fast path exact.
+WS_RANGES = r" \x{0009}-\x{000D}"
+
 # BMP CJK ranges, single-backslash (raw-regex) spelling:
 #   3040-30FF  Hiragana + Katakana
 #   3400-4DBF  CJK Unified Ideographs Extension A
@@ -48,7 +55,7 @@ CJK_RANGES = (r"\x{3040}-\x{30FF}\x{3400}-\x{4DBF}"
 # branches match disjoint first-characters, so alternation order cannot
 # change the result — but run-first is measurably faster (~2x on Latin
 # corpora: the common case matches on the first branch).
-TOKEN_PATTERN = f"[^\\s{CJK_RANGES}]+|[{CJK_RANGES}]"
+TOKEN_PATTERN = f"[^{WS_RANGES}{CJK_RANGES}]+|[{CJK_RANGES}]"
 
 # Alphabetic ranges whose words BPE-merge at ~4 chars/token (the
 # token-estimate letter model): Basic Latin + Latin-1/Extended + Greek +

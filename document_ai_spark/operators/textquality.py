@@ -15,6 +15,7 @@ from ..constants import STOPWORDS
 from ..functions.tokenize import (
     ALPHA_RANGES,
     CJK_RANGES,
+    WS_RANGES,
     tokens_col,
     tokens_sql,
 )
@@ -153,6 +154,7 @@ def with_token_estimate(df: DataFrame) -> DataFrame:
     (oracle row token_budget)."""
     alpha = ALPHA_RANGES.replace("\\", "\\\\")
     cjk = CJK_RANGES.replace("\\", "\\\\")
+    ws = WS_RANGES.replace("\\", "\\\\")
     letters = F.expr(
         f"aggregate(regexp_extract_all(text, '[{alpha}]+', 0), 0, "
         "(acc, w) -> acc + cast(ceil(length(w) / 4.0) as int))")
@@ -161,7 +163,7 @@ def with_token_estimate(df: DataFrame) -> DataFrame:
         "(acc, d) -> acc + cast(ceil(length(d) / 3.0) as int))")
     cjk_chars = F.expr(f"size(regexp_extract_all(text, '[{cjk}]', 0))")
     punct = F.expr(
-        f"size(regexp_extract_all(text, '[^{alpha}0-9\\\\s{cjk}]', 0))")
+        f"size(regexp_extract_all(text, '[^{alpha}0-9{ws}{cjk}]', 0))")
     return df.withColumn(
         "token_estimate",
         (letters + digits + cjk_chars + punct).cast("long"))
@@ -242,12 +244,13 @@ def repetition_stats(df: DataFrame) -> DataFrame:
     adversarial documents, the wrong trade at 100 TB."""
     alpha = ALPHA_RANGES.replace("\\", "\\\\")
     cjk = CJK_RANGES.replace("\\", "\\\\")
+    ws = WS_RANGES.replace("\\", "\\\\")
     base = df.select(
         "doc_id",
         F.size(tokens_col()).alias("n_tokens"),
         # symbols = not alphabetic, not digit, not space, not CJK — a
         # CJK char is a word-token, not a symbol.
-        F.expr(f"size(regexp_extract_all(text, '[^{alpha}0-9\\\\s{cjk}]', 0))")
+        F.expr(f"size(regexp_extract_all(text, '[^{alpha}0-9{ws}{cjk}]', 0))")
         .alias("n_symbols"),
     )
     lines = (df.select("doc_id",

@@ -201,3 +201,39 @@ def test_hybrid_equals_pure_regex(spark):
     bad = both.where(~F.expr(tokens_sql()).eqNullSafe(
         F.expr(tokens_regex_sql()))).count()
     assert bad == 0
+
+
+def test_tokenizer_engine_parity_fuzz(spark):
+    """Randomized cross-engine parity: 300 seeded random strings mixing
+    ASCII, punctuation, whitespace variants, CJK blocks, combining
+    marks, surrogate-pair emoji, and boundary chars — Spark and DuckDB
+    must tokenize every one identically (single batched comparison)."""
+    import random
+
+    rng = random.Random(1234)
+    pools = [
+        lambda: chr(rng.randint(0x20, 0x7E)),          # ASCII
+        lambda: chr(rng.randint(0x4E00, 0x9FFF)),      # CJK unified
+        lambda: chr(rng.randint(0x3040, 0x30FF)),      # kana
+        lambda: chr(rng.randint(0xAC00, 0xD7AF)),      # hangul
+        lambda: chr(rng.randint(0x0900, 0x097F)),      # devanagari
+        lambda: chr(rng.randint(0x0300, 0x036F)),      # combining marks
+        lambda: rng.choice(" \t\n\r\x0b\x0c　"),   # whitespace-ish
+        lambda: rng.choice("。、．，！？・ー〜"),        # CJK punctuation
+        lambda: chr(rng.randint(0x1F300, 0x1F6FF)),    # emoji (astral)
+        lambda: rng.choice(["〿", "㐀", "䶿", "鿿",
+                            "ꀀ", "꯿", "가", "힯",
+                            "", "豈", "﫿", "ﬀ"]),
+    ]
+    texts = ["".join(rng.choice(pools)()
+                     for _ in range(rng.randint(0, 60)))
+             for _ in range(300)]
+
+    import duckdb
+    duck = [r[0] or [] for r in duckdb.connect().execute(
+        "SELECT regexp_extract_all(t, ?, 0) "
+        "FROM (SELECT unnest(?) AS t)",
+        [TOKEN_PATTERN, texts]).fetchall()]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(tokens_col().alias("t")).collect()]
+    assert got == duck
