@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.tokenize import tokens_sql
+from ..functions.tokenize import WS_RANGES, tokens_sql
 
 SHINGLE_K = 3          # words per shingle (char k-grams on CJK runs)
 SKETCH_SIZE = 8        # bottom-k sketch size
@@ -237,9 +237,15 @@ def near_dup_pairs(df: DataFrame, jaccard_min: float = 0.6,
     the corpus. Hot buckets are truncated to `max_bucket` items with an
     observed drop metric (see _cap_bucket_items) so one degenerate shingle
     can never OOM a reducer. Returns (doc_a, doc_b, jaccard), doc_a<doc_b."""
-    s = with_minhash_sketch(df).select(
-        "doc_id", "minhash_bucket", "minhash_sketch").where(
-        F.size("minhash_sketch") > 0)   # zero-token docs have no bucket
+    # Zero-token docs (empty/whitespace/NULL text) have empty sketches
+    # and no bucket; filter them on the CHEAP text predicate BEFORE the
+    # sketch projection — a size(minhash_sketch) > 0 filter after it
+    # would be pushed through the projection by substituting the alias,
+    # re-deriving the whole tokenize->shingle->md5 pipeline per row just
+    # for the predicate (measured +50% on this query at sf0.1).
+    s = with_minhash_sketch(
+        df.where(F.col("text").rlike(f"[^{WS_RANGES}]"))).select(
+        "doc_id", "minhash_bucket", "minhash_sketch")
     grouped = (
         s.groupBy("minhash_bucket")
         .agg(F.collect_list(F.struct("doc_id", "minhash_sketch"))
@@ -296,9 +302,11 @@ def banded_near_dup_pairs(df: DataFrame, jaccard_min: float = 0.5,
     only engage on adversarial buckets and the drop is observed, never
     silent.
     """
-    s = with_minhash_signature(with_minhash_sketch(df)).select(
-        "doc_id", "minhash_sketch", "minhash_sig").where(
-        F.size("minhash_sketch") > 0)   # zero-token docs never band
+    # Cheap text predicate, not size(sketch) > 0 — see near_dup_pairs:
+    # a post-projection filter re-derives the sketch pipeline per row.
+    s = with_minhash_signature(with_minhash_sketch(
+        df.where(F.col("text").rlike(f"[^{WS_RANGES}]")))).select(
+        "doc_id", "minhash_sketch", "minhash_sig")
     # One row per (band, band_hash): explode the signature into band keys.
     band_expr = F.explode(F.expr(
         f"transform(sequence(0, {bands - 1}), b -> named_struct("

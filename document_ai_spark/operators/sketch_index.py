@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.tokenize import WS_RANGES
 from .batch_index import AtomicBatchIndex
 from .dedup import (
     LSH_BANDS,
@@ -59,9 +60,12 @@ def banded_sketch_rows(df: DataFrame, bands: int = LSH_BANDS,
     come from the position-stable k-permutation signature; the bottom-k
     sketch rides along for the exact-jaccard verify (see
     dedup.with_minhash_signature for why the two coexist)."""
-    s = with_minhash_signature(with_minhash_sketch(df)).select(
-        "doc_id", "minhash_sketch", "minhash_sig").where(
-        F.size("minhash_sketch") > 0)   # zero-token docs never index
+    # Zero-token docs never index; cheap text predicate before the
+    # sketch projection (see dedup.near_dup_pairs for why not
+    # size(sketch) > 0 after it).
+    s = with_minhash_signature(with_minhash_sketch(
+        df.where(F.col("text").rlike(f"[^{WS_RANGES}]")))).select(
+        "doc_id", "minhash_sketch", "minhash_sig")
     band_expr = F.explode(F.expr(
         f"transform(sequence(0, {bands - 1}), b -> named_struct("
         f"  'band', b,"
