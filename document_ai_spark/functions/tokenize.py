@@ -28,6 +28,14 @@ across the two engines, so we avoid them entirely. Supplementary-plane
 ideographs (CJK ext B+, U+20000+) are out of scope of the class and fall
 into the run rule; acceptable approximation, documented here.
 
+Scope note — other no-space scripts (Thai, Lao, Khmer, Myanmar) keep
+the run rule: each run is one token, the pre-round-4 behavior. Char
+tokens would be wrong there (those scripts are combining-mark heavy, so
+chars are not grapheme-sized units the way CJK ideographs are), and
+proper segmentation needs dictionaries this environment does not ship.
+A cluster deployment adds their ranges or plugs a real segmenter at the
+tokens_sql seam; everything downstream is token-model-agnostic.
+
 Everything stays a JVM/codegen regexp expression — no Python in the hot
 path; the corpus streams once per op exactly as before.
 """

@@ -140,7 +140,19 @@ def run_checkpointed(
         # extract_fn composed (collect_cap_metrics hooks
         # dedup._cap_bucket_items for the duration of the bucket).
         with collect_cap_metrics() as caps:
-            out = extract_fn(sub, payloads_df)
+            # Bucket-aware extract functions (e.g. per-bucket incremental
+            # dedup batch ids) declare a third REQUIRED parameter and
+            # receive b. Count only non-defaulted positionals: the
+            # default pipeline's extract(docs, payloads, salt_buckets=K)
+            # must NOT get b as its salt count (bucket 0 would make the
+            # reassembly salt pmod(offset, 0) — remainder by zero).
+            import inspect
+            required = [
+                p for p in inspect.signature(extract_fn).parameters.values()
+                if p.default is inspect.Parameter.empty
+                and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+            out = (extract_fn(sub, payloads_df, b) if len(required) >= 3
+                   else extract_fn(sub, payloads_df))
             obs_out = None
             if "n_missing_payloads" in out.columns:
                 obs_out = Observation()

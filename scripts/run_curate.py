@@ -1,0 +1,134 @@
+"""spark-submit entrypoint for the training-data curation pipeline.
+
+Cluster usage (same packaging as run_extract.py):
+
+    cd /root/repo && zip -r /tmp/document_ai_spark.zip document_ai_spark
+    spark-submit --py-files /tmp/document_ai_spark.zip \
+        scripts/run_curate.py \
+        --input  <documents parquet: doc_id, text, lang, source> \
+        --output <store root> \
+        --buckets 64 --run-id curate-1 [--logprob-min -8.0] \
+        [--eval <benchmark-docs parquet for decontamination>]
+
+Per doc-id-hash bucket, checkpointed (kill + re-submit with the same
+--output resumes at the last committed bucket; lineage + the observe()
+cap/gate metrics land in <output>/_manifests/):
+
+  1. composite quality gates (quality bands, Gopher repetition filters,
+     optional unigram-logprob floor — thresholds per CALIBRATION.md),
+  2. optional benchmark decontamination against --eval's word n-grams,
+  3. incremental near-dup dedup against the PERSISTED sketch index at
+     <output>/_sketch_index (first-seen-wins across buckets AND across
+     re-runs — the streaming keep rule),
+  4. survivors land in <output>/data/bucket=<b>/.
+
+The gate signal columns ride along, so the output doubles as a
+per-document quality audit table. A final token_budget rollup over all
+committed survivors prints at the end.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--run-id", default="curate-0")
+    ap.add_argument("--quality-min", type=float, default=0.8)
+    ap.add_argument("--dup-line-max", type=float, default=0.3)
+    ap.add_argument("--top-bigram-max", type=float, default=0.2)
+    ap.add_argument("--logprob-min", type=float, default=None,
+                    help="unigram-logprob floor; corpus-relative, see "
+                         "CALIBRATION.md (off by default)")
+    ap.add_argument("--jaccard-min", type=float, default=0.5)
+    ap.add_argument("--eval", default=None,
+                    help="benchmark docs parquet; survivors sharing a "
+                         "word 3-gram with it are dropped")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from document_ai_spark.operators.curation import (
+        eval_ngrams,
+        quality_gates,
+    )
+    from document_ai_spark.operators.sketch_index import SketchIndex
+    from document_ai_spark.operators.textquality import token_budget
+    from document_ai_spark.session import get_spark
+    from document_ai_spark.streaming.checkpoint import run_checkpointed
+
+    spark = get_spark("document_ai_spark.curate", master=args.master)
+    docs = spark.read.parquet(args.input)
+    idx = SketchIndex(f"{args.output}/_sketch_index")
+    block = None
+    if args.eval:
+        block = F.broadcast(
+            eval_ngrams(spark.read.parquet(args.eval), n=3)).cache()
+
+    def curate_bucket(sub, _payloads, bucket):
+        gated = quality_gates(
+            sub, quality_min=args.quality_min,
+            dup_line_max=args.dup_line_max,
+            top_bigram_max=args.top_bigram_max,
+            logprob_min=args.logprob_min)
+        kept = (sub.select("doc_id", "text", "lang", "source")
+                .join(gated, "doc_id")
+                .where("keep")
+                .drop("keep"))
+        if block is not None:
+            from document_ai_spark.operators.dedup import _word_shingles
+            hits = (kept.select(
+                "doc_id", F.explode(_word_shingles(3)).alias("ngram"))
+                .join(block, "ngram").select("doc_id").distinct())
+            kept = kept.join(hits, "doc_id", "left_anti")
+        # Incremental dedup vs the persisted index: first-seen-wins (the
+        # stream_curate keep rule) — a doc is dropped iff it near-dups
+        # ANY doc from an earlier-committed bucket (earlier wins,
+        # regardless of id) or a smaller-id doc in its own bucket. Index
+        # state commits per bucket under this batch_id, so resume
+        # replays are idempotent.
+        pairs = idx.append_and_find(
+            spark, kept.select("doc_id", "text"),
+            batch_id=f"{args.run_id}-b{bucket}",
+            jaccard_min=args.jaccard_min)
+        ids = kept.select("doc_id")
+        b_a = ids.withColumnRenamed("doc_id", "doc_a")
+        b_b = ids.withColumnRenamed("doc_id", "doc_b")
+        both_b = (pairs.join(F.broadcast(b_a), "doc_a", "left_semi")
+                  .join(F.broadcast(b_b), "doc_b", "left_semi")
+                  .select(F.col("doc_b").alias("doc_id")))
+        cross_a = (pairs.join(F.broadcast(b_a), "doc_a", "left_semi")
+                   .join(F.broadcast(b_b), "doc_b", "left_anti")
+                   .select(F.col("doc_a").alias("doc_id")))
+        cross_b = (pairs.join(F.broadcast(b_b), "doc_b", "left_semi")
+                   .join(F.broadcast(b_a), "doc_a", "left_anti")
+                   .select(F.col("doc_b").alias("doc_id")))
+        losers = both_b.unionByName(cross_a).unionByName(cross_b).distinct()
+        return kept.join(losers, "doc_id", "left_anti")
+
+    store = run_checkpointed(
+        spark, docs, spark.createDataFrame([], "media_ref string"),
+        args.output, run_id=args.run_id, buckets=args.buckets,
+        extract_fn=curate_bucket)
+
+    lineage = store.lineage_df(spark)
+    lineage.orderBy("partition_id").show(100, truncate=False)
+    survivors = store.read_committed(spark)
+    n_in, n_out = docs.count(), survivors.count()
+    print(f"curated {n_in} -> {n_out} docs "
+          f"({len(store.committed_buckets())} buckets)")
+    token_budget(survivors.select("doc_id", "text", "lang", "source")) \
+        .show(100, truncate=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

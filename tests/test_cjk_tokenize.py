@@ -237,3 +237,38 @@ def test_tokenizer_engine_parity_fuzz(spark):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = [r[0] for r in df.select(tokens_col().alias("t")).collect()]
     assert got == duck
+
+
+def test_tokenizer_concat_and_invariance_properties(spark):
+    """Algebraic properties over 200 seeded random mixed-script strings,
+    checked in one batch:
+      * whitespace-join invariance: tokens(a + ' ' + b) ==
+        tokens(a) ++ tokens(b)
+      * idempotence under re-join: tokens(' '.join(tokens(t)))
+        == tokens(t)  (tokens never contain whitespace, and CJK chars
+        re-tokenize to themselves)
+      * no token is empty or contains whitespace."""
+    import random
+
+    rng = random.Random(99)
+    alphabet = ("abc XY12 ,.!?" "   \t"
+                "深度学习モデル한글データ" "é𝔘🎋")
+
+    def rand_text():
+        return "".join(rng.choice(alphabet)
+                       for _ in range(rng.randint(0, 40)))
+
+    pairs = [(rand_text(), rand_text()) for _ in range(200)]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    toks = [(r["ta"], r["tb"], r["tj"], r["trej"]) for r in df.select(
+        tokens_col("a").alias("ta"),
+        tokens_col("b").alias("tb"),
+        tokens_col(F.concat("a", F.lit(" "), "b")).alias("tj"),
+        tokens_col(F.array_join(tokens_col("a"), " ")).alias("trej"),
+    ).collect()]
+    for ta, tb, tj, trej in toks:
+        assert tj == ta + tb
+        assert trej == ta
+        for t in ta + tb:
+            assert t != ""
+            assert not any(c in t for c in " \t\n\r\x0b\x0c")

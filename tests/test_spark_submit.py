@@ -36,3 +36,37 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert "300 documents extracted" in proc.stdout
     assert (out / "data").exists()
     assert (out / "by_doc_id").exists()
+
+
+@pytest.mark.skipif(not Path(SPARK_SUBMIT).exists(),
+                    reason="spark-submit not on this host")
+def test_spark_submit_run_curate_end_to_end(tmp_path):
+    """Curation CLI ships the same way: quality gates -> persisted-index
+    dedup -> checkpointed survivors, and a re-submit resumes to the same
+    state without rework (idempotent batch commits)."""
+    zip_path = tmp_path / "document_ai_spark.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for f in sorted((REPO / "document_ai_spark").rglob("*.py")):
+            z.write(f, f.relative_to(REPO))
+
+    out = tmp_path / "curate_out"
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--py-files", str(zip_path),
+           str(REPO / "scripts" / "run_curate.py"),
+           "--input", "/root/testdata/sf0.001/documents.parquet",
+           "--output", str(out), "--buckets", "2", "--run-id", "t1"]
+    p1 = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    assert "curated 500 ->" in p1.stdout
+    n1 = p1.stdout.split("curated 500 -> ")[1].split()[0]
+    # Re-submit: resumes (all buckets committed) to identical output.
+    p2 = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    assert f"curated 500 -> {n1} docs" in p2.stdout
+    # Lineage rows carry the observe() cap metrics.
+    import json
+    mans = sorted((out / "_manifests").glob("*.json"))
+    assert len(mans) == 2
+    for m in mans:
+        assert "lsh_max_bucket" in json.loads(
+            json.load(open(m))["metrics"])
