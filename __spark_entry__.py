@@ -872,6 +872,15 @@ SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _q_dup_clusters_star(spark, sf):
+    """Same transitive closure as dup_clusters, computed by the
+    ALTERNATING large-star/small-star algorithm (dedup.py
+    duplicate_clusters_star — O(log^2 n) rounds vs label propagation's
+    diameter rounds); graded against the same recursive-CTE oracle."""
+    pairs = D.banded_near_dup_pairs(_dup_docs(spark, sf), jaccard_min=0.5)
+    return D.duplicate_clusters_star(pairs).orderBy("doc_id")
+
+
 def _q_length_quantiles(spark, sf):
     """Exact interpolated quantiles of document length per language —
     the corpus-profiling agg a training-data pipeline runs first."""
@@ -2227,6 +2236,7 @@ _REGISTRY: dict[str, tuple] = {
                                    _sql_embed_near_dups()),
     "embed_ivf_persisted": (_q_embed_ivf_persisted, _sql_embed_ivf_topk()),
     "quality_gates": (_q_quality_gates, _SQL_QUALITY_GATES),
+    "dup_clusters_star": (_q_dup_clusters_star, _SQL_DUP_CLUSTERS),
 }
 
 

@@ -413,6 +413,82 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         "component diameter exceeds the bound; raise max_iter")
 
 
+def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 30
+                            ) -> DataFrame:
+    """Connected components via the ALTERNATING large-star / small-star
+    algorithm (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond") — same output contract as duplicate_clusters
+    ((doc_id, cluster = component-min), covering every doc in a pair).
+
+    Why it exists next to min-label propagation: label propagation
+    converges in DIAMETER rounds. Near-dup components are near-cliques
+    (2-3 rounds), but a chained template family of diameter d costs d
+    full (doc_id, label) materializations — and past max_iter it raises.
+    The alternating algorithm contracts path-length exponentially
+    (O(log^2 n) rounds worst case, ~log n in practice): a 300-link chain
+    that label propagation cannot finish within its 50-round bound
+    converges here in a handful of rounds (tested).
+
+    Each round is two joins + groupBy-mins over the EDGE set only
+    (shuffle keys are doc ids); edges are localCheckpoint()ed per round
+    (lineage truncation, same discipline as duplicate_clusters).
+    Convergence = edge set unchanged over a full round, checked with a
+    count + order-insensitive hash-sum in ONE tiny aggregate — not an
+    exceptAll diff (which would shuffle both edge sets per round).
+    """
+    def large_star(e: DataFrame) -> DataFrame:
+        bidir = e.unionByName(e.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        m = (bidir.groupBy("u").agg(F.min("v").alias("mn"))
+             .select("u", F.least("u", "mn").alias("mn")))
+        return (bidir.join(m, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .distinct())
+
+    def small_star(e: DataFrame) -> DataFrame:
+        o = e.select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+        m = (o.groupBy("u").agg(F.min("v").alias("mn"))
+             .select("u", F.least("u", "mn").alias("mn")))
+        out = (o.join(m, "u")
+               .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+               .unionByName(m.select("u", F.col("mn").alias("v"))))
+        return (out.where(F.col("u") != F.col("v")).distinct())
+
+    def checksum(e: DataFrame):
+        # decimal(38,0) accumulator: a long sum of 64-bit hashes
+        # overflows (ANSI raises); decimal summation is exact.
+        return e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(F.concat_ws("|", "u", "v"))
+                  .cast("decimal(38,0)")).alias("h")
+        ).first()
+
+    edges = (pairs.select(F.col("doc_a").alias("u"),
+                          F.col("doc_b").alias("v"))
+             .where(F.col("u") != F.col("v")).distinct()
+             .localCheckpoint())
+    nodes = (edges.select(F.col("u").alias("doc_id"))
+             .unionByName(edges.select(F.col("v").alias("doc_id")))
+             .distinct().localCheckpoint())
+    prev = checksum(edges)
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        cur = checksum(edges)
+        if cur == prev:
+            # Fixed point: edges form a star forest (u -> component min).
+            mapping = edges.select(F.col("u").alias("doc_id"),
+                                   F.col("v").alias("cluster"))
+            return (nodes.join(mapping, "doc_id", "left")
+                    .select("doc_id",
+                            F.coalesce("cluster", "doc_id").alias("cluster")))
+        prev = cur
+    raise RuntimeError(
+        f"duplicate_clusters_star did not converge in {max_iter} rounds")
+
+
 def with_simhash(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """16-bit SimHash: per word, take md5's first 4 hex chars as a 16-bit
     int; signature bit b = majority of word-hash bit b. Integer exprs only."""

@@ -52,8 +52,8 @@ _TOKEN_QUERIES = [
     "token_stats", "quality_score", "minhash_sketch", "banded_near_dup",
     "near_dup_pairs", "simhash", "token_estimate", "token_budget",
     "unigram_logprob", "repetition_stats", "contamination", "tfidf_terms",
-    "lang_guess", "ngram_jaccard", "dup_clusters", "curation_budget",
-    "quality_gates",
+    "lang_guess", "ngram_jaccard", "dup_clusters", "dup_clusters_star",
+    "curation_budget", "quality_gates",
 ]
 
 

@@ -61,3 +61,53 @@ def test_clusters_from_real_pairs(spark):
            for r in duplicate_clusters(pairs).collect()}
     assert 9 not in got
     assert len({got[i] for i in got}) == 1 and got.get(0) == 0
+
+
+def test_star_algorithm_matches_label_propagation(spark):
+    """duplicate_clusters_star == duplicate_clusters on random pair sets
+    (same (doc_id, component-min) contract)."""
+    import random
+
+    from document_ai_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    rng = random.Random(7)
+    for trial in range(2):
+        n = 40
+        pairs = {(f"d{min(a, b):03d}", f"d{max(a, b):03d}")
+                 for a, b in (sorted(rng.sample(range(n), 2))
+                              for _ in range(30))}
+        df = spark.createDataFrame(
+            [(a, b) for a, b in pairs], "doc_a string, doc_b string")
+        lab = {(r["doc_id"], r["cluster"])
+               for r in duplicate_clusters(df).collect()}
+        star = {(r["doc_id"], r["cluster"])
+                for r in duplicate_clusters_star(df).collect()}
+        assert star == lab, f"trial {trial}"
+
+
+def test_star_algorithm_handles_long_chains(spark):
+    """A 120-link chain (diameter 120) needs diameter rounds under
+    label propagation (raises past its bound); the alternating star
+    algorithm contracts paths exponentially and labels every node with
+    the chain minimum in ~7 rounds."""
+    import pytest
+
+    from document_ai_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(120)],
+        "doc_a string, doc_b string")
+    # label propagation needs diameter rounds: raises past its bound
+    # (max_iter=8 keeps the negative check fast; 120 > 8 either way)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_iter=8)
+    out = {r["doc_id"]: r["cluster"]
+           for r in duplicate_clusters_star(chain).collect()}
+    assert len(out) == 121
+    assert set(out.values()) == {"n0000"}
