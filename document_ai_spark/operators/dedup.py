@@ -170,12 +170,35 @@ def with_minhash_sketch(df: DataFrame, sketch_size: int = SKETCH_SIZE
 # P is the Mersenne prime 2^31-1; A[i]*x < 2^31 * 2^28 = 2^59, so the
 # arithmetic is exact in 64-bit on BOTH engines (DuckDB BIGINT errors on
 # overflow; Java long would silently wrap — staying under 2^63 keeps the
-# two bit-identical). Constants are arbitrary fixed odd values < P.
+# two bit-identical). The first 8 constants are the fixed legacy values
+# (pins every round-1..4 artifact bit-for-bit); permutations beyond 8
+# are derived deterministically by minhash_constants() below, so k is
+# unbounded (production pipelines run 64-128).
 MINHASH_P = 2147483647
 MINHASH_A = [1103515245, 1299709, 15485863, 32452843,
              49979687, 67867967, 86028121, 104395301]
 MINHASH_B = [12345, 54321, 771919, 104729,
              224737, 350377, 479909, 611953]
+
+
+def minhash_constants(k: int) -> tuple:
+    """(A, B) LCG constant lists for k permutations, any k >= 1.
+
+    Positions 0-7 are the legacy fixed constants; positions >= 8 derive
+    from md5 of a fixed per-index tag — deterministic across processes,
+    seeds, and engines (the values are materialized as integer LITERALS
+    into both the Spark and DuckDB SQL, so parity is by construction).
+    Every derived A lands in [1, P-1] and B in [0, P-1], preserving the
+    64-bit overflow proof above (A*hash < 2^31 * 2^28 = 2^59)."""
+    import hashlib
+    A, B = list(MINHASH_A), list(MINHASH_B)
+    for i in range(len(A), k):
+        ha = hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()
+        hb = hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()
+        # 60 hex-bit prefix mod the range: bias < 2^-29, irrelevant here.
+        A.append(int(ha[:15], 16) % (MINHASH_P - 1) + 1)
+        B.append(int(hb[:15], 16) % MINHASH_P)
+    return A[:k], B[:k]
 
 
 def with_minhash_signature(df: DataFrame, n_hashes: int = SKETCH_SIZE
@@ -194,13 +217,18 @@ def with_minhash_signature(df: DataFrame, n_hashes: int = SKETCH_SIZE
     sketch remains the exact-jaccard estimator used by the verify stage
     and min-bucket candidates.
 
+    ``n_hashes`` is unbounded (constants derive on demand); cost is
+    O(shingles x k) integer multiply-add-mods per row — at k=128 the
+    stage stays whole-stage-codegen but does 16x the k=8 arithmetic,
+    the standard price of a production-resolution signature.
+
     The shingle array and the per-shingle base hashes are materialized
     once inside the expression (single-split discipline, one md5 pass);
     the k permutations are integer multiply-add-mod — all JVM codegen."""
-    assert n_hashes <= len(MINHASH_A)
+    A, B = minhash_constants(n_hashes)
     sh = _word_shingles_sql()
-    a_arr = "array(" + ", ".join(str(a) for a in MINHASH_A[:n_hashes]) + ")"
-    b_arr = "array(" + ", ".join(str(b) for b in MINHASH_B[:n_hashes]) + ")"
+    a_arr = "array(" + ", ".join(str(a) for a in A) + ")"
+    b_arr = "array(" + ", ".join(str(b) for b in B) + ")"
     sig = F.expr(
         f"element_at(transform(array({sh}), sh -> "
         "  element_at(transform(array(transform(sh, s -> "
@@ -304,8 +332,11 @@ def banded_near_dup_pairs(df: DataFrame, jaccard_min: float = 0.5,
     """
     # Cheap text predicate, not size(sketch) > 0 — see near_dup_pairs:
     # a post-projection filter re-derives the sketch pipeline per row.
+    # Signature length = bands*rows: every permutation feeds exactly one
+    # band key (k=8 at the 4x2 default, 64 at 16x4, 128 at 16x8/32x4).
     s = with_minhash_signature(with_minhash_sketch(
-        df.where(F.col("text").rlike(f"[^{WS_RANGES}]")))).select(
+        df.where(F.col("text").rlike(f"[^{WS_RANGES}]"))),
+        n_hashes=bands * rows).select(
         "doc_id", "minhash_sketch", "minhash_sig")
     # One row per (band, band_hash): explode the signature into band keys.
     band_expr = F.explode(F.expr(

@@ -64,7 +64,8 @@ def banded_sketch_rows(df: DataFrame, bands: int = LSH_BANDS,
     # sketch projection (see dedup.near_dup_pairs for why not
     # size(sketch) > 0 after it).
     s = with_minhash_signature(with_minhash_sketch(
-        df.where(F.col("text").rlike(f"[^{WS_RANGES}]")))).select(
+        df.where(F.col("text").rlike(f"[^{WS_RANGES}]"))),
+        n_hashes=bands * rows).select(
         "doc_id", "minhash_sketch", "minhash_sig")
     band_expr = F.explode(F.expr(
         f"transform(sequence(0, {bands - 1}), b -> named_struct("
