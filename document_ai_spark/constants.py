@@ -156,5 +156,9 @@ STOPWORDS = [
     "on", "with", "as", "at", "by", "be", "this", "that", "from",
 ]
 
-# Media-stage salting: spans per (doc_id, salt) processing group.
+# Media-stage salting FLOOR / fallback: the default extraction path now
+# derives K from span-count quantiles at plan build
+# (plans.pipeline.derive_salt_buckets, SURVEY §7.4 hard-part 3); this
+# constant is the minimum K and the value used when the corpus is empty
+# or a caller pins salting explicitly.
 MEDIA_SALT_BUCKETS = 8

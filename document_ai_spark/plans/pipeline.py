@@ -29,6 +29,7 @@ pandas UDF; there is no per-row Python and no driver-side collect.
 """
 from __future__ import annotations
 
+import math
 from functools import lru_cache
 from typing import Tuple
 
@@ -526,10 +527,45 @@ def _valid_udfs() -> tuple:
             _make_valid_udf(C.MODEL_MASTER, C.FUZZY_MODEL_VALID_MIN))
 
 
+def derive_salt_buckets(docs_df: DataFrame, max_k: int = 256) -> int:
+    """Data-driven salt count K (SURVEY §7.4 hard-part 3): derived from
+    the corpus's span-count quantiles instead of a fixed constant.
+
+    K = ceil(p99.9(spans/doc) / median(spans/doc)), rounded up to a
+    power of two and clamped to [MEDIA_SALT_BUCKETS, max_k]: a tail doc
+    at the p99.9 span count splits into groups of ~median size, so the
+    heaviest reassembly reducer carries no more work than a typical
+    doc's group, per-reducer share <= ~1/K of the tail doc. The floor
+    keeps K at the proven constant when the corpus has no tail (K=1
+    would put every long doc in one reducer the moment one appears in a
+    later batch). Output is salt-invariant for ANY K (pinned by
+    test_pipeline_golden), so this only moves work distribution.
+
+    Cost: one approxQuantile pre-pass over size(spans) at PLAN BUILD —
+    a no-UDF JVM scan of the spans column. At 100 TB the same number
+    comes cheaper from table-level statistics or a metadata sample; the
+    quantile (not max) target is what makes a sampled estimate valid."""
+    # size() of ONE nested leaf (offset), not the spans array — nested
+    # schema pruning keeps the scan off the text/media_ref leaves.
+    qs = (docs_df.select(F.size(F.col("spans.offset"))
+                         .cast("double").alias("n"))
+          .approxQuantile("n", [0.5, 0.999], 0.001))
+    if len(qs) < 2 or not qs[0]:
+        return C.MEDIA_SALT_BUCKETS
+    k = math.ceil(qs[1] / max(qs[0], 1.0))
+    k_pow2 = 1 << max(k - 1, 0).bit_length()
+    return max(C.MEDIA_SALT_BUCKETS, min(max_k, k_pow2))
+
+
 def extract(docs_df: DataFrame, payloads_df: DataFrame,
-            salt_buckets: int = C.MEDIA_SALT_BUCKETS) -> DataFrame:
+            salt_buckets: int | None = None) -> DataFrame:
     """Full pipeline: interleaved docs + payloads -> extractions table
-    (one row per doc: fields, confidences, detections, reassembled spans)."""
+    (one row per doc: fields, confidences, detections, reassembled spans).
+
+    salt_buckets=None (the default) derives K from the corpus's
+    span-count quantiles (derive_salt_buckets); pass an int to pin it."""
+    if salt_buckets is None:
+        salt_buckets = derive_salt_buckets(docs_df)
     return _finish(parse_spans(docs_df, payloads_df), salt_buckets)
 
 

@@ -41,3 +41,50 @@ def test_corpus_has_the_long_tail(small_corpus):
                     for d in docs]
     assert max(media_counts) >= 8
     assert sum(1 for c in media_counts if c == 0) > len(docs) * 0.7
+
+
+def test_derived_salt_count_bounds_kilospan_doc(spark):
+    """SURVEY §7.4 hard-part 3 'done' gate: K comes from span-count
+    quantiles, a 10^3-span doc's per-reducer share is bounded by
+    ~1/K, and reassembly output is byte-identical to any pinned K."""
+    import math
+
+    from document_ai_spark.plans.pipeline import (
+        derive_salt_buckets, extract, parse_spans)
+
+    def doc(doc_id, n):
+        return {"doc_id": doc_id,
+                "spans": [{"kind": "text", "text": f"<p>s {i} of {doc_id}</p>",
+                           "media_ref": "", "offset": i} for i in range(n)]}
+
+    rows = [doc(f"d{i:03d}", 6) for i in range(300)] + [doc("heavy", 1000)]
+    docs = spark.createDataFrame(rows, schema=interleaved_schema())
+    payloads = spark.createDataFrame([], schema=payload_schema())
+
+    k = derive_salt_buckets(docs)
+    # p99.9 lands on the 1000-span tail, median on 6: K well above the
+    # constant floor, power of two, clamped.
+    assert k > C.MEDIA_SALT_BUCKETS and k <= 256 and (k & (k - 1)) == 0
+
+    parsed = parse_spans(docs, payloads)
+    heavy = (parsed.where(F.col("doc_id") == "heavy")
+             .groupBy(F.pmod(F.col("offset"), F.lit(k)).alias("salt"))
+             .count().agg(F.max("count")).first()[0])
+    assert heavy <= math.ceil(1000 / k), \
+        f"largest salt group {heavy} exceeds 1000/{k}"
+
+    derived = extract(docs, payloads).orderBy("doc_id").collect()
+    pinned = extract(docs, payloads, salt_buckets=8).orderBy("doc_id").collect()
+    assert derived == pinned, "salting must never change output bytes"
+
+
+def test_derived_salt_floor_on_uniform_corpus(spark):
+    """A tail-free corpus keeps the proven constant floor (K=1 would
+    funnel any future long doc into one reducer)."""
+    from document_ai_spark.plans.pipeline import derive_salt_buckets
+
+    rows = [{"doc_id": f"u{i}", "spans": [
+        {"kind": "text", "text": "<p>x</p>", "media_ref": "", "offset": 0}]}
+        for i in range(50)]
+    docs = spark.createDataFrame(rows, schema=interleaved_schema())
+    assert derive_salt_buckets(docs) == C.MEDIA_SALT_BUCKETS
