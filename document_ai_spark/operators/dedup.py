@@ -37,8 +37,21 @@ _cap_obs_counter = [0]
 # Active cap-metric collectors (see collect_cap_metrics): when non-empty,
 # _cap_bucket_items additionally attaches an Observation object to the
 # plan and registers it with the innermost collector, so a checkpointed
-# runner can persist the drop counts into its lineage rows.
-_cap_collectors: list = []
+# runner can persist the drop counts into its lineage rows. THREAD-LOCAL:
+# two concurrent checkpointed/curate runs on one driver (threads, or a
+# foreachBatch stream alongside a batch job) must not cross-attribute
+# each other's observations — the collector therefore only sees plans
+# BUILT on the same thread as the `with collect_cap_metrics()` block.
+import threading as _threading
+
+_cap_tls = _threading.local()
+
+
+def _cap_collectors() -> list:
+    stack = getattr(_cap_tls, "stack", None)
+    if stack is None:
+        stack = _cap_tls.stack = []
+    return stack
 
 
 class _CapCollector:
@@ -47,23 +60,54 @@ class _CapCollector:
     def __init__(self):
         self.observations = []
 
-    def summary(self) -> dict:
+    def summary(self, timeout_sec: float = 5.0) -> dict:
         """Aggregate cap metrics AFTER the plan(s) executed: total
-        dropped candidates and the largest bucket seen. Observation.get
-        blocks until its action finishes — call this only after the
-        consuming write/collect ran."""
-        dropped, biggest = 0, 0
+        dropped candidates and the largest bucket seen.
+
+        Bounded: an observation whose plan never executed an action
+        (e.g. a user extract_fn that builds a capped dedup stage but
+        prunes its result) is skipped after ``timeout_sec`` with a
+        warning and counted in ``lsh_cap_unobserved`` — Observation.get
+        alone would block that caller forever. Each poll rides the JVM
+        getRowOrEmpty's internal ~100 ms wait, so a fired observation
+        (the normal case: the consuming write/collect already ran)
+        resolves on the first check."""
+        import time
+        import warnings
+
+        dropped, biggest, unobserved = 0, 0, 0
         for obs in self.observations:
+            deadline = time.monotonic() + timeout_sec
+            fired = False
+            while True:
+                jo = getattr(obs, "_jo", None)
+                if jo is not None and jo.getRowOrEmpty().isDefined():
+                    fired = True
+                    break
+                if time.monotonic() >= deadline:
+                    break
+            if not fired:
+                unobserved += 1
+                warnings.warn(
+                    "collect_cap_metrics: a capped-LSH plan built in this "
+                    "block never executed an action; its drop counts are "
+                    "not included (lsh_cap_unobserved)")
+                continue
             m = obs.get
             dropped += int(m.get("n_dropped_candidates") or 0)
             biggest = max(biggest, int(m.get("max_bucket_size") or 0))
-        return {"lsh_cap_dropped": dropped, "lsh_max_bucket": biggest}
+        out = {"lsh_cap_dropped": dropped, "lsh_max_bucket": biggest}
+        if unobserved:
+            out["lsh_cap_unobserved"] = unobserved
+        return out
 
 
 class collect_cap_metrics:
     """Context manager: collect the bucket-cap observe() metrics of every
-    capped LSH plan BUILT inside the block (dedup, similarity,
-    sketch/vector index paths all flow through _cap_bucket_items).
+    capped LSH plan BUILT inside the block ON THIS THREAD (dedup,
+    similarity, sketch/vector index paths all flow through
+    _cap_bucket_items; the stack is thread-local so concurrent runs on
+    one driver don't cross-attribute observations).
 
     with collect_cap_metrics() as caps:
         out = build_and_write_plan(...)     # plan executes here
@@ -72,11 +116,11 @@ class collect_cap_metrics:
 
     def __enter__(self) -> _CapCollector:
         c = _CapCollector()
-        _cap_collectors.append(c)
+        _cap_collectors().append(c)
         return c
 
     def __exit__(self, *exc) -> None:
-        _cap_collectors.pop()
+        _cap_collectors().pop()
 
 
 def _cap_bucket_items(grouped: DataFrame, max_bucket: int) -> DataFrame:
@@ -102,7 +146,8 @@ def _cap_bucket_items(grouped: DataFrame, max_bucket: int) -> DataFrame:
          .alias("n_dropped_candidates"),
         F.max("_n").alias("max_bucket_size"),
     )
-    if _cap_collectors:
+    stack = _cap_collectors()
+    if stack:
         from pyspark.sql import Observation
         obs = Observation()
         sized = sized.observe(
@@ -110,7 +155,7 @@ def _cap_bucket_items(grouped: DataFrame, max_bucket: int) -> DataFrame:
             F.sum(F.greatest(F.col("_n") - max_bucket, F.lit(0)))
              .alias("n_dropped_candidates"),
             F.max("_n").alias("max_bucket_size"))
-        _cap_collectors[-1].observations.append(obs)
+        stack[-1].observations.append(obs)
     return (sized
             .withColumn("items",
                         F.slice(F.array_sort("items"), 1, max_bucket))
@@ -509,6 +554,25 @@ def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 30
         edges = small_star(large_star(edges)).localCheckpoint()
         cur = checksum(edges)
         if cur == prev:
+            # Claimed fixed point. The (count, hash-sum) convergence
+            # check could in principle collide across DIFFERENT edge
+            # sets, so cheaply assert the star-forest shape before
+            # trusting it: every u maps to exactly one v, and every
+            # edge points downward (v < u = toward the component min).
+            # One tiny aggregate over the final edge table; a violation
+            # raises instead of emitting conflicting doc_id rows.
+            shape = (edges.groupBy("u")
+                     .agg(F.count("*").alias("deg"),
+                          F.max((F.col("u") <= F.col("v")).cast("int"))
+                          .alias("bad_dir"))
+                     .agg(F.max("deg").alias("max_deg"),
+                          F.max("bad_dir").alias("bad_dir")).first())
+            if shape["max_deg"] is not None and (
+                    shape["max_deg"] > 1 or shape["bad_dir"] == 1):
+                raise RuntimeError(
+                    "duplicate_clusters_star: converged edge set is not "
+                    "a star forest (checksum collision or non-star fixed "
+                    "point) — refusing to emit a conflicting mapping")
             # Fixed point: edges form a star forest (u -> component min).
             mapping = edges.select(F.col("u").alias("doc_id"),
                                    F.col("v").alias("cluster"))

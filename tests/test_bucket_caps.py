@@ -71,3 +71,42 @@ def test_kmeans_codebook_shape_and_determinism(spark):
     init = {r["vec_id"]: list(r["embedding"])
             for r in emb.where(F.col("vec_id") < 4).collect()}
     assert any(c1[k] != [float(x) for x in init[k]] for k in c1)
+
+
+def test_cap_summary_bounded_on_unexecuted_plan(spark):
+    """ADVICE fix: a capped plan built inside collect_cap_metrics whose
+    action never runs must not deadlock summary() — it returns within
+    the timeout and reports the unfired observation."""
+    import time
+
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "spam spam spam spam") for i in range(12)],
+        schema="doc_id string, text string")
+    with D.collect_cap_metrics() as caps:
+        executed = D.near_dup_pairs(docs, jaccard_min=0.0, max_bucket=4)
+        executed.collect()
+        D.near_dup_pairs(docs, jaccard_min=0.0, max_bucket=4)  # never runs
+    t0 = time.monotonic()
+    with pytest.warns(UserWarning, match="never executed"):
+        s = caps.summary(timeout_sec=1.0)
+    assert time.monotonic() - t0 < 5.0, "summary must not block"
+    assert s["lsh_cap_unobserved"] == 1
+    assert s["lsh_cap_dropped"] > 0  # the executed plan's drops counted
+
+
+def test_cap_collectors_are_thread_local(spark):
+    """A collector opened on one thread must not receive observations
+    from plans built on another thread."""
+    import threading
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "spam spam spam spam") for i in range(12)],
+        schema="doc_id string, text string")
+    with D.collect_cap_metrics() as caps:
+        def other():
+            D.near_dup_pairs(docs, jaccard_min=0.0, max_bucket=4).collect()
+        t = threading.Thread(target=other)
+        t.start(); t.join()
+    assert caps.observations == []
