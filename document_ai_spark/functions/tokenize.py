@@ -7,39 +7,51 @@ the unigram LM, and MinHash dedup all degenerate to a single giant
 "word". A real web-scale corpus is heavily CJK, so every operator now
 tokenizes with ONE shared rule:
 
-  * a single CJK character (kana, Hangul syllables, unified ideographs
-    + extension A + compatibility ideographs) is a token by itself —
+  * a single CJK character (kana incl. phonetic extensions and
+    halfwidth katakana, Hangul syllables, unified ideographs +
+    extension A + compatibility ideographs) is a token by itself —
     k-token shingles over CJK text therefore become character k-grams,
     the standard LSH/dedup practice for no-space scripts;
-  * everything else tokenizes as maximal runs of non-space, non-CJK
-    characters — byte-identical to the old whitespace split on spaced
-    scripts (Latin, Cyrillic, Greek, Arabic, Devanagari, ...), so
-    existing English-corpus results are unchanged.
+  * Thai / Lao / Khmer / Myanmar (no-space, combining-mark-heavy
+    scripts where bare chars are NOT grapheme-sized) tokenize by a
+    deterministic GRAPHEME-CLUSTER approximation: optional leading
+    vowel + base character + trailing combining marks is one token
+    (round-5; pre-round-5 these fell into the run rule and a whole
+    Thai sentence was one token). Digits/signs/stray marks in those
+    blocks are single-char tokens. This is the documented fallback of
+    the segmenter seam below — real dictionary segmentation plugs in
+    via set_segmenter() on clusters that ship one;
+  * everything else tokenizes as maximal runs of non-space, non-CJK,
+    non-SEA characters — byte-identical to the old whitespace split on
+    spaced scripts (Latin, Cyrillic, Greek, Arabic, Devanagari, ...),
+    so existing English-corpus results are unchanged.
+
+Whitespace now includes U+3000 IDEOGRAPHIC SPACE (round-5 ADVICE fix:
+real Japanese text separates runs with U+3000; it previously formed
+'　' run-tokens that inflated n_tokens and entered shingles). Fullwidth
+Latin forms (U+FF01-FF5E) remain ordinary run characters — scope note.
 
 The ONE behavioral edge vs the old split: empty / whitespace-only text
 now yields ZERO tokens (the old split yielded one empty-string token).
 Consumers guard divisions with greatest(n, 1); both engines mirror.
 
 Engine parity: the pattern uses only literal ``\\x{hhhh}`` BMP
-code-point ranges, which Java regex (Spark) and RE2 (DuckDB) interpret
-identically — verified by the parity tests in tests/test_cjk_tokenize.py.
-Unicode *script names* (\\p{IsHan} vs \\p{Han}) are spelled differently
-across the two engines, so we avoid them entirely. Supplementary-plane
-ideographs (CJK ext B+, U+20000+) are out of scope of the class and fall
-into the run rule; acceptable approximation, documented here.
-
-Scope note — other no-space scripts (Thai, Lao, Khmer, Myanmar) keep
-the run rule: each run is one token, the pre-round-4 behavior. Char
-tokens would be wrong there (those scripts are combining-mark heavy, so
-chars are not grapheme-sized units the way CJK ideographs are), and
-proper segmentation needs dictionaries this environment does not ship.
-A cluster deployment adds their ranges or plugs a real segmenter at the
-tokens_sql seam; everything downstream is token-model-agnostic.
+code-point ranges plus ?/* quantifiers, which Java regex (Spark) and
+RE2 (DuckDB) interpret identically — verified by the parity tests in
+tests/test_cjk_tokenize.py. Unicode *script names* (\\p{IsHan} vs
+\\p{Han}) are spelled differently across the two engines, so we avoid
+them entirely. Every alternation branch matches a DISJOINT set of
+first characters, so the result never depends on alternation-order
+semantics. Supplementary-plane ideographs (CJK ext B+, U+20000+) are
+out of scope of the class and fall into the run rule; acceptable
+approximation, documented here.
 
 Everything stays a JVM/codegen regexp expression — no Python in the hot
 path; the corpus streams once per op exactly as before.
 """
 from __future__ import annotations
+
+from typing import Callable, Optional
 
 from pyspark.sql import Column, functions as F
 
@@ -47,23 +59,57 @@ from pyspark.sql import Column, functions as F
 # RE2's \s excludes \x0B (vertical tab) — a real divergence found by the
 # cross-engine fuzz test (test_cjk_tokenize.py). Both engines read this
 # class identically, so no bare \s appears in any shared pattern. The
-# set equals Java's \s, which keeps the hybrid split() fast path exact.
-WS_RANGES = r" \x{0009}-\x{000D}"
+# set is Java's \s PLUS U+3000 ideographic space; the hybrid split()
+# fast path stays exact because its guard routes every row containing
+# U+3000 (or any no-space-script char) to the full regex.
+WS_RANGES = r" \x{0009}-\x{000D}\x{3000}"
 
 # BMP CJK ranges, single-backslash (raw-regex) spelling:
 #   3040-30FF  Hiragana + Katakana
+#   31F0-31FF  Katakana Phonetic Extensions (Ainu small kana)
 #   3400-4DBF  CJK Unified Ideographs Extension A
 #   4E00-9FFF  CJK Unified Ideographs
 #   AC00-D7AF  Hangul Syllables
 #   F900-FAFF  CJK Compatibility Ideographs
-CJK_RANGES = (r"\x{3040}-\x{30FF}\x{3400}-\x{4DBF}"
-              r"\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}")
+#   FF66-FF9F  Halfwidth Katakana (incl. ｰ and voicing marks)
+CJK_RANGES = (r"\x{3040}-\x{30FF}\x{31F0}-\x{31FF}\x{3400}-\x{4DBF}"
+              r"\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}\x{F900}-\x{FAFF}"
+              r"\x{FF66}-\x{FF9F}")
 
-# A maximal run of non-space/non-CJK chars OR one CJK char. The two
-# branches match disjoint first-characters, so alternation order cannot
-# change the result — but run-first is measurably faster (~2x on Latin
-# corpora: the common case matches on the first branch).
-TOKEN_PATTERN = f"[^{WS_RANGES}{CJK_RANGES}]+|[{CJK_RANGES}]"
+# South-East-Asian no-space scripts: full blocks (excluded from the run
+# branch), split per block into grapheme-leading chars (leads/bases,
+# which START a grapheme token) and the rest (single-char tokens:
+# digits, signs, currency, stray marks). First-char sets stay disjoint:
+# a grapheme branch starts only at a lead/base, the singleton class
+# covers exactly the block's other characters.
+SEA_BLOCKS = (r"\x{0E00}-\x{0E7F}\x{0E80}-\x{0EFF}"
+              r"\x{1000}-\x{109F}\x{1780}-\x{17FF}")
+_THAI_GRAPHEME = (r"[\x{0E40}-\x{0E44}]?[\x{0E01}-\x{0E2E}]"
+                  r"[\x{0E30}-\x{0E3A}\x{0E45}-\x{0E4E}]*")
+_LAO_GRAPHEME = (r"[\x{0EC0}-\x{0EC4}]?[\x{0E81}-\x{0EAE}]"
+                 r"[\x{0EB0}-\x{0EBD}\x{0EC6}\x{0EC8}-\x{0ECD}]*")
+_KHMER_GRAPHEME = r"[\x{1780}-\x{17B3}][\x{17B4}-\x{17D3}]*"
+_MYANMAR_GRAPHEME = r"[\x{1000}-\x{102A}\x{103F}][\x{102B}-\x{103E}]*"
+# Block chars that no grapheme branch can start at -> single-char tokens.
+_SEA_SINGLETON = (r"[\x{0E00}\x{0E2F}-\x{0E3F}\x{0E45}-\x{0E7F}"
+                  r"\x{0E80}\x{0EAF}-\x{0EBF}\x{0EC5}-\x{0EFF}"
+                  r"\x{102B}-\x{103E}\x{1040}-\x{109F}"
+                  r"\x{17B4}-\x{17FF}]")
+
+# A maximal run of non-space/non-CJK/non-SEA chars, OR one CJK char, OR
+# one SEA grapheme cluster, OR one SEA singleton. Branches match
+# disjoint first-characters (see module docstring), so alternation
+# order cannot change the result — but run-first is measurably faster
+# (~2x on Latin corpora: the common case matches on the first branch).
+TOKEN_PATTERN = (
+    f"[^{WS_RANGES}{CJK_RANGES}{SEA_BLOCKS}]+|[{CJK_RANGES}]"
+    f"|{_THAI_GRAPHEME}|{_LAO_GRAPHEME}"
+    f"|{_KHMER_GRAPHEME}|{_MYANMAR_GRAPHEME}|{_SEA_SINGLETON}"
+)
+
+# Chars whose presence routes a row off the whitespace-split fast path:
+# every char the full regex treats differently from split(trim, '\s+').
+NONSPACED_GUARD = CJK_RANGES + SEA_BLOCKS + r"\x{3000}"
 
 # Alphabetic ranges whose words BPE-merge at ~4 chars/token (the
 # token-estimate letter model): Basic Latin + Latin-1/Extended + Greek +
@@ -71,6 +117,37 @@ TOKEN_PATTERN = f"[^{WS_RANGES}{CJK_RANGES}]+|[{CJK_RANGES}]"
 ALPHA_RANGES = (r"A-Za-z\x{00C0}-\x{024F}\x{0370}-\x{03FF}"
                 r"\x{0400}-\x{04FF}\x{0590}-\x{05FF}"
                 r"\x{0600}-\x{06FF}\x{0900}-\x{097F}")
+
+
+# -- segmenter seam --------------------------------------------------------
+# A cluster deployment with a real dictionary segmenter (Thai/Lao/Khmer/
+# Myanmar word boundaries need dictionaries this environment does not
+# ship) plugs in here: provide SQL-expression builders for both engines
+# (and optionally a Column builder); every downstream operator composes
+# tokens through these three functions, so the swap is global and
+# plan-shaped exactly like the default (token-model-agnostic consumers).
+# NOTE: the oracle SQL strings in __spark_entry__ are built at import
+# time against the DEFAULT tokenizer — the registry correctness surface
+# always grades the default; the seam is a deployment knob.
+_SEGMENTER: dict = {"spark": None, "duck": None, "col": None}
+
+
+def set_segmenter(spark_sql_fn: Callable[[str], str],
+                  duck_sql_fn: Optional[Callable[[str], str]] = None,
+                  col_fn: Optional[Callable[..., Column]] = None) -> None:
+    """Install a custom tokenizer: ``spark_sql_fn(col_name)`` must
+    return a Spark SQL expression producing ``array<string>`` tokens;
+    ``duck_sql_fn`` its DuckDB twin (omit if no oracle parity needed);
+    ``col_fn`` an optional Column-form builder (defaults to wrapping
+    the SQL via F.expr on a named column)."""
+    _SEGMENTER["spark"] = spark_sql_fn
+    _SEGMENTER["duck"] = duck_sql_fn
+    _SEGMENTER["col"] = col_fn
+
+
+def reset_segmenter() -> None:
+    """Restore the default script-aware tokenizer."""
+    _SEGMENTER["spark"] = _SEGMENTER["duck"] = _SEGMENTER["col"] = None
 
 
 def _sql_quote(pattern: str) -> str:
@@ -82,17 +159,19 @@ def _sql_quote(pattern: str) -> str:
 def tokens_sql(col: str = "text") -> str:
     """Spark SQL expression text: the token array of ``col``.
 
-    Hybrid fast path: rows with no CJK character tokenize by the old
-    whitespace split (minus empty strings) — provably identical to the
-    run-first regex on such rows, since the run branch [^\\s cjk]+ then
-    degenerates to [^\\s]+, exactly the split's complement — and ~20%
-    faster on Latin-dominated corpora (measured on the minhash path at
-    sf0.1). Rows containing CJK take the full pattern. The rlike guard
-    is a cheap scan; equivalence is pinned by
-    tests/test_cjk_tokenize.py::test_hybrid_equals_pure_regex."""
+    Hybrid fast path: rows with no CJK/SEA/U+3000 character tokenize by
+    the old whitespace split (minus empty strings) — provably identical
+    to the run-first regex on such rows, since the run branch
+    [^\\s cjk sea]+ then degenerates to [^\\s]+, exactly the split's
+    complement — and ~20% faster on Latin-dominated corpora (measured
+    on the minhash path at sf0.1). Rows containing a guard char take
+    the full pattern. The rlike guard is a cheap scan; equivalence is
+    pinned by tests/test_cjk_tokenize.py::test_hybrid_equals_pure_regex."""
+    if _SEGMENTER["spark"] is not None:
+        return _SEGMENTER["spark"](col)
     pat = _sql_quote(TOKEN_PATTERN)
-    cjk = _sql_quote(CJK_RANGES)
-    return (f"CASE WHEN {col} rlike '[{cjk}]' "
+    guard = _sql_quote(NONSPACED_GUARD)
+    return (f"CASE WHEN {col} rlike '[{guard}]' "
             f"THEN regexp_extract_all({col}, '{pat}', 0) "
             f"ELSE filter(split(trim({col}), '\\\\s+'), x -> x != '') END")
 
@@ -106,6 +185,8 @@ def tokens_regex_sql(col: str = "text") -> str:
 def duck_tokens_sql(col: str = "text") -> str:
     """DuckDB SQL expression text for the SAME token array (RE2 reads
     the identical pattern; DuckDB string literals keep backslashes)."""
+    if _SEGMENTER["duck"] is not None:
+        return _SEGMENTER["duck"](col)
     return f"regexp_extract_all({col}, '{TOKEN_PATTERN}', 0)"
 
 
@@ -115,7 +196,13 @@ def tokens_col(text=None) -> Column:
     col = text if text is not None else F.col("text")
     if isinstance(col, str):
         col = F.col(col)
-    return (F.when(col.rlike(f"[{CJK_RANGES}]"),
+    if _SEGMENTER["col"] is not None:
+        return _SEGMENTER["col"](col)
+    if _SEGMENTER["spark"] is not None:
+        # Column inputs can't route through a name-based SQL builder;
+        # custom deployments that need Column form pass col_fn.
+        raise ValueError("set_segmenter: col_fn required for tokens_col")
+    return (F.when(col.rlike(f"[{NONSPACED_GUARD}]"),
                    F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), F.lit(0)))
             .otherwise(F.filter(F.split(F.trim(col), r"\s+"),
                                 lambda x: x != "")))

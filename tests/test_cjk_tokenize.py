@@ -163,9 +163,13 @@ def test_token_pattern_engine_parity_chars():
     whole oracle family rests on)."""
     con = duckdb.connect()
     texts = [t for _, t, _, _ in _ROWS] + [
-        "a\u3000b",                # ideographic space is NOT \s in either
-        "ｶﾀｶﾅ halfwidth",          # halfwidth katakana U+FF66+ (not in class)
+        "a\u3000b",                # ideographic space: WHITESPACE since r5
+        "ｶﾀｶﾅ halfwidth",          # halfwidth katakana: char tokens since r5
         "\u30FC長音符",             # katakana-hiragana prolonged sound mark
+        "ภาษาไทยไม่มีช่องว่าง",  # Thai graphemes
+        "ພາສາລາວ ກໍບໍ່ມີ",   # Lao
+        "ភាសាខ្មែរ",   # Khmer
+        "မြန်မာဘာသာ",  # Myanmar
     ]
     duck = [r[0] for r in con.execute(
         "SELECT regexp_extract_all(t, ?, 0) FROM (SELECT unnest(?) AS t)",
@@ -218,6 +222,12 @@ def test_tokenizer_engine_parity_fuzz(spark):
         lambda: chr(rng.randint(0xAC00, 0xD7AF)),      # hangul
         lambda: chr(rng.randint(0x0900, 0x097F)),      # devanagari
         lambda: chr(rng.randint(0x0300, 0x036F)),      # combining marks
+        lambda: chr(rng.randint(0x0E00, 0x0E7F)),      # thai (incl. strays)
+        lambda: chr(rng.randint(0x0E80, 0x0EFF)),      # lao
+        lambda: chr(rng.randint(0x1780, 0x17FF)),      # khmer
+        lambda: chr(rng.randint(0x1000, 0x109F)),      # myanmar
+        lambda: chr(rng.randint(0xFF66, 0xFF9F)),      # halfwidth katakana
+        lambda: chr(rng.randint(0x31F0, 0x31FF)),      # katakana phon. ext
         lambda: rng.choice(" \t\n\r\x0b\x0c　"),   # whitespace-ish
         lambda: rng.choice("。、．，！？・ー〜"),        # CJK punctuation
         lambda: chr(rng.randint(0x1F300, 0x1F6FF)),    # emoji (astral)
@@ -272,3 +282,59 @@ def test_tokenizer_concat_and_invariance_properties(spark):
         for t in ta + tb:
             assert t != ""
             assert not any(c in t for c in " \t\n\r\x0b\x0c")
+
+
+def test_thai_near_dups_are_caught(spark):
+    """Round-5: Thai text previously tokenized as ONE run-token per
+    phrase (jaccard 0 between near-identical docs); the grapheme-cluster
+    fallback must make a planted Thai near-dup pair surface."""
+    base = ("การเรียนรู้ของเครื่องช่วยให้ระบบคอมพิวเตอร์เรียนรู้จากข้อมูล"
+            "และปรับปรุงประสิทธิภาพได้เอง")
+    rows = [("a", base), ("b", base + "ทดสอบ"),
+            ("c", "เนื้อหาอื่นที่แตกต่างกันโดยสิ้นเชิงและไม่มีความคล้ายคลึง"
+                  "กับเอกสารก่อนหน้า")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in banded_near_dup_pairs(docs, jaccard_min=0.5).collect()}
+    assert ("a", "b") in pairs
+    assert all("c" not in p for p in pairs)
+
+
+def test_thai_graphemes_not_bare_chars(spark):
+    """Combining marks must ride their base (ไม่ is ไ+ม+่ -> 1 token
+    'ม่' after lead ไ... the cluster rule: lead?+base+marks = 1 token),
+    never stand alone as tokens."""
+    df = spark.createDataFrame([("ไม่มีช่องว่าง",), ("ภาษา ลาว",)],
+                               "text string")
+    toks = [r[0] for r in df.select(tokens_col().alias("t")).collect()]
+    for ts in toks:
+        for t in ts:
+            # no token is a bare combining mark
+            assert not all(0x0E30 <= ord(c) <= 0x0E4E for c in t), ts
+    # spaced Thai still splits on the space boundary
+    assert len(toks[1]) >= 2
+
+
+def test_segmenter_seam_plugs_and_resets(spark):
+    """set_segmenter swaps the tokenizer globally for every consumer of
+    tokens_sql/tokens_col; reset restores the default (deployment knob
+    for real dictionary segmentation)."""
+    from document_ai_spark.functions import tokenize as TK
+    from document_ai_spark.operators.textquality import with_token_stats
+
+    df = spark.createDataFrame([("hello world",)], "text string")
+    try:
+        TK.set_segmenter(
+            lambda c: f"split(upper({c}), ' ')",
+            duck_sql_fn=lambda c: f"str_split(upper({c}), ' ')",
+            col_fn=lambda c: F.split(F.upper(c), " "))
+        toks = df.select(tokens_col().alias("t")).first()["t"]
+        assert toks == ["HELLO", "WORLD"]
+        # a downstream operator picks it up too
+        n = with_token_stats(
+            df.withColumn("doc_id", F.lit("d"))).first()["n_tokens"]
+        assert n == 2
+    finally:
+        TK.reset_segmenter()
+    assert df.select(tokens_col().alias("t")).first()["t"] == \
+        ["hello", "world"]
