@@ -1886,6 +1886,114 @@ LEFT JOIN lp ON q.doc_id = lp.doc_id
 ORDER BY q.doc_id
 """
 
+# Shared CTE body: per-doc unigram logprob (same as _SQL_QUALITY_GATES's
+# lp chain) + per-(lang, source) Tukey lower fence (curation.py
+# slice_logprob_floors; Spark exact `percentile` == DuckDB quantile_cont,
+# both linear-interpolating, floors rounded to 4 on both engines).
+_FLOORS_CTE = f"""
+toks AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents),
+words AS (
+  SELECT doc_id, lower(w) AS word
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks) WHERE w <> ''),
+freqs AS (SELECT word, COUNT(*) AS wc FROM words GROUP BY word),
+tot AS (SELECT CAST(SUM(wc) AS DOUBLE) AS n_tok,
+               CAST(COUNT(*) AS DOUBLE) AS vocab FROM freqs),
+lp AS (
+  SELECT doc_id,
+         ROUND(AVG(ln((wc + 1) / (n_tok + vocab))), 6) AS unigram_logprob
+  FROM words JOIN freqs USING (word), tot GROUP BY doc_id),
+floors AS (
+  SELECT d.lang, d.source,
+         ROUND(quantile_cont(lp.unigram_logprob, 0.25)
+               - 3.0 * (quantile_cont(lp.unigram_logprob, 0.75)
+                        - quantile_cont(lp.unigram_logprob, 0.25)), 4)
+           AS logprob_floor
+  FROM lp JOIN documents d USING (doc_id)
+  GROUP BY d.lang, d.source)"""
+
+
+def _q_logprob_floors(spark, sf):
+    """Per-(lang, source) auto word-salad threshold (curation.py
+    slice_logprob_floors): Tukey lower fence of the slice's per-doc
+    unigram-logprob distribution — the unsupervised rule that replaces
+    the manual corpus-relative logprob_min constant."""
+    from document_ai_spark.operators.curation import slice_logprob_floors
+
+    return (slice_logprob_floors(_t(spark, sf, "documents"))
+            .orderBy("lang", "source"))
+
+
+_SQL_LOGPROB_FLOORS = f"""
+WITH {_FLOORS_CTE}
+SELECT lang, source, logprob_floor FROM floors ORDER BY lang, source
+"""
+
+
+def _q_quality_gates_auto(spark, sf):
+    """quality_gates with logprob_min='auto': the word-salad gate uses
+    the per-slice derived floor instead of a global constant."""
+    from document_ai_spark.operators.curation import quality_gates
+
+    return (quality_gates(_t(spark, sf, "documents"), logprob_min="auto")
+            .orderBy("doc_id"))
+
+
+_SQL_QUALITY_GATES_AUTO = f"""
+WITH {_FLOORS_CTE},
+q AS (
+  SELECT doc_id,
+         ROUND((CASE WHEN n < 10 THEN n/10.0 WHEN n > 1000 THEN 0.5
+                     ELSE 1.0 END) * 0.6
+               + (CASE WHEN sr BETWEEN 0.05 AND 0.6 THEN 1.0
+                       ELSE 0.5 END) * 0.4, 6) AS quality_score
+  FROM (SELECT doc_id, len(t) AS n,
+               ROUND(len(list_filter(t,
+                   w -> list_contains({_STOP_SQL}, lower(w))))
+                     / greatest(len(t), 1), 6) AS sr
+        FROM toks)),
+lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id, unnest(str_split(text, chr(10))) AS l
+        FROM documents)
+  WHERE trim(l) <> ''),
+line_stats AS (
+  SELECT doc_id, SUM(c) AS n_lines,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines
+  FROM (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY 1, 2)
+  GROUP BY doc_id),
+bigrams AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, greatest(len(t) - 1, 1)),
+      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bigram
+  FROM toks),
+bigram_stats AS (
+  SELECT doc_id, MAX(c) AS top_bigram_count
+  FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bigrams GROUP BY 1, 2)
+  GROUP BY doc_id),
+rep AS (
+  SELECT tk.doc_id,
+         ROUND(COALESCE(ls.dup_lines, 0) / COALESCE(ls.n_lines, 1), 6)
+           AS dup_line_frac,
+         ROUND(CASE WHEN len(tk.t) >= 2
+                    THEN bs.top_bigram_count * 2.0 / len(tk.t)
+                    ELSE 0.0 END, 6) AS top_bigram_frac
+  FROM toks tk
+  LEFT JOIN line_stats ls USING (doc_id)
+  LEFT JOIN bigram_stats bs USING (doc_id))
+SELECT q.doc_id, q.quality_score, rep.dup_line_frac, rep.top_bigram_frac,
+       lp.unigram_logprob, d.lang, d.source, f.logprob_floor,
+       (q.quality_score >= 0.8 AND rep.dup_line_frac <= 0.3
+        AND rep.top_bigram_frac <= 0.2
+        AND COALESCE(lp.unigram_logprob, -1e9)
+            >= COALESCE(f.logprob_floor, -1e9)) AS keep
+FROM q JOIN rep ON q.doc_id = rep.doc_id
+JOIN documents d ON q.doc_id = d.doc_id
+LEFT JOIN lp ON q.doc_id = lp.doc_id
+LEFT JOIN floors f ON d.lang = f.lang AND d.source = f.source
+ORDER BY q.doc_id
+"""
+
 
 def _q_incremental_embed_near_dup(spark, sf):
     """k-batch INCREMENTAL embedding near-dup via the persisted banded
@@ -2267,6 +2375,8 @@ _REGISTRY: dict[str, tuple] = {
                                    _sql_embed_near_dups()),
     "embed_ivf_persisted": (_q_embed_ivf_persisted, _sql_embed_ivf_topk()),
     "quality_gates": (_q_quality_gates, _SQL_QUALITY_GATES),
+    "logprob_floors": (_q_logprob_floors, _SQL_LOGPROB_FLOORS),
+    "quality_gates_auto": (_q_quality_gates_auto, _SQL_QUALITY_GATES_AUTO),
     "dup_clusters_star": (_q_dup_clusters_star, _SQL_DUP_CLUSTERS),
 }
 

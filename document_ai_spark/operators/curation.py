@@ -51,28 +51,65 @@ def curate(docs: DataFrame, quality_min: float = 0.8,
     return token_budget(kept)
 
 
+def slice_logprob_floors(docs: DataFrame, k: float = 3.0) -> DataFrame:
+    """Per-(lang, source) unigram-logprob floor: the Tukey lower fence
+    q25 - k*(q75 - q25) of the slice's per-doc logprob distribution.
+
+    The word-salad threshold is CORPUS-RELATIVE (ln-probs shift with
+    corpus token count) and SLICE-RELATIVE (a CJK char-token slice has a
+    different frequency profile than an English word-token slice, so one
+    global constant misfires across languages). The fence is an
+    unsupervised outlier rule: it assumes salad-like docs are a MINORITY
+    of the slice (validated at <=20% contamination on the mixed-lang
+    labeled corpus, CALIBRATION.md) sitting far below the natural mass
+    relative to the natural IQR. Exact `percentile` (not approx) so the
+    DuckDB oracle's quantile_cont matches bit-for-bit; floors round to
+    4 decimals on both engines.
+
+    Scale shape: the unigram pipeline's (doc_id, logprob) output — one
+    row per doc — grouped by the low-cardinality slice key; the floors
+    table is slice-sized and broadcasts."""
+    lp = with_unigram_logprob(docs).select("doc_id", "unigram_logprob")
+    slc = docs.select("doc_id", "lang", "source")
+    return (lp.join(slc, "doc_id")
+            .groupBy("lang", "source")
+            .agg(F.expr("percentile(unigram_logprob, 0.25)").alias("q25"),
+                 F.expr("percentile(unigram_logprob, 0.75)").alias("q75"))
+            .select("lang", "source",
+                    F.round(F.col("q25")
+                            - k * (F.col("q75") - F.col("q25")),
+                            4).alias("logprob_floor")))
+
+
 def quality_gates(docs: DataFrame, quality_min: float = 0.8,
                   dup_line_max: float = 0.3, top_bigram_max: float = 0.2,
-                  logprob_min: float = None) -> DataFrame:
+                  logprob_min=None) -> DataFrame:
     """Composite pretraining-quality gate: per doc, every gate signal
     plus the combined ``keep`` verdict.
 
       * quality_score >= quality_min      (length + stopword bands)
       * dup_line_frac <= dup_line_max     (boilerplate/chrome filter)
       * top_bigram_frac <= top_bigram_max (Gopher repetition filter)
-      * unigram_logprob >= logprob_min    (word-salad filter; skipped
-        when logprob_min is None — the threshold is corpus-relative,
-        see CALIBRATION.md for the measured separation)
+      * unigram_logprob >= threshold      (word-salad filter; skipped
+        when logprob_min is None — the threshold is corpus-relative.
+        Pass a float to pin it globally, or "auto" to derive a
+        PER-(lang, source) floor from the corpus's own quantiles
+        (slice_logprob_floors); auto output adds lang/source/
+        logprob_floor columns.)
 
     Calibrated on the labeled micro-corpus (sources/labeled.py):
     quality_score ALONE does not reject word salad (salad scores exactly
     0.8 — length band 1.0, stopword band floor 0.5) or repetition bombs;
-    the composite rule separates all four classes (CALIBRATION.md).
+    the composite rule separates all four classes; per-slice floors hold
+    their precision/recall on the mixed-lang corpus (CALIBRATION.md).
 
     Scale shape: three audited component scans (with_quality_score,
     repetition_stats, with_unigram_logprob) joined on doc_id only; no
     stage carries text past its own scan. Zero-token docs have no
-    unigram row — the left join + coalesce(-inf) fails them closed."""
+    unigram row — the left join + coalesce(-inf) fails them closed.
+    In auto mode the unigram subtree appears twice in the plan (per-doc
+    rows + the floors aggregate); a production run persists the floors
+    table once per corpus instead."""
     q = with_quality_score(docs).select("doc_id", "quality_score")
     rep = repetition_stats(docs).select(
         "doc_id", "dup_line_frac", "top_bigram_frac")
@@ -83,8 +120,16 @@ def quality_gates(docs: DataFrame, quality_min: float = 0.8,
     if logprob_min is not None:
         lp = with_unigram_logprob(docs).select("doc_id", "unigram_logprob")
         out = out.join(lp, "doc_id", "left")
-        keep = keep & (F.coalesce("unigram_logprob", F.lit(-1e9))
-                       >= logprob_min)
+        if logprob_min == "auto":
+            floors = slice_logprob_floors(docs)
+            slc = docs.select("doc_id", "lang", "source")
+            out = (out.join(slc, "doc_id")
+                   .join(F.broadcast(floors), ["lang", "source"], "left"))
+            keep = keep & (F.coalesce("unigram_logprob", F.lit(-1e9))
+                           >= F.coalesce("logprob_floor", F.lit(-1e9)))
+        else:
+            keep = keep & (F.coalesce("unigram_logprob", F.lit(-1e9))
+                           >= logprob_min)
     return out.withColumn("keep", keep)
 
 

@@ -92,3 +92,54 @@ def gen_labeled_local(n_per_class: int = 100, seed: int = 42
 
 LABELED_SCHEMA = ("doc_id string, text string, lang string, "
                   "source string, label string")
+
+
+# Common-char pool for zh natural text: the first few act as high-
+# frequency "stopword" chars, the rest as content chars — giving the
+# char-token slice a skewed frequency profile like real text.
+_ZH_COMMON = list("的一是在不了有和人这中大为上个国我以要他时来用们"
+                  "生到作地于出就分对成会可主发年动同工也能下过子说")
+
+
+def _zh_natural(rng: random.Random) -> str:
+    chars = []
+    for _ in range(rng.randint(40, 90)):
+        # 40% from the frequent head, 60% from the whole pool.
+        pool = _ZH_COMMON[:8] if rng.random() < 0.4 else _ZH_COMMON
+        chars.append(rng.choice(pool))
+    return "".join(chars)
+
+
+def _zh_salad(rng: random.Random) -> str:
+    # Random draws across the full unified-ideograph block: with a few
+    # thousand draws over ~21k chars nearly every char is corpus-unique,
+    # so the unigram LM scores these docs far below zh natural text.
+    return "".join(chr(rng.randint(0x4E00, 0x9FFF))
+                   for _ in range(rng.randint(40, 90)))
+
+
+def gen_labeled_mixed_local(n_natural: int = 80, n_salad: int = 16,
+                            seed: int = 7) -> List[Tuple[str, str, str,
+                                                         str, str]]:
+    """Mixed-LANGUAGE labeled corpus for per-slice logprob calibration:
+    two (lang, source) slices — ('en','web') word tokens, ('zh','web')
+    char tokens — each with natural majority and a salad minority
+    (n_salad/n_natural contamination; the slice floor rule assumes
+    salad is a minority outlier mass). Labels ride in column 5; both
+    slices share source='web' so the slice key is genuinely (lang,
+    source), unlike gen_labeled_local where source doubles as label."""
+    rows = []
+    i = 0
+    for lang in ("en", "zh"):
+        for label, n in (("natural", n_natural), ("salad", n_salad)):
+            for _ in range(n):
+                rng = _rng(i + 10_000, seed)
+                if lang == "en":
+                    text = _natural(rng) if label == "natural" \
+                        else _salad(rng, i)
+                else:
+                    text = _zh_natural(rng) if label == "natural" \
+                        else _zh_salad(rng)
+                rows.append((f"mx{i:05d}", text, lang, "web", label))
+                i += 1
+    return rows

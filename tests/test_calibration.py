@@ -60,3 +60,55 @@ def test_gate_signals_point_at_their_class(gated):
     assert m["boilerplate"]["dl"] > 0.5 > 2 * m["natural"]["dl"]
     assert m["repetition"]["tb"] > 0.8 > 2 * m["natural"]["tb"]
     assert m["salad"]["lp"] < LOGPROB_MIN < m["natural"]["lp"]
+
+
+@pytest.fixture(scope="module")
+def mixed_gated(spark):
+    from document_ai_spark.sources.labeled import gen_labeled_mixed_local
+    docs = spark.createDataFrame(gen_labeled_mixed_local(seed=7),
+                                 LABELED_SCHEMA)
+    g = quality_gates(docs, logprob_min="auto")
+    return docs.select("doc_id", "label").join(g, "doc_id").cache()
+
+
+def test_per_slice_auto_floor_precision_recall(mixed_gated):
+    """logprob_min='auto' (per-(lang, source) Tukey fence) must keep
+    natural and reject salad WITHIN EACH LANGUAGE slice — the floors
+    differ by >1 nat between the en word-token and zh char-token slices
+    (CALIBRATION.md), so this is exactly where a global constant
+    misfires."""
+    rows = mixed_gated.groupBy("lang", "label", "keep").count().collect()
+    agg = {}
+    for r in rows:
+        agg.setdefault((r["lang"], r["label"]), {})[r["keep"]] = r["count"]
+    for lang in ("en", "zh"):
+        tp = agg.get((lang, "natural"), {}).get(True, 0)
+        fn = agg.get((lang, "natural"), {}).get(False, 0)
+        fp = agg.get((lang, "salad"), {}).get(True, 0)
+        precision = tp / max(tp + fp, 1)
+        recall = tp / max(tp + fn, 1)
+        assert precision >= 0.95, (lang, precision)
+        assert recall >= 0.95, (lang, recall)
+
+
+def test_slice_floors_are_slice_specific(spark):
+    """The derived floors must actually differ across slices (else
+    'auto' degenerates to a global constant) and each slice's salad
+    mass must sit below its own floor while natural sits above."""
+    from document_ai_spark.operators.curation import slice_logprob_floors
+    from document_ai_spark.operators.textquality import with_unigram_logprob
+    from document_ai_spark.sources.labeled import gen_labeled_mixed_local
+
+    docs = spark.createDataFrame(gen_labeled_mixed_local(seed=7),
+                                 LABELED_SCHEMA)
+    floors = {r["lang"]: r["logprob_floor"]
+              for r in slice_logprob_floors(docs).collect()}
+    assert abs(floors["en"] - floors["zh"]) > 0.5
+    lp = (with_unigram_logprob(docs)
+          .join(docs.select("doc_id", "lang", "label"), "doc_id")
+          .groupBy("lang", "label")
+          .agg(F.avg("unigram_logprob").alias("m")).collect())
+    means = {(r["lang"], r["label"]): r["m"] for r in lp}
+    for lang in ("en", "zh"):
+        assert means[(lang, "salad")] < floors[lang] < \
+            means[(lang, "natural")]
