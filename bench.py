@@ -70,20 +70,34 @@ def _corpus_docs() -> int:
     return max(1000, int(1200000 * _sf_value()))
 
 
-def _run_headline(spark) -> dict:
+N_QUERY_ROUNDS = int(os.environ.get("SPARK_GRAFT_QUERY_ROUNDS", "3"))
+
+
+def _run_headline(spark) -> tuple:
+    """Per-query BEST-OF over N interleaved rounds (round-5: the single
+    timed pass let one co-tenant-throttled window distort a query by
+    30% — r4's near_dup_pairs recorded 1.93 s vs its own 1.68 s; see
+    BENCH.md host-noise notes). Rounds are interleaved across the whole
+    suite so every query samples several host windows, each round
+    records the md5 throttle probe, and the artifact keeps the full
+    trials arrays — same honesty schedule as the extraction legs."""
     import __spark_entry__ as E
     qs = E.queries()
     # Warmup pass (untimed): session/codegen/parquet-footer costs land
-    # once here, so the timed pass measures steady-state plan execution —
+    # once here, so the timed passes measure steady-state plan execution —
     # what repeats per query at scale — not first-touch fixed costs.
     for name in HEADLINE:
         qs[name](spark, SF_DIR).collect()
-    out = {}
-    for name in HEADLINE:
-        t0 = time.monotonic()
-        qs[name](spark, SF_DIR).collect()
-        out[name] = round(time.monotonic() - t0, 3)
-    return out
+    trials = {name: [] for name in HEADLINE}
+    cals = []
+    for _ in range(N_QUERY_ROUNDS):
+        cals.append(round(_md5_rate(0.2), 3))
+        for name in HEADLINE:
+            t0 = time.monotonic()
+            qs[name](spark, SF_DIR).collect()
+            trials[name].append(round(time.monotonic() - t0, 3))
+    out = {name: min(ts) for name, ts in trials.items()}
+    return out, {"trials": trials, "round_md5_mops": cals}
 
 
 # Shuffle partitions for the scaling pair: a CONSTANT, sized to the DATA
@@ -255,7 +269,7 @@ def main() -> None:
         shutil.rmtree(corpus_dir, ignore_errors=True)
         write_corpus(spark, corpus_dir, n_docs=n_docs, seed=42,
                      partitions=CPUS)
-    queries = _run_headline(spark)
+    queries, query_sched = _run_headline(spark)
     spark.stop()
 
     # Phase 2: scaling evidence — identical job + input, two cluster sizes
@@ -272,6 +286,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "query_schedule": query_sched,
         "sf": _sf_value(),
         "extraction": {
             "n_docs": n_docs,
