@@ -7,7 +7,7 @@ Cluster usage (same packaging as run_extract.py):
         scripts/run_curate.py \
         --input  <documents parquet: doc_id, text, lang, source> \
         --output <store root> \
-        --buckets 64 --run-id curate-1 [--logprob-min -8.0] \
+        --buckets 64 --run-id curate-1 [--logprob-min -8.0|auto] \
         [--eval <benchmark-docs parquet for decontamination>]
 
 Per doc-id-hash bucket, checkpointed (kill + re-submit with the same
@@ -44,9 +44,12 @@ def main() -> None:
     ap.add_argument("--quality-min", type=float, default=0.8)
     ap.add_argument("--dup-line-max", type=float, default=0.3)
     ap.add_argument("--top-bigram-max", type=float, default=0.2)
-    ap.add_argument("--logprob-min", type=float, default=None,
-                    help="unigram-logprob floor; corpus-relative, see "
-                         "CALIBRATION.md (off by default)")
+    ap.add_argument("--logprob-min", default=None,
+                    type=lambda v: v if v == "auto" else float(v),
+                    help="unigram-logprob floor: a float pins it "
+                         "globally; 'auto' derives it per (lang, source) "
+                         "slice from corpus quantiles (CALIBRATION.md); "
+                         "off by default")
     ap.add_argument("--jaccard-min", type=float, default=0.5)
     ap.add_argument("--eval", default=None,
                     help="benchmark docs parquet; survivors sharing a "
