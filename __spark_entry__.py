@@ -1995,6 +1995,52 @@ ORDER BY q.doc_id
 """
 
 
+def _q_line_dedup(spark, sf):
+    """Corpus-level exact line dedup (CCNet/C4/RefinedWeb boilerplate
+    pass) over documents plus a planted copy of every 10th doc, so the
+    copied docs' lines are hot (>= 2 distinct docs) and get removed
+    everywhere except their canonical (min doc_id) source."""
+    from document_ai_spark.operators.curation import line_dedup
+
+    base = _t(spark, sf, "documents").select("doc_id", "text")
+    dup = (base.where(F.col("doc_id") % 10 == 0)
+           .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return line_dedup(base.unionByName(dup)).orderBy("doc_id")
+
+
+_SQL_LINE_DEDUP = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 10 = 0),
+lines AS (
+  -- zipped unnest: pos and line advance in lockstep
+  SELECT doc_id, unnest(generate_series(1, len(l))) AS pos,
+         unnest(l) AS line
+  FROM (SELECT doc_id, str_split(coalesce(text, ''), chr(10)) AS l
+        FROM base)),
+keyed AS (SELECT doc_id, pos, line, md5(line) AS lk FROM lines),
+hot AS (
+  SELECT lk, MIN(doc_id) AS keep_doc_id
+  FROM keyed WHERE trim(line) <> ''
+  GROUP BY lk HAVING COUNT(DISTINCT doc_id) >= 2),
+kept AS (
+  SELECT k.doc_id, k.pos, k.line
+  FROM keyed k LEFT JOIN hot h USING (lk)
+  WHERE h.keep_doc_id IS NULL OR k.doc_id = h.keep_doc_id),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+       t.n_lines, t.n_lines - coalesce(r.n_kept, 0) AS n_removed
+FROM tot t LEFT JOIN reb r USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 def _q_incremental_embed_near_dup(spark, sf):
     """k-batch INCREMENTAL embedding near-dup via the persisted banded
     sign-LSH index (operators/vector_index.py EmbeddingIndex): the
@@ -2378,6 +2424,8 @@ _REGISTRY: dict[str, tuple] = {
     "logprob_floors": (_q_logprob_floors, _SQL_LOGPROB_FLOORS),
     "quality_gates_auto": (_q_quality_gates_auto, _SQL_QUALITY_GATES_AUTO),
     "dup_clusters_star": (_q_dup_clusters_star, _SQL_DUP_CLUSTERS),
+    # round-5 additions (registry order stays stable; append only)
+    "line_dedup": (_q_line_dedup, _SQL_LINE_DEDUP),
 }
 
 

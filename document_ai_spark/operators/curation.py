@@ -168,6 +168,63 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 3
     return docs.join(hits.select("doc_id"), "doc_id", "left_anti")
 
 
+def line_dedup(docs: DataFrame, min_docs: int = 2) -> DataFrame:
+    """Corpus-level exact line dedup (the CCNet / C4 / RefinedWeb
+    boilerplate pass): a non-blank line occurring in >= min_docs
+    DISTINCT documents is boilerplate (nav chrome, cookie banners,
+    license headers); every occurrence is removed EXCEPT those in the
+    smallest doc_id containing it, so the corpus keeps exactly one
+    canonical source per hot line (the same first-seen-wins rule as
+    exact_duplicates). Blank/whitespace-only lines are never hot —
+    removing them would merge paragraphs.
+
+    docs(doc_id, text, ...) -> (doc_id, text_dedup, n_lines,
+    n_removed), one row per input doc; a doc whose every line is
+    removed survives with text_dedup = ''.
+
+    Scale shape: lines shuffle by a 32-byte md5 line key, never the
+    line text past the map side of the hot aggregate — three
+    exchanges total: (1) the hot-line aggregate (map-side partial
+    count-distinct on the md5 key), (2) the corpus-lines-vs-hot join
+    on the key (the hot set is the frequency tail — orders of
+    magnitude smaller than the corpus, but at web scale still too
+    big to broadcast, so AQE picks the strategy), (3) the per-doc
+    rebuild groupBy(doc_id). Rebuild order rides a (pos, line)
+    struct through array_sort — no window, no driver state.
+
+    Oracle: the `line_dedup` row mirrors this in DuckDB (zipped
+    unnest + string_agg ORDER BY pos)."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.coalesce("text", F.lit("")), "\n"))
+        .alias("pos", "line"))
+    keyed = lines.withColumn("lk", F.md5("line"))
+    hot = (keyed.where(F.trim(F.col("line")) != "")
+           .groupBy("lk")
+           .agg(F.count_distinct("doc_id").alias("nd"),
+                F.min("doc_id").alias("keep_doc_id"))
+           .where(F.col("nd") >= min_docs)
+           .select("lk", "keep_doc_id"))
+    kept = (keyed.join(hot, "lk", "left")
+            .where(F.col("keep_doc_id").isNull()
+                   | (F.col("doc_id") == F.col("keep_doc_id"))))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "line"))),
+                            lambda s: s["line"]),
+                        "\n").alias("text_dedup"),
+                    F.count(F.lit(1)).alias("n_kept")))
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+                    "n_lines",
+                    (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+                    .alias("n_removed")))
+
+
 def deterministic_sample(docs: DataFrame, fraction: float = 0.25,
                          key: str = "doc_id") -> DataFrame:
     """Reproducible corpus sampling: keep a row iff the first two hex

@@ -89,3 +89,62 @@ def test_deterministic_sample_full_fraction_and_bounds(spark):
     n = half.count()
     assert 0 < n < 64
     assert half.exceptAll(docs).count() == 0
+
+
+def test_line_dedup_planted(spark):
+    """Canonical (min doc_id) source keeps its hot lines; later docs
+    lose them; blank lines never count as hot; unique lines survive;
+    a doc whose every line is hot elsewhere ends up empty."""
+    from document_ai_spark.operators.curation import line_dedup
+
+    rows = [
+        (1, "cookie banner\nunique one\n\nunique two"),
+        (2, "cookie banner\nits own text"),
+        (3, "cookie banner"),
+        (4, "\n\n"),                       # blank-only doc: untouched
+        (5, "its own text\nfresh line"),   # "its own text" hot via 2/5
+    ]
+    out = {r["doc_id"]: r.asDict()
+           for r in line_dedup(_docs(spark, rows)).collect()}
+    assert len(out) == 5
+    # doc 1 is the canonical source of "cookie banner": keeps everything
+    assert out[1]["text_dedup"] == "cookie banner\nunique one\n\nunique two"
+    assert out[1]["n_removed"] == 0 and out[1]["n_lines"] == 4
+    # doc 2: banner removed (canon=1); "its own text" kept (canon=2)
+    assert out[2]["text_dedup"] == "its own text"
+    assert out[2]["n_removed"] == 1
+    # doc 3: its only line is hot elsewhere -> empty survivor row
+    assert out[3]["text_dedup"] == "" and out[3]["n_removed"] == 1
+    # doc 4: blank lines are never hot
+    assert out[4]["text_dedup"] == "\n\n" and out[4]["n_removed"] == 0
+    assert out[4]["n_lines"] == 3
+    # doc 5: loses "its own text" to doc 2, keeps its unique line
+    assert out[5]["text_dedup"] == "fresh line"
+    assert out[5]["n_removed"] == 1
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    """min_docs=3: a line in only two docs is not hot."""
+    from document_ai_spark.operators.curation import line_dedup
+
+    rows = [(1, "shared"), (2, "shared"), (3, "solo")]
+    out = {r["doc_id"]: r.asDict()
+           for r in line_dedup(_docs(spark, rows), min_docs=3).collect()}
+    assert all(out[d]["n_removed"] == 0 for d in (1, 2, 3))
+    out2 = {r["doc_id"]: r.asDict()
+            for r in line_dedup(_docs(spark, rows), min_docs=2).collect()}
+    assert out2[1]["text_dedup"] == "shared"      # canonical keeps
+    assert out2[2]["text_dedup"] == ""            # later copy dropped
+    assert out2[3]["text_dedup"] == "solo"
+
+
+def test_line_dedup_repeated_within_canonical_doc(spark):
+    """All occurrences inside the canonical doc survive (it is the one
+    source the corpus keeps); repeats inside a later doc all go."""
+    from document_ai_spark.operators.curation import line_dedup
+
+    rows = [(1, "x\nx\nbody"), (2, "x\nx\nother")]
+    out = {r["doc_id"]: r.asDict()
+           for r in line_dedup(_docs(spark, rows)).collect()}
+    assert out[1]["text_dedup"] == "x\nx\nbody"
+    assert out[2]["text_dedup"] == "other" and out[2]["n_removed"] == 2
