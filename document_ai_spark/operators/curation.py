@@ -124,7 +124,12 @@ def quality_gates(docs: DataFrame, quality_min: float = 0.8,
             floors = slice_logprob_floors(docs)
             slc = docs.select("doc_id", "lang", "source")
             out = (out.join(slc, "doc_id")
-                   .join(F.broadcast(floors), ["lang", "source"], "left"))
+                   .join(F.broadcast(floors), ["lang", "source"], "left")
+                   # join keys reorder columns (lang/source jump to the
+                   # front); restore the stable gate-signal order
+                   .select("doc_id", "quality_score", "dup_line_frac",
+                           "top_bigram_frac", "unigram_logprob", "lang",
+                           "source", "logprob_floor"))
             keep = keep & (F.coalesce("unigram_logprob", F.lit(-1e9))
                            >= F.coalesce("logprob_floor", F.lit(-1e9)))
         else:
