@@ -199,17 +199,36 @@ def line_dedup(docs: DataFrame, min_docs: int = 2) -> DataFrame:
 
     Oracle: the `line_dedup` row mirrors this in DuckDB (zipped
     unnest + string_agg ORDER BY pos)."""
-    lines = docs.select(
+    return strip_hot_lines(docs, hot_lines(docs, min_docs))
+
+
+def _doc_lines(docs: DataFrame) -> DataFrame:
+    return docs.select(
         "doc_id",
         F.posexplode(F.split(F.coalesce("text", F.lit("")), "\n"))
         .alias("pos", "line"))
+
+
+def hot_lines(docs: DataFrame, min_docs: int = 2) -> DataFrame:
+    """The corpus-wide boilerplate-line table behind line_dedup:
+    (lk = md5(line), keep_doc_id = min doc_id) for every non-blank
+    line in >= min_docs distinct documents. Computed ONCE per corpus
+    and reused — the checkpointed curation CLI persists it and strips
+    per bucket, so the aggregate is not re-run per partition."""
+    return (_doc_lines(docs).withColumn("lk", F.md5("line"))
+            .where(F.trim(F.col("line")) != "")
+            .groupBy("lk")
+            .agg(F.count_distinct("doc_id").alias("nd"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .where(F.col("nd") >= min_docs)
+            .select("lk", "keep_doc_id"))
+
+
+def strip_hot_lines(docs: DataFrame, hot: DataFrame) -> DataFrame:
+    """Apply a hot_lines table: remove every hot-line occurrence
+    outside its canonical doc, rebuild text in original order."""
+    lines = _doc_lines(docs)
     keyed = lines.withColumn("lk", F.md5("line"))
-    hot = (keyed.where(F.trim(F.col("line")) != "")
-           .groupBy("lk")
-           .agg(F.count_distinct("doc_id").alias("nd"),
-                F.min("doc_id").alias("keep_doc_id"))
-           .where(F.col("nd") >= min_docs)
-           .select("lk", "keep_doc_id"))
     kept = (keyed.join(hot, "lk", "left")
             .where(F.col("keep_doc_id").isNull()
                    | (F.col("doc_id") == F.col("keep_doc_id"))))

@@ -51,6 +51,14 @@ def main() -> None:
                          "slice from corpus quantiles (CALIBRATION.md); "
                          "off by default")
     ap.add_argument("--jaccard-min", type=float, default=0.5)
+    ap.add_argument("--line-dedup", type=int, default=0, metavar="MIN_DOCS",
+                    help="corpus-level exact line dedup before the "
+                         "gates: strip non-blank lines occurring in >= "
+                         "MIN_DOCS distinct docs everywhere but their "
+                         "canonical (min doc_id) source; 0 = off. The "
+                         "hot-line table is computed once per corpus, "
+                         "persisted under <output>/_hot_lines, and "
+                         "reused across buckets and resumes")
     ap.add_argument("--eval", default=None,
                     help="benchmark docs parquet; survivors sharing a "
                          "word 3-gram with it are dropped")
@@ -61,7 +69,9 @@ def main() -> None:
 
     from document_ai_spark.operators.curation import (
         eval_ngrams,
+        hot_lines,
         quality_gates,
+        strip_hot_lines,
     )
     from document_ai_spark.operators.sketch_index import SketchIndex
     from document_ai_spark.operators.textquality import token_budget
@@ -76,13 +86,33 @@ def main() -> None:
         block = F.broadcast(
             eval_ngrams(spark.read.parquet(args.eval), n=3)).cache()
 
+    hot = None
+    if args.line_dedup:
+        # One corpus-wide aggregate, persisted; deterministic from the
+        # input, so a killed run's resume reads the identical table
+        # instead of re-running the shuffle.
+        import os
+        hot_path = f"{args.output}/_hot_lines"
+        if not os.path.exists(os.path.join(hot_path, "_SUCCESS")):
+            hot_lines(docs, min_docs=args.line_dedup) \
+                .write.mode("overwrite").parquet(hot_path)
+        hot = spark.read.parquet(hot_path)
+
     def curate_bucket(sub, _payloads, bucket):
+        if hot is not None:
+            stripped = strip_hot_lines(sub, hot).select(
+                "doc_id", F.col("text_dedup").alias("text"),
+                F.col("n_removed").alias("n_boiler_lines_removed"))
+            sub = sub.select("doc_id", "lang", "source") \
+                .join(stripped, "doc_id")
         gated = quality_gates(
             sub, quality_min=args.quality_min,
             dup_line_max=args.dup_line_max,
             top_bigram_max=args.top_bigram_max,
             logprob_min=args.logprob_min)
-        kept = (sub.select("doc_id", "text", "lang", "source")
+        carry = ["doc_id", "text", "lang", "source"] + (
+            ["n_boiler_lines_removed"] if hot is not None else [])
+        kept = (sub.select(*carry)
                 .join(gated, "doc_id")
                 .where("keep")
                 .drop("keep"))

@@ -148,3 +148,29 @@ def test_line_dedup_repeated_within_canonical_doc(spark):
            for r in line_dedup(_docs(spark, rows)).collect()}
     assert out[1]["text_dedup"] == "x\nx\nbody"
     assert out[2]["text_dedup"] == "other" and out[2]["n_removed"] == 2
+
+
+def test_hot_lines_bucket_strip_parity(spark):
+    """Per-bucket strip against the corpus-wide hot table (the
+    checkpointed CLI's shape) == global line_dedup restricted to the
+    bucket — the hot aggregate is computed once, never per bucket."""
+    from document_ai_spark.operators.curation import (
+        hot_lines,
+        line_dedup,
+        strip_hot_lines,
+    )
+
+    rows = [(i, f"boiler\nbody {i}" if i % 2 else f"body {i}\nboiler")
+            for i in range(1, 41)]
+    docs = _docs(spark, rows)
+    hot = hot_lines(docs)
+    bucket = docs.where(F.col("doc_id") % 3 == 1)
+    got = sorted(tuple(r) for r in strip_hot_lines(bucket, hot).collect())
+    want = sorted(
+        tuple(r) for r in
+        line_dedup(docs).join(bucket.select("doc_id"), "doc_id").collect())
+    assert got == want
+    # and the canonical source (doc 1) kept its copy
+    full = {r["doc_id"]: r["text_dedup"] for r in line_dedup(docs).collect()}
+    assert full[1] == "boiler\nbody 1"
+    assert full[2] == "body 2"

@@ -70,3 +70,52 @@ def test_spark_submit_run_curate_end_to_end(tmp_path):
     for m in mans:
         assert "lsh_max_bucket" in json.loads(
             json.load(open(m))["metrics"])
+
+
+@pytest.mark.skipif(not Path(SPARK_SUBMIT).exists(),
+                    reason="spark-submit not on this host")
+def test_spark_submit_run_curate_line_dedup(tmp_path):
+    """--line-dedup strips the corpus-wide boilerplate line everywhere
+    but its canonical doc, persists the hot-line table once under
+    <output>/_hot_lines, and the removal count rides the audit output."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    boiler = "subscribe to our newsletter today"
+    body = ("the alpha{i} and beta{i} of gamma{i} in delta{i} with "
+            "epsilon{i} for zeta{i} the eta{i} and theta{i} of iota{i} "
+            "in kappa{i}")
+    docs = pa.table({
+        "doc_id": list(range(1, 41)),
+        "text": [f"{boiler}\n{body.format(i=i)}" for i in range(1, 41)],
+        "lang": ["en"] * 40,
+        "source": ["web"] * 40,
+    })
+    inp = tmp_path / "docs.parquet"
+    pq.write_table(docs, inp)
+
+    zip_path = tmp_path / "document_ai_spark.zip"
+    import zipfile as _zf
+    with _zf.ZipFile(zip_path, "w") as z:
+        for f in sorted((REPO / "document_ai_spark").rglob("*.py")):
+            z.write(f, f.relative_to(REPO))
+
+    out = tmp_path / "out"
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--py-files", str(zip_path),
+           str(REPO / "scripts" / "run_curate.py"),
+           "--input", str(inp), "--output", str(out),
+           "--buckets", "2", "--run-id", "ld1", "--line-dedup", "2"]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert (out / "_hot_lines" / "_SUCCESS").exists()
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text, n_boiler_lines_removed "
+        f"FROM '{out}/data/**/*.parquet'").fetchall()
+    assert rows, "no survivors"
+    keeps = [r for r in rows if boiler in r[1]]
+    # only the canonical doc (min doc_id = 1) still carries the line
+    assert [(r[0], r[2]) for r in keeps] == [(1, 0)]
+    assert all(r[2] == 1 for r in rows if r[0] != 1)
