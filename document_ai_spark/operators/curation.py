@@ -226,27 +226,28 @@ def hot_lines(docs: DataFrame, min_docs: int = 2) -> DataFrame:
 
 def strip_hot_lines(docs: DataFrame, hot: DataFrame) -> DataFrame:
     """Apply a hot_lines table: remove every hot-line occurrence
-    outside its canonical doc, rebuild text in original order."""
-    lines = _doc_lines(docs)
-    keyed = lines.withColumn("lk", F.md5("line"))
-    kept = (keyed.join(hot, "lk", "left")
-            .where(F.col("keep_doc_id").isNull()
-                   | (F.col("doc_id") == F.col("keep_doc_id"))))
-    rebuilt = (kept.groupBy("doc_id")
-               .agg(F.array_join(
-                        F.transform(
-                            F.array_sort(
-                                F.collect_list(F.struct("pos", "line"))),
-                            lambda s: s["line"]),
-                        "\n").alias("text_dedup"),
-                    F.count(F.lit(1)).alias("n_kept")))
-    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
-    return (totals.join(rebuilt, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
-                    "n_lines",
-                    (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
-                    .alias("n_removed")))
+    outside its canonical doc, rebuild text in original order.
+
+    One aggregate does both the rebuild and the bookkeeping:
+    collect_list skips NULLs, so collecting `when(keep, struct)` ships
+    only the surviving lines through the rebuild shuffle (removed
+    boilerplate never leaves the map side) while count(*) still sees
+    every line — no separate per-doc totals aggregate, no totals join."""
+    flagged = (_doc_lines(docs).withColumn("lk", F.md5("line"))
+               .join(hot, "lk", "left"))
+    keep = (F.col("keep_doc_id").isNull()
+            | (F.col("doc_id") == F.col("keep_doc_id")))
+    agg = (flagged.groupBy("doc_id")
+           .agg(F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "line"))))
+                .alias("kept_ls"),
+                F.count(F.lit(1)).alias("n_lines")))
+    return agg.select(
+        "doc_id",
+        F.array_join(F.transform("kept_ls", lambda s: s["line"]), "\n")
+        .alias("text_dedup"),
+        "n_lines",
+        (F.col("n_lines") - F.size("kept_ls")).alias("n_removed"))
 
 
 def deterministic_sample(docs: DataFrame, fraction: float = 0.25,
