@@ -209,18 +209,27 @@ def _doc_lines(docs: DataFrame) -> DataFrame:
         .alias("pos", "line"))
 
 
+def line_frequencies(docs: DataFrame) -> DataFrame:
+    """Per-line corpus frequency table: (lk = md5(line),
+    n_docs = distinct docs containing it, keep_doc_id = min doc_id)
+    for every non-blank line. The map-side partial count-distinct on
+    32-byte keys is the only aggregate; also the accretion unit of the
+    incremental LineIndex (operators/line_index.py)."""
+    return (_doc_lines(docs).withColumn("lk", F.md5("line"))
+            .where(F.trim(F.col("line")) != "")
+            .groupBy("lk")
+            .agg(F.count_distinct("doc_id").alias("n_docs"),
+                 F.min("doc_id").alias("keep_doc_id")))
+
+
 def hot_lines(docs: DataFrame, min_docs: int = 2) -> DataFrame:
     """The corpus-wide boilerplate-line table behind line_dedup:
     (lk = md5(line), keep_doc_id = min doc_id) for every non-blank
     line in >= min_docs distinct documents. Computed ONCE per corpus
     and reused — the checkpointed curation CLI persists it and strips
     per bucket, so the aggregate is not re-run per partition."""
-    return (_doc_lines(docs).withColumn("lk", F.md5("line"))
-            .where(F.trim(F.col("line")) != "")
-            .groupBy("lk")
-            .agg(F.count_distinct("doc_id").alias("nd"),
-                 F.min("doc_id").alias("keep_doc_id"))
-            .where(F.col("nd") >= min_docs)
+    return (line_frequencies(docs)
+            .where(F.col("n_docs") >= min_docs)
             .select("lk", "keep_doc_id"))
 
 

@@ -239,3 +239,44 @@ def stream_embed_dedup(spark: SparkSession, in_dir: str, index_root: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_line_dedup(spark: SparkSession, in_dir: str, index_root: str,
+                      out_dir: str, checkpoint_dir: str,
+                      min_docs: int = 2):
+    """Incremental corpus-level line dedup over a document stream — the
+    line twin of stream_dedup: each micro-batch is stripped against the
+    PERSISTED hot-line counts accreted by all previous batches plus
+    itself (operators/line_index.py LineIndex), its cleaned docs land
+    under ``out_dir/batch=<id>/``, and its per-line aggregate is
+    committed to the index for the next batch.
+
+    Exactly-once across restarts: foreachBatch replays a batch with the
+    SAME batch_id, append_and_strip is idempotent per batch_id
+    (before_seq replay), and the per-batch output directory is
+    overwritten, not appended. Returns the StreamingQuery."""
+    from ..operators.line_index import LineIndex
+
+    idx = LineIndex(index_root, min_docs=min_docs)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cleaned = idx.append_and_strip(
+            spark, batch_df.select("doc_id", "text"),
+            batch_id=f"stream-{batch_id}")
+        cleaned.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}")
+
+    return (
+        stream.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
