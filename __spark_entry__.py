@@ -2041,6 +2041,93 @@ ORDER BY t.doc_id
 """
 
 
+# PII / URL plants: deterministic synthetic addresses appended to every
+# k-th doc so the scrub/histogram has known ground truth at any SF. The
+# SAME expression string runs on both engines (the _HP_PLANT idiom).
+_PII_PLANT = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' contact user',"
+    " cast(doc_id % 97 as string), '@mail', cast(doc_id % 7 as string),"
+    " '.example.com') ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN concat(' call +',"
+    " cast(1 + doc_id % 98 as string), '-',"
+    " cast(200 + doc_id % 800 as string), '-',"
+    " cast(1000 + doc_id % 9000 as string)) ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' from 10.',"
+    " cast(doc_id % 256 as string), '.0.',"
+    " cast(doc_id % 250 as string)) ELSE '' END)"
+)
+
+_URL_PLANT = (
+    "concat(text,"
+    " CASE WHEN doc_id % 2 = 0 THEN concat(' see https://w',"
+    " cast(doc_id % 5 as string), '.ex', cast(doc_id % 23 as string),"
+    " CASE doc_id % 3 WHEN 0 THEN '.com/p/' WHEN 1 THEN '.org/p/'"
+    " ELSE '.net/p/' END,"
+    " cast(doc_id as string), ' ') ELSE '' END,"
+    " CASE WHEN doc_id % 6 = 0 THEN concat(' and http://ex',"
+    " cast(doc_id % 23 as string), '.org/q/', cast(doc_id as string),"
+    " ' ') ELSE '' END)"
+)
+
+
+def _q_pii_scrub(spark, sf):
+    """PII redaction (operators/web.py scrub_pii): e-mail/phone/IPv4 ->
+    typed placeholders + per-doc removal counts, on documents with
+    deterministically planted addresses. clean_md5 hashes the scrubbed
+    text so the oracle checks the REPLACEMENT bytes, not just counts."""
+    from document_ai_spark.operators.web import scrub_pii
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_PII_PLANT).alias("text"))
+    return (scrub_pii(d)
+            .select("doc_id", F.md5("text").alias("clean_md5"),
+                    "n_email", "n_phone", "n_ipv4")
+            .orderBy("doc_id"))
+
+
+def _sql_pii_scrub():
+    from document_ai_spark.operators.web import (
+        EMAIL_PATTERN, IPV4_PATTERN, PHONE_PATTERN)
+    return f"""
+WITH planted AS (SELECT doc_id, {_PII_PLANT} AS text FROM documents)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+           '{PHONE_PATTERN}', '<PHONE>', 'g'),
+           '{IPV4_PATTERN}', '<IP>', 'g')) AS clean_md5,
+       len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS n_email,
+       len(regexp_extract_all(text, '{PHONE_PATTERN}')) AS n_phone,
+       len(regexp_extract_all(text, '{IPV4_PATTERN}')) AS n_ipv4
+FROM planted ORDER BY doc_id
+"""
+
+
+def _q_domain_stats(spark, sf):
+    """Per-registrable-domain URL histogram (operators/web.py
+    domain_stats) over documents with deterministically planted links —
+    the C4/CommonCrawl domain-balance job."""
+    from document_ai_spark.operators.web import domain_stats
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_URL_PLANT).alias("text"))
+    return domain_stats(d)
+
+
+def _sql_domain_stats():
+    from document_ai_spark.operators.web import DOMAIN_PATTERN, URL_PATTERN
+    return f"""
+WITH planted AS (SELECT doc_id, {_URL_PLANT} AS text FROM documents),
+urls AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{URL_PATTERN}', 1)) AS host
+  FROM planted)
+SELECT regexp_extract(host, '{DOMAIN_PATTERN}', 1) AS domain,
+       COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+FROM urls GROUP BY domain ORDER BY domain
+"""
+
+
 def _q_incremental_embed_near_dup(spark, sf):
     """k-batch INCREMENTAL embedding near-dup via the persisted banded
     sign-LSH index (operators/vector_index.py EmbeddingIndex): the
@@ -2426,6 +2513,8 @@ _REGISTRY: dict[str, tuple] = {
     "dup_clusters_star": (_q_dup_clusters_star, _SQL_DUP_CLUSTERS),
     # round-5 additions (registry order stays stable; append only)
     "line_dedup": (_q_line_dedup, _SQL_LINE_DEDUP),
+    "pii_scrub": (_q_pii_scrub, _sql_pii_scrub()),
+    "domain_stats": (_q_domain_stats, _sql_domain_stats()),
 }
 
 

@@ -1,0 +1,110 @@
+"""Web-corpus hygiene: PII redaction and URL/domain statistics.
+
+Two operators every web-scale pretraining pipeline runs between crawl
+and tokenizer (beyond the reference's own surface — the reference
+extracts fields from trusted documents and never redacts; a 10^12-doc
+web corpus must):
+
+- ``scrub_pii`` — replace e-mail addresses, international phone numbers
+  and IPv4 addresses with typed placeholder tokens and count what was
+  removed per document. Pure ``regexp_replace``/``regexp_extract_all``
+  JVM expressions (whole-stage codegen, zero Python, zero shuffle); the
+  patterns are kept inside the Java-regex ∩ RE2 common subset (no
+  lookaround, no backreferences, explicit character classes) so the
+  DuckDB oracle computes bit-identical output.
+- ``extract_urls`` / ``domain_stats`` — pull ``https://host/...`` links
+  out of document text and aggregate per registrable domain (last two
+  host labels). This is the C4/CommonCrawl domain-histogram job: a
+  map-side explode followed by ONE hash aggregation on a low-cardinality
+  domain key with map-side partial aggregation, so at 10^12 docs the
+  shuffle carries (domain, partial count) rows only — never text.
+
+Scale shape: both operators are single-scan. ``scrub_pii`` adds no
+exchange at all; ``domain_stats`` adds the two tiny exchanges of an
+exact distinct-agg ((domain, doc_id) then (domain) — key + partial
+count rows only). Placeholder tokens contain no ``@``/digit-dot runs, so scrubbing
+is idempotent — re-running the pass over an already-scrubbed corpus is
+a no-op (pinned by test).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Patterns shared verbatim with the DuckDB oracle (__spark_entry__.py).
+# Leftmost-first vs leftmost-longest ambiguity is avoided by making each
+# quantifier's extent unambiguous at any match start: the e-mail local
+# part / host greedily absorb their class, the phone groups are
+# digit-run bounded, the IPv4 octets are \b-delimited.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+"
+PHONE_PATTERN = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?"
+IPV4_PATTERN = (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b")
+
+# (column suffix, pattern, replacement token), applied in order. E-mail
+# runs before IPv4 so a host like user@10.0.0.1 redacts as one <EMAIL>
+# rather than a dangling local part plus an <IP>.
+PII_RULES = (
+    ("email", EMAIL_PATTERN, "<EMAIL>"),
+    ("phone", PHONE_PATTERN, "<PHONE>"),
+    ("ipv4", IPV4_PATTERN, "<IP>"),
+)
+
+URL_PATTERN = r"https?://([A-Za-z0-9.-]+)/"
+DOMAIN_PATTERN = r"([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact e-mail / phone / IPv4 occurrences in ``text_col``.
+
+    Returns the input with ``text_col`` replaced by the scrubbed text
+    plus one ``n_<kind>`` BIGINT count column per rule. Counts are taken
+    on the ORIGINAL text (before any replacement) so rule order cannot
+    shadow a count; replacement is sequential in PII_RULES order.
+
+    Every added expression references its input exactly once, so the
+    whole operator is a single narrow projection — no shuffle, no
+    Python, safe to fuse with any up/downstream stage.
+    """
+    text = F.col(text_col)
+    counts = [
+        # NULL text -> NULL count (SQL semantics; Spark's size() alone
+        # would yield -1 on the null array and diverge from the oracle).
+        F.when(text.isNotNull(),
+               F.size(F.regexp_extract_all(text, F.lit(pat), 0)))
+         .cast("long").alias(f"n_{kind}")
+        for kind, pat, _rep in PII_RULES
+    ]
+    scrubbed = text
+    for _kind, pat, rep in PII_RULES:
+        scrubbed = F.regexp_replace(scrubbed, pat, rep)
+    others = [F.col(c) for c in docs.columns if c != text_col]
+    return docs.select(*others, scrubbed.alias(text_col), *counts)
+
+
+def extract_urls(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Explode one row per ``https://host/`` link found in ``text_col``.
+
+    Output: (doc_id, host, domain) where domain is the registrable
+    suffix (last two host labels). Map-side only — the explode happens
+    inside the scan's projection; no exchange is introduced here.
+    """
+    hosts = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 1)
+    return (docs
+            .select("doc_id", F.explode(hosts).alias("host"))
+            .withColumn("domain",
+                        F.regexp_extract(F.col("host"), DOMAIN_PATTERN, 1)))
+
+
+def domain_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-registrable-domain URL and document counts.
+
+    Exact count_distinct(doc_id) plans as the standard two-phase
+    distinct aggregate: one exchange keyed (domain, doc_id), then one
+    keyed (domain) — both shuffles carry key + partial-count rows only,
+    never text (plan-pinned by test). The classic crawl-curation
+    histogram used for domain-level filtering/balancing decisions.
+    """
+    return (extract_urls(docs, text_col)
+            .groupBy("domain")
+            .agg(F.count("*").alias("n_urls"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy("domain"))
