@@ -8,7 +8,8 @@ Cluster usage (same packaging as run_extract.py):
         --input  <documents parquet: doc_id, text, lang, source> \
         --output <store root> \
         --buckets 64 --run-id curate-1 [--logprob-min -8.0|auto] \
-        [--eval <benchmark-docs parquet for decontamination>]
+        [--eval <benchmark-docs parquet for decontamination>] \
+        [--scrub-pii]
 
 Per doc-id-hash bucket, checkpointed (kill + re-submit with the same
 --output resumes at the last committed bucket; lineage + the observe()
@@ -20,7 +21,10 @@ cap/gate metrics land in <output>/_manifests/):
   3. incremental near-dup dedup against the PERSISTED sketch index at
      <output>/_sketch_index (first-seen-wins across buckets AND across
      re-runs — the streaming keep rule),
-  4. survivors land in <output>/data/bucket=<b>/.
+  4. optional PII redaction of survivors (--scrub-pii: e-mail/phone/
+     IPv4 -> typed placeholders + per-doc counts; applied LAST so gates
+     and the dedup index key on original bytes),
+  5. survivors land in <output>/data/bucket=<b>/.
 
 The gate signal columns ride along, so the output doubles as a
 per-document quality audit table. A final token_budget rollup over all
@@ -62,6 +66,12 @@ def main() -> None:
     ap.add_argument("--eval", default=None,
                     help="benchmark docs parquet; survivors sharing a "
                          "word 3-gram with it are dropped")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="redact e-mail/phone/IPv4 in survivors with "
+                         "typed placeholders (operators/web.py) as the "
+                         "LAST step — gates and dedup see the original "
+                         "text; per-doc removal counts ride the audit "
+                         "output")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -74,6 +84,7 @@ def main() -> None:
         strip_hot_lines,
     )
     from document_ai_spark.operators.sketch_index import SketchIndex
+    from document_ai_spark.operators.web import scrub_pii
     from document_ai_spark.operators.textquality import token_budget
     from document_ai_spark.session import get_spark
     from document_ai_spark.streaming.checkpoint import run_checkpointed
@@ -145,7 +156,13 @@ def main() -> None:
                    .join(F.broadcast(b_a), "doc_a", "left_anti")
                    .select(F.col("doc_b").alias("doc_id")))
         losers = both_b.unionByName(cross_a).unionByName(cross_b).distinct()
-        return kept.join(losers, "doc_id", "left_anti")
+        survivors = kept.join(losers, "doc_id", "left_anti")
+        if args.scrub_pii:
+            # Last so the sketch index / hot-line table stay keyed on
+            # original bytes — resumes and incremental probes of a
+            # scrubbed run remain comparable with unscrubbed history.
+            survivors = scrub_pii(survivors)
+        return survivors
 
     store = run_checkpointed(
         spark, docs, spark.createDataFrame([], "media_ref string"),

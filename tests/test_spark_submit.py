@@ -85,7 +85,7 @@ def test_spark_submit_run_curate_line_dedup(tmp_path):
     boiler = "subscribe to our newsletter today"
     body = ("the alpha{i} and beta{i} of gamma{i} in delta{i} with "
             "epsilon{i} for zeta{i} the eta{i} and theta{i} of iota{i} "
-            "in kappa{i}")
+            "in kappa{i} mail bob{i}@ex{i}.example.com")
     docs = pa.table({
         "doc_id": list(range(1, 41)),
         "text": [f"{boiler}\n{body.format(i=i)}" for i in range(1, 41)],
@@ -106,16 +106,20 @@ def test_spark_submit_run_curate_line_dedup(tmp_path):
            "--py-files", str(zip_path),
            str(REPO / "scripts" / "run_curate.py"),
            "--input", str(inp), "--output", str(out),
-           "--buckets", "2", "--run-id", "ld1", "--line-dedup", "2"]
+           "--buckets", "2", "--run-id", "ld1", "--line-dedup", "2",
+           "--scrub-pii"]
     p = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
     assert p.returncode == 0, p.stderr[-2000:]
     assert (out / "_hot_lines" / "_SUCCESS").exists()
 
     rows = duckdb.connect().execute(
-        f"SELECT doc_id, text, n_boiler_lines_removed "
+        f"SELECT doc_id, text, n_boiler_lines_removed, n_email "
         f"FROM '{out}/data/**/*.parquet'").fetchall()
     assert rows, "no survivors"
     keeps = [r for r in rows if boiler in r[1]]
     # only the canonical doc (min doc_id = 1) still carries the line
     assert [(r[0], r[2]) for r in keeps] == [(1, 0)]
     assert all(r[2] == 1 for r in rows if r[0] != 1)
+    # --scrub-pii redacted the planted address and counted it
+    assert all("@" not in r[1] and "<EMAIL>" in r[1] and r[3] == 1
+               for r in rows)
