@@ -2128,6 +2128,61 @@ FROM urls GROUP BY domain ORDER BY domain
 """
 
 
+_DUP_SPAN_W = 5
+
+
+def _q_dup_span_frac(spark, sf):
+    """Exact-substring duplication signal (operators/curation.py
+    dup_span_stats — Lee et al. 2022 ExactSubstr, doc-filter form):
+    per-doc fraction of tokens covered by a w-token window whose
+    fingerprint occurs in >= 2 distinct documents; coverage exact under
+    window overlap. w=5 suits the small-vocab test corpus (production
+    default is 50)."""
+    from document_ai_spark.operators.curation import dup_span_stats
+
+    return (dup_span_stats(_t(spark, sf, "documents"), w=_DUP_SPAN_W)
+            .orderBy("doc_id"))
+
+
+_SQL_DUP_SPAN = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         CASE WHEN len(t) = 0 THEN []
+              ELSE list_transform(
+                  generate_series(1, greatest(len(t) - {_DUP_SPAN_W - 1}, 1)),
+                  i -> md5(array_to_string(
+                           list_slice(t, i, i + {_DUP_SPAN_W - 1}), ' ')))
+         END AS fps
+  FROM toks),
+win AS (
+  SELECT doc_id, n_tokens,
+         unnest(generate_series(1, len(fps))) AS s,
+         unnest(fps) AS fp
+  FROM base WHERE len(fps) > 0),
+hot AS (SELECT fp FROM win GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+hw AS (SELECT w.doc_id, w.s, w.n_tokens FROM win w JOIN hot USING (fp)),
+cov AS (
+  SELECT doc_id, COUNT(DISTINCT p) AS covered
+  FROM (SELECT doc_id,
+               unnest(generate_series(s, least(s + {_DUP_SPAN_W - 1},
+                                               n_tokens))) AS p
+        FROM hw)
+  GROUP BY doc_id),
+dw AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM hw GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN b.n_tokens = 0 THEN 0 ELSE len(b.fps) END AS BIGINT)
+         AS n_windows,
+       CAST(COALESCE(dw.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       ROUND(COALESCE(c.covered, 0) / greatest(b.n_tokens, 1), 6)
+         AS dup_span_frac
+FROM base b
+LEFT JOIN dw USING (doc_id) LEFT JOIN cov c USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
 def _q_incremental_embed_near_dup(spark, sf):
     """k-batch INCREMENTAL embedding near-dup via the persisted banded
     sign-LSH index (operators/vector_index.py EmbeddingIndex): the
@@ -2515,6 +2570,7 @@ _REGISTRY: dict[str, tuple] = {
     "line_dedup": (_q_line_dedup, _SQL_LINE_DEDUP),
     "pii_scrub": (_q_pii_scrub, _sql_pii_scrub()),
     "domain_stats": (_q_domain_stats, _sql_domain_stats()),
+    "dup_span_frac": (_q_dup_span_frac, _SQL_DUP_SPAN),
 }
 
 

@@ -281,3 +281,87 @@ def deterministic_sample(docs: DataFrame, fraction: float = 0.25,
     cut = format(int(fraction * 256), "02x")
     return docs.where(
         F.substring(F.md5(F.col(key).cast("string")), 1, 2) < F.lit(cut))
+
+
+def _window_fp_sql(w: int) -> str:
+    """Spark SQL text: array<struct<s,fp,n_tokens>> of the w-token
+    sliding-window fingerprints of ``text``, 1-based start position.
+
+    The tokens array is bound once via the array+transform idiom
+    (dedup._word_shingles_sql discipline — a direct second reference
+    would re-run the regex tokenize per field). Short docs (1..w-1
+    tokens) yield ONE window holding the whole doc, mirroring the
+    shingle builder; zero-token docs yield one NULL-fp sentinel row so
+    explode keeps the doc (count(fp) still sees 0 windows)."""
+    from ..functions.tokenize import tokens_sql
+    return (
+        f"element_at(transform(array({tokens_sql()}), toks -> "
+        "  CASE WHEN size(toks) = 0 THEN "
+        "    array(named_struct('s', 0, 'fp', CAST(NULL AS STRING), "
+        "                       'n_tokens', 0)) "
+        f"  ELSE transform(sequence(1, greatest(size(toks) - {w - 1}, 1)), "
+        f"    i -> named_struct('s', i, "
+        f"      'fp', md5(array_join(slice(toks, i, {w}), ' ')), "
+        "      'n_tokens', size(toks))) END"
+        "), 1)"
+    )
+
+
+def dup_span_stats(docs: DataFrame, w: int = 50, min_docs: int = 2
+                   ) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, the fraction of its tokens covered by a w-token
+    window whose fingerprint also occurs in >= min_docs DISTINCT
+    documents. The per-doc filter form of ExactSubstr — corpora drop or
+    down-weight docs whose dup_span_frac exceeds a threshold, without
+    materialising a corpus-wide suffix array.
+
+    docs(doc_id, text, ...) -> (doc_id, n_tokens, n_windows,
+    n_dup_windows, dup_span_frac), one row per input doc (zero-token
+    docs included with frac 0.0). Coverage is EXACT under window
+    overlap: each hot window expands to its token index range map-side
+    (<= w ints per hot row) and the per-doc distinct-index count is
+    taken after flatten — two hot windows sharing tokens never double
+    count.
+
+    Scale shape (the line_dedup discipline): windows shuffle as 32-byte
+    md5 fingerprints, never text. Exchanges: the hot-fingerprint
+    exact-distinct aggregate (fp,doc_id then fp — partial counts only),
+    the windows-vs-hot join on fp (the hot set is the cross-doc
+    frequency tail; AQE picks broadcast vs shuffle), and the final
+    groupBy(doc_id) whose rows carry at most one <= w-int range per hot
+    window. Within-doc repetition is deliberately out of scope here
+    (repetition_stats owns it); min_docs counts distinct documents.
+
+    Oracle: the `dup_span_frac` row mirrors this in DuckDB (zipped
+    unnest for (s, fp), generate_series range expansion, COUNT(DISTINCT
+    p) coverage)."""
+    win = (docs
+           .select("doc_id", F.explode(F.expr(_window_fp_sql(w))).alias("wn"))
+           .select("doc_id", F.col("wn.s").alias("s"),
+                   F.col("wn.fp").alias("fp"),
+                   F.col("wn.n_tokens").alias("n_tokens")))
+    hot = (win.where(F.col("fp").isNotNull())
+           .groupBy("fp")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .where(F.col("nd") >= min_docs)
+           .select("fp", F.lit(True).alias("hot")))
+    joined = win.join(hot, "fp", "left")
+    cov = F.when(F.col("hot"),
+                 F.sequence(F.col("s"),
+                            F.least(F.col("s") + F.lit(w - 1),
+                                    F.col("n_tokens"))))
+    agg = (joined
+           .select("doc_id", "n_tokens", "fp", "hot", cov.alias("cov"))
+           .groupBy("doc_id")
+           .agg(F.max("n_tokens").cast("long").alias("n_tokens"),
+                F.count("fp").alias("n_windows"),
+                F.count(F.when(F.col("hot"), F.lit(1)))
+                 .alias("n_dup_windows"),
+                F.size(F.array_distinct(F.flatten(F.collect_list("cov"))))
+                 .cast("long").alias("covered")))
+    return agg.select(
+        "doc_id", "n_tokens", "n_windows", "n_dup_windows",
+        F.round(F.col("covered") / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+         .alias("dup_span_frac"))
