@@ -2183,6 +2183,36 @@ ORDER BY b.doc_id
 """
 
 
+def _q_rebalance_sample(spark, sf):
+    """Temperature mixture rebalancing (operators/curation.py
+    temperature_rebalance, tau=2): per-(lang, source) keep fractions
+    proportional to sqrt-flattened slice shares, applied via the
+    deterministic md5 keep rule. tau=2 keeps the whole cut computation
+    inside exactly-rounded IEEE ops (sqrt/div/mul), so the oracle's
+    cuts are bit-identical."""
+    from document_ai_spark.operators.curation import temperature_rebalance
+
+    out = temperature_rebalance(_t(spark, sf, "documents"), tau=2.0)
+    return (out.select("doc_id", "lang", "source",
+                       F.round("keep_frac", 6).alias("keep_frac"))
+            .orderBy("doc_id"))
+
+
+_SQL_REBALANCE = """
+WITH n AS (SELECT lang, source, COUNT(*) AS n_docs
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT SUM(n_docs) AS n_total FROM n),
+w AS (SELECT lang, source, 1 / sqrt(n_docs / n_total) AS w FROM n, t),
+f AS (SELECT lang, source, w / (SELECT MAX(w) FROM w) AS keep_frac FROM w)
+SELECT d.doc_id, d.lang, d.source, ROUND(f.keep_frac, 6) AS keep_frac
+FROM documents d JOIN f USING (lang, source)
+WHERE f.keep_frac >= 1.0
+   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+      < lower(lpad(hex(CAST(floor(f.keep_frac * 65536) AS INTEGER)), 4, '0'))
+ORDER BY d.doc_id
+"""
+
+
 def _q_incremental_embed_near_dup(spark, sf):
     """k-batch INCREMENTAL embedding near-dup via the persisted banded
     sign-LSH index (operators/vector_index.py EmbeddingIndex): the
@@ -2571,6 +2601,7 @@ _REGISTRY: dict[str, tuple] = {
     "pii_scrub": (_q_pii_scrub, _sql_pii_scrub()),
     "domain_stats": (_q_domain_stats, _sql_domain_stats()),
     "dup_span_frac": (_q_dup_span_frac, _SQL_DUP_SPAN),
+    "rebalance_sample": (_q_rebalance_sample, _SQL_REBALANCE),
 }
 
 

@@ -365,3 +365,56 @@ def dup_span_stats(docs: DataFrame, w: int = 50, min_docs: int = 2
         "doc_id", "n_tokens", "n_windows", "n_dup_windows",
         F.round(F.col("covered") / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
          .alias("dup_span_frac"))
+
+
+def temperature_rebalance(docs: DataFrame, tau: float = 2.0,
+                          keys=("lang", "source"), id_col: str = "doc_id"
+                          ) -> DataFrame:
+    """Multinomial temperature rebalancing of corpus slices (the
+    XLM-R / mT5 mixture rule): slice s with doc share p_s is kept with
+    probability proportional to p_s^(1/tau), so tau > 1 flattens the
+    mixture toward small slices. Downsample-only: per-slice keep
+    fractions are w_s = p_s^(1/tau - 1) normalized by max_s w_s, so the
+    rarest slice keeps everything and larger slices thin out
+    deterministically — no replication, no RNG.
+
+    Keep rule: first 4 hex chars of md5(id) < floor(frac * 65536) in
+    hex (1/65536 granularity; frac >= 1.0 keeps all — same discipline as
+    deterministic_sample). A pure function of (id, slice counts):
+    identical across runs, engines, and cluster layouts.
+
+    Engine parity: tau == 2.0 evaluates w_s as 1/sqrt(p_s) — sqrt,
+    division and multiplication are exactly rounded in IEEE 754, so the
+    DuckDB oracle (`rebalance_sample`) computes bit-identical cuts.
+    Other tau go through pow(), which libms round differently in the
+    last ulp; cuts may flip on exact boundaries, so only tau=2.0 is on
+    the correctness surface.
+
+    Scale shape: one count aggregate over the corpus (key + partial
+    count rows), two single-row reductions, then one BROADCAST join of
+    the per-slice fraction table (slice cardinality, not corpus) back
+    onto the scan and a map-side filter. The corpus is read twice
+    (counts must be global before filtering) and never shuffled.
+
+    Returns the kept rows with a ``keep_frac`` audit column."""
+    keys = list(keys)
+    counts = docs.groupBy(*keys).agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    p = F.col("n_docs") / F.col("n_total")
+    if tau == 2.0:
+        w = F.lit(1.0) / F.sqrt(p)
+    else:
+        w = F.pow(p, 1.0 / tau - 1.0)
+    weights = (counts.crossJoin(F.broadcast(total))
+               .select(*keys, w.alias("w")))
+    wmax = weights.agg(F.max("w").alias("w_max"))
+    fracs = (weights.crossJoin(F.broadcast(wmax))
+             .select(*keys, (F.col("w") / F.col("w_max")).alias("keep_frac")))
+    cut = F.lower(F.lpad(F.hex(
+        F.floor(F.col("keep_frac") * F.lit(65536.0)).cast("int")), 4, "0"))
+    keep = ((F.col("keep_frac") >= 1.0)
+            | (F.substring(F.md5(F.col(id_col).cast("string")), 1, 4) < cut))
+    # pin column order: Spark equi-joins move key columns to the front
+    return (docs.join(F.broadcast(fracs), keys)
+            .where(keep)
+            .select(*docs.columns, "keep_frac"))

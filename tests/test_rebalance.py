@@ -1,0 +1,48 @@
+"""temperature_rebalance (operators/curation.py): deterministic
+mixture flattening with exactly-rounded tau=2 cuts."""
+from pyspark.sql import functions as F
+
+from document_ai_spark.operators.curation import temperature_rebalance
+
+
+def _corpus(spark, sizes):
+    rows, i = [], 0
+    for (lang, src), n in sizes.items():
+        for _ in range(n):
+            rows.append((i, f"doc {i}", lang, src))
+            i += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+def test_rarest_slice_keeps_all_and_big_thins(spark):
+    sizes = {("en", "a"): 256, ("fr", "b"): 4}
+    docs = _corpus(spark, sizes)
+    out = temperature_rebalance(docs, tau=2.0).cache()
+    by = {r["source"]: r for r in
+          out.groupBy("source").agg(
+              F.count("*").alias("n"),
+              F.max("keep_frac").alias("f")).collect()}
+    # rarest slice: keep_frac == 1.0 exactly, every doc survives
+    assert by["b"]["f"] == 1.0 and by["b"]["n"] == 4
+    # p_en/p_fr = 64 -> keep_frac_en = sqrt(4/256) / sqrt(256/256)... =
+    # sqrt(p_fr/p_en) = 1/8; md5 thinning lands near n*frac
+    f_en = by["a"]["f"]
+    assert abs(f_en - 0.125) < 1e-12
+    assert 0 < by["a"]["n"] < 256
+
+
+def test_deterministic_and_column_order(spark):
+    docs = _corpus(spark, {("en", "a"): 50, ("de", "c"): 5})
+    a = temperature_rebalance(docs, tau=2.0)
+    b = temperature_rebalance(docs, tau=2.0)
+    assert a.columns == ["doc_id", "text", "lang", "source", "keep_frac"]
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_tau_one_is_identity(spark):
+    docs = _corpus(spark, {("en", "a"): 40, ("fr", "b"): 10})
+    out = temperature_rebalance(docs, tau=1.0)
+    # p^(1/1 - 1) = 1 for every slice -> keep_frac 1.0, nothing dropped
+    assert out.count() == 50
+    assert out.agg(F.min("keep_frac")).first()[0] == 1.0
