@@ -2213,6 +2213,75 @@ ORDER BY d.doc_id
 """
 
 
+_URL_DEDUP_PLANT = (
+    "concat("
+    " CASE WHEN doc_id % 4 = 0 THEN 'HTTP://'"
+    "      WHEN doc_id % 4 = 1 THEN 'http://'"
+    "      WHEN doc_id % 4 = 2 THEN 'https://' ELSE 'HTTPS://' END,"
+    " CASE WHEN doc_id % 3 = 0 THEN 'WWW.'"
+    "      WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END,"
+    " 'Ex', cast(doc_id % 20 as string), '.COM',"
+    " CASE WHEN doc_id % 5 = 0 THEN"
+    "      CASE WHEN doc_id % 4 <= 1 THEN ':80' ELSE ':443' END"
+    "      ELSE '' END,"
+    " '/Path/', cast(doc_id % 40 as string),"
+    " CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,"
+    " CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=7'"
+    "      WHEN doc_id % 3 = 1 THEN '?id=7&utm_campaign=y'"
+    "      ELSE '?id=7' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+def _q_url_dedup(spark, sf):
+    """C4 page-identity dedup (operators/web.py url_dedup): messy
+    planted URLs (mixed-case scheme/host, www., default ports, utm
+    params, fragments, trailing slashes) canonicalize to one keeper per
+    page; keep_doc_id is the min doc_id sharing the canonical URL."""
+    from document_ai_spark.operators.web import url_dedup
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_URL_DEDUP_PLANT).alias("url"))
+    return (url_dedup(d).select("doc_id", "canon_url", "keep_doc_id")
+            .orderBy("doc_id"))
+
+
+def _sql_url_dedup():
+    from document_ai_spark.operators.web import (
+        HOST_RE, REST_RE, SCHEME_RE, TRACKING_RE)
+    return f"""
+WITH u0 AS (SELECT doc_id, {_URL_DEDUP_PLANT} AS url FROM documents),
+u1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u0),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '{SCHEME_RE}', 1)) AS scheme,
+         regexp_replace(lower(regexp_extract(u, '{HOST_RE}', 1)),
+                        '^www\\.', '') AS host0,
+         regexp_extract(u, '{REST_RE}', 1) AS rest
+  FROM u1),
+parts2 AS (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+              ELSE host0 END AS host,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(
+                 rest, '{TRACKING_RE}', '', 'g'),
+             '&&+', '&', 'g'), '\\?&', '?', 'g'),
+             '[?&]$', ''), '/\\?', '?', 'g'), '/$', '') AS q
+  FROM parts),
+canon AS (
+  SELECT doc_id,
+         CASE WHEN scheme <> '' AND host <> ''
+              THEN concat(scheme, '://', host, q) END AS canon_url
+  FROM parts2)
+SELECT doc_id, canon_url,
+       CASE WHEN canon_url IS NULL THEN doc_id
+            ELSE MIN(doc_id) OVER (PARTITION BY canon_url) END AS keep_doc_id
+FROM canon ORDER BY doc_id
+"""
+
+
 def _q_incremental_embed_near_dup(spark, sf):
     """k-batch INCREMENTAL embedding near-dup via the persisted banded
     sign-LSH index (operators/vector_index.py EmbeddingIndex): the
@@ -2602,6 +2671,7 @@ _REGISTRY: dict[str, tuple] = {
     "domain_stats": (_q_domain_stats, _sql_domain_stats()),
     "dup_span_frac": (_q_dup_span_frac, _SQL_DUP_SPAN),
     "rebalance_sample": (_q_rebalance_sample, _SQL_REBALANCE),
+    "url_dedup": (_q_url_dedup, _sql_url_dedup()),
 }
 
 

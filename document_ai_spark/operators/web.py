@@ -108,3 +108,68 @@ def domain_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .agg(F.count("*").alias("n_urls"),
                  F.countDistinct("doc_id").alias("n_docs"))
             .orderBy("domain"))
+
+
+# -- URL canonicalization / URL-level dedup --------------------------------
+# The C4 / CommonCrawl page-identity rule: one kept document per
+# canonical URL. All patterns live in the Java ∩ RE2 subset (no
+# lookaround) so the DuckDB oracle (`url_dedup`) replays them verbatim
+# (with the 'g' flag — DuckDB's regexp_replace is first-match by
+# default, Spark's is global).
+
+SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+REST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+TRACKING_RE = r"(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*"
+
+
+def canonical_url(col) -> "F.Column":
+    """Canonical form of a URL column: lowercase scheme + host, strip
+    fragment / 'www.' / the scheme's default port / tracking params
+    (utm_*, fbclid, gclid) / the trailing slash. NULL when the value
+    does not parse as scheme://host (callers keep such rows as their
+    own dedup group).
+
+    Pure regexp expressions — map-side, whole-stage codegen, no UDF.
+    Separator repair after param removal is ordered: collapse '&&',
+    then '?&' -> '?', then strip a trailing '?'/'&', then '/?' -> '?'
+    and a trailing '/' (so 'ex.com/p/' == 'ex.com/p', and 'ex.com/'
+    == 'ex.com' at the root)."""
+    u = F.regexp_replace(col, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(u, HOST_RE, 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = (F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+             .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+             .otherwise(host))
+    q = F.regexp_extract(u, REST_RE, 1)
+    q = F.regexp_replace(q, TRACKING_RE, "")
+    q = F.regexp_replace(q, "&&+", "&")
+    q = F.regexp_replace(q, r"\?&", "?")
+    q = F.regexp_replace(q, "[?&]$", "")
+    q = F.regexp_replace(q, r"/\?", "?")
+    q = F.regexp_replace(q, "/$", "")
+    return (F.when((scheme != "") & (host != ""),
+                   F.concat(scheme, F.lit("://"), host, q))
+            .otherwise(F.lit(None).cast("string")))
+
+
+def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-document URL-identity dedup verdict: the input plus
+    ``canon_url`` and ``keep_doc_id`` (min doc_id sharing the canonical
+    URL — first-seen-wins, the exact_duplicates rule). A doc survives
+    the C4 page-identity pass iff doc_id == keep_doc_id; unparseable
+    URLs (canon_url NULL) are always their own keeper.
+
+    Scale shape: canonicalization is map-side; the only exchange is the
+    window's hash partition on canon_url (URL-sized keys, no text).
+    Skew note: at web scale a single hot canonical URL (e.g. a crawl
+    artifact) concentrates one partition — the window computes only
+    min(doc_id) over it (no buffering of rows in memory beyond the
+    sort), so the worst case is one task sorting that key's rows."""
+    from pyspark.sql import Window
+    out = docs.withColumn("canon_url", canonical_url(F.col(url_col)))
+    w = Window.partitionBy("canon_url")
+    keep = (F.when(F.col("canon_url").isNull(), F.col("doc_id"))
+             .otherwise(F.min("doc_id").over(w)))
+    return out.withColumn("keep_doc_id", keep)
