@@ -337,17 +337,41 @@ def dup_span_stats(docs: DataFrame, w: int = 50, min_docs: int = 2
     Oracle: the `dup_span_frac` row mirrors this in DuckDB (zipped
     unnest for (s, fp), generate_series range expansion, COUNT(DISTINCT
     p) coverage)."""
-    win = (docs
-           .select("doc_id", F.explode(F.expr(_window_fp_sql(w))).alias("wn"))
-           .select("doc_id", F.col("wn.s").alias("s"),
-                   F.col("wn.fp").alias("fp"),
-                   F.col("wn.n_tokens").alias("n_tokens")))
-    hot = (win.where(F.col("fp").isNotNull())
-           .groupBy("fp")
-           .agg(F.count_distinct("doc_id").alias("nd"))
-           .where(F.col("nd") >= min_docs)
-           .select("fp", F.lit(True).alias("hot")))
-    joined = win.join(hot, "fp", "left")
+    return dup_span_stats_against(docs, hot_span_fps(docs, w, min_docs), w)
+
+
+def _span_windows(docs: DataFrame, w: int) -> DataFrame:
+    return (docs
+            .select("doc_id", F.explode(F.expr(_window_fp_sql(w))).alias("wn"))
+            .select("doc_id", F.col("wn.s").alias("s"),
+                    F.col("wn.fp").alias("fp"),
+                    F.col("wn.n_tokens").alias("n_tokens")))
+
+
+def hot_span_fps(docs: DataFrame, w: int = 50, min_docs: int = 2
+                 ) -> DataFrame:
+    """The corpus-wide duplicated-window table behind dup_span_stats:
+    one (fp) row per w-token window fingerprint occurring in >= min_docs
+    distinct documents. Computed ONCE per corpus and reusable — the
+    checkpointed curation CLI persists it under <output>/_hot_spans and
+    scores each bucket against it (the hot_lines discipline)."""
+    return (_span_windows(docs, w)
+            .where(F.col("fp").isNotNull())
+            .groupBy("fp")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .where(F.col("nd") >= min_docs)
+            .select("fp"))
+
+
+def dup_span_stats_against(docs: DataFrame, hot: DataFrame, w: int = 50
+                           ) -> DataFrame:
+    """Score docs against a (possibly persisted) hot_span_fps table —
+    same output contract as dup_span_stats. Coverage semantics are
+    per-document, so scoring a SUBSET of the corpus against the full
+    corpus's hot table is exact, which is what lets the curation CLI
+    strip per bucket without re-running the corpus aggregate."""
+    win = _span_windows(docs, w)
+    joined = win.join(hot.withColumn("hot", F.lit(True)), "fp", "left")
     cov = F.when(F.col("hot"),
                  F.sequence(F.col("s"),
                             F.least(F.col("s") + F.lit(w - 1),

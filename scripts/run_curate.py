@@ -17,6 +17,10 @@ cap/gate metrics land in <output>/_manifests/):
 
   1. composite quality gates (quality bands, Gopher repetition filters,
      optional unigram-logprob floor — thresholds per CALIBRATION.md),
+  1b. optional exact-substring duplication filter (--dup-span-max:
+     drop docs whose token coverage by corpus-duplicated w-token
+     windows exceeds the threshold; hot-window table persisted under
+     <output>/_hot_spans, the _hot_lines discipline),
   2. optional benchmark decontamination against --eval's word n-grams,
   3. incremental near-dup dedup against the PERSISTED sketch index at
      <output>/_sketch_index (first-seen-wins across buckets AND across
@@ -63,6 +67,21 @@ def main() -> None:
                          "hot-line table is computed once per corpus, "
                          "persisted under <output>/_hot_lines, and "
                          "reused across buckets and resumes")
+    ap.add_argument("--dup-span-max", type=float, default=None,
+                    metavar="FRAC",
+                    help="drop docs whose dup_span_frac (fraction of "
+                         "tokens covered by a w-token window duplicated "
+                         "across >= --dup-span-min-docs distinct docs) "
+                         "exceeds FRAC. The hot-window table is computed "
+                         "once from the ORIGINAL corpus, persisted under "
+                         "<output>/_hot_spans, and reused across buckets "
+                         "and resumes; per-doc coverage is scored on the "
+                         "post-line-dedup text. NOTE: a quality filter, "
+                         "not a dedup — every member of a duplicated "
+                         "family above FRAC is dropped (first-seen-wins "
+                         "dedup is the sketch index's job)")
+    ap.add_argument("--dup-span-w", type=int, default=50)
+    ap.add_argument("--dup-span-min-docs", type=int, default=2)
     ap.add_argument("--eval", default=None,
                     help="benchmark docs parquet; survivors sharing a "
                          "word 3-gram with it are dropped")
@@ -78,8 +97,10 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from document_ai_spark.operators.curation import (
+        dup_span_stats_against,
         eval_ngrams,
         hot_lines,
+        hot_span_fps,
         quality_gates,
         strip_hot_lines,
     )
@@ -109,6 +130,20 @@ def main() -> None:
                 .write.mode("overwrite").parquet(hot_path)
         hot = spark.read.parquet(hot_path)
 
+    hot_spans = None
+    if args.dup_span_max is not None:
+        # Same discipline as _hot_lines: one corpus-wide aggregate over
+        # the ORIGINAL input, persisted, identical on resume. Scoring a
+        # bucket against the full-corpus table is exact because coverage
+        # is a per-document function of (own windows, hot membership).
+        import os
+        hs_path = f"{args.output}/_hot_spans"
+        if not os.path.exists(os.path.join(hs_path, "_SUCCESS")):
+            hot_span_fps(docs, w=args.dup_span_w,
+                         min_docs=args.dup_span_min_docs) \
+                .write.mode("overwrite").parquet(hs_path)
+        hot_spans = spark.read.parquet(hs_path)
+
     def curate_bucket(sub, _payloads, bucket):
         if hot is not None:
             stripped = strip_hot_lines(sub, hot).select(
@@ -127,6 +162,13 @@ def main() -> None:
                 .join(gated, "doc_id")
                 .where("keep")
                 .drop("keep"))
+        if hot_spans is not None:
+            spans = dup_span_stats_against(
+                kept.select("doc_id", "text"), hot_spans,
+                w=args.dup_span_w)
+            kept = (kept
+                    .join(spans.select("doc_id", "dup_span_frac"), "doc_id")
+                    .where(F.col("dup_span_frac") <= args.dup_span_max))
         if block is not None:
             from document_ai_spark.operators.dedup import _word_shingles
             hits = (kept.select(

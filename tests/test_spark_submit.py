@@ -86,11 +86,19 @@ def test_spark_submit_run_curate_line_dedup(tmp_path):
     body = ("the alpha{i} and beta{i} of gamma{i} in delta{i} with "
             "epsilon{i} for zeta{i} the eta{i} and theta{i} of iota{i} "
             "in kappa{i} mail bob{i}@ex{i}.example.com")
+    # docs 41/42 share a 16-token run (same LINE differs by {i}, so
+    # line-dedup ignores it) -> dup_span_frac 16/38 = 0.42 at w=4;
+    # doc 1 keeps the 5-token boiler line whose windows (plus the
+    # following shared 'the') are corpus-hot -> frac 6/27 = 0.22
+    shared_run = ("mu nu xi omicron pi rho sigma tau upsilon phi chi "
+                  "psi omega aleph bet gimel")
     docs = pa.table({
-        "doc_id": list(range(1, 41)),
-        "text": [f"{boiler}\n{body.format(i=i)}" for i in range(1, 41)],
-        "lang": ["en"] * 40,
-        "source": ["web"] * 40,
+        "doc_id": list(range(1, 43)),
+        "text": [f"{boiler}\n{body.format(i=i)}" for i in range(1, 41)]
+                + [f"{boiler}\n{body.format(i=i)} {shared_run}"
+                   for i in (41, 42)],
+        "lang": ["en"] * 42,
+        "source": ["web"] * 42,
     })
     inp = tmp_path / "docs.parquet"
     pq.write_table(docs, inp)
@@ -107,14 +115,15 @@ def test_spark_submit_run_curate_line_dedup(tmp_path):
            str(REPO / "scripts" / "run_curate.py"),
            "--input", str(inp), "--output", str(out),
            "--buckets", "2", "--run-id", "ld1", "--line-dedup", "2",
-           "--scrub-pii"]
+           "--scrub-pii", "--dup-span-max", "0.3", "--dup-span-w", "4"]
     p = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
     assert p.returncode == 0, p.stderr[-2000:]
     assert (out / "_hot_lines" / "_SUCCESS").exists()
+    assert (out / "_hot_spans" / "_SUCCESS").exists()
 
     rows = duckdb.connect().execute(
-        f"SELECT doc_id, text, n_boiler_lines_removed, n_email "
-        f"FROM '{out}/data/**/*.parquet'").fetchall()
+        f"SELECT doc_id, text, n_boiler_lines_removed, n_email, "
+        f"dup_span_frac FROM '{out}/data/**/*.parquet'").fetchall()
     assert rows, "no survivors"
     keeps = [r for r in rows if boiler in r[1]]
     # only the canonical doc (min doc_id = 1) still carries the line
@@ -123,3 +132,11 @@ def test_spark_submit_run_curate_line_dedup(tmp_path):
     # --scrub-pii redacted the planted address and counted it
     assert all("@" not in r[1] and "<EMAIL>" in r[1] and r[3] == 1
                for r in rows)
+    # --dup-span-max dropped BOTH members of the shared-run pair; the
+    # canonical doc's partial coverage (retained hot boiler windows)
+    # rode through under the threshold
+    ids = {r[0] for r in rows}
+    assert 41 not in ids and 42 not in ids
+    fracs = {r[0]: r[4] for r in rows}
+    assert fracs[1] == round(6 / 27, 6)
+    assert all(f == 0.0 for d, f in fracs.items() if d != 1)
