@@ -294,8 +294,12 @@ def _window_fp_sql(w: int) -> str:
     shingle builder; zero-token docs yield one NULL-fp sentinel row so
     explode keeps the doc (count(fp) still sees 0 windows)."""
     from ..functions.tokenize import tokens_sql
+    # NULL text folds to '' (zero tokens) BEFORE tokenize — without
+    # this, size(NULL tokens) = -1 leaks into n_tokens via greatest()
+    # null-skipping and the doc reports -1 tokens.
+    toks = tokens_sql("coalesce(text, '')")
     return (
-        f"element_at(transform(array({tokens_sql()}), toks -> "
+        f"element_at(transform(array({toks}), toks -> "
         "  CASE WHEN size(toks) = 0 THEN "
         "    array(named_struct('s', 0, 'fp', CAST(NULL AS STRING), "
         "                       'n_tokens', 0)) "
@@ -438,7 +442,15 @@ def temperature_rebalance(docs: DataFrame, tau: float = 2.0,
         F.floor(F.col("keep_frac") * F.lit(65536.0)).cast("int")), 4, "0"))
     keep = ((F.col("keep_frac") >= 1.0)
             | (F.substring(F.md5(F.col(id_col).cast("string")), 1, 4) < cut))
-    # pin column order: Spark equi-joins move key columns to the front
-    return (docs.join(F.broadcast(fracs), keys)
+    # null-safe on the slice keys: a NULL lang/source is a real slice
+    # (groupBy put it in the counts), so a plain equi-join would
+    # silently drop every such doc here
+    fr = fracs.select(*[F.col(k).alias(f"_fr_{k}") for k in keys],
+                      "keep_frac")
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_fr_{k}"))
+        cond = c if cond is None else (cond & c)
+    return (docs.join(F.broadcast(fr), cond)
             .where(keep)
             .select(*docs.columns, "keep_frac"))

@@ -60,3 +60,11 @@ def test_every_input_doc_has_a_row(spark):
     rows = [(i, f"only doc {i} words here") for i in range(20)] + [(99, "")]
     s = _stats(spark, rows, w=4)
     assert set(s) == set(range(20)) | {99}
+
+
+def test_null_text_is_zero_tokens(spark):
+    rows = [(1, None), (2, "pair of words"), (3, "pair of words")]
+    s = _stats(spark, rows, w=4)
+    assert (s[1]["n_tokens"], s[1]["n_windows"],
+            s[1]["n_dup_windows"], s[1]["dup_span_frac"]) == (0, 0, 0, 0.0)
+    assert s[2]["dup_span_frac"] == 1.0

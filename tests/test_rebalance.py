@@ -46,3 +46,15 @@ def test_tau_one_is_identity(spark):
     # p^(1/1 - 1) = 1 for every slice -> keep_frac 1.0, nothing dropped
     assert out.count() == 50
     assert out.agg(F.min("keep_frac")).first()[0] == 1.0
+
+
+def test_null_slice_key_is_its_own_slice(spark):
+    rows = ([(i, f"d{i}", "en", "a") for i in range(40)]
+            + [(100 + i, f"n{i}", None, "a") for i in range(3)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    out = temperature_rebalance(docs, tau=2.0)
+    kept_null = [r for r in out.collect() if r["lang"] is None]
+    # the NULL-lang slice is the rarest -> keep_frac 1.0, all 3 kept
+    assert len(kept_null) == 3
+    assert all(r["keep_frac"] == 1.0 for r in kept_null)
