@@ -454,3 +454,14 @@ def temperature_rebalance(docs: DataFrame, tau: float = 2.0,
     return (docs.join(F.broadcast(fr), cond)
             .where(keep)
             .select(*docs.columns, "keep_frac"))
+
+
+def span_frequencies(docs: DataFrame, w: int = 50) -> DataFrame:
+    """Per-window corpus frequency table: (fp = md5 of the w-token
+    window, n_docs = distinct docs containing it). The accretion unit
+    of the incremental SpanIndex (operators/span_index.py), mirroring
+    line_frequencies for the line index."""
+    return (_span_windows(docs, w)
+            .where(F.col("fp").isNotNull())
+            .groupBy("fp")
+            .agg(F.count_distinct("doc_id").alias("n_docs")))

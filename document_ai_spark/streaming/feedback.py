@@ -280,3 +280,50 @@ def stream_line_dedup(spark: SparkSession, in_dir: str, index_root: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_span_filter(spark: SparkSession, in_dir: str, index_root: str,
+                       out_dir: str, checkpoint_dir: str,
+                       w: int = 50, min_docs: int = 2,
+                       max_frac: float = None):
+    """Incremental exact-substring duplication scoring over a document
+    stream — the span twin of stream_line_dedup: each micro-batch is
+    scored against the PERSISTED w-token-window counts accreted by all
+    previous batches plus itself (operators/span_index.py SpanIndex,
+    first-seen-wins: the first copy of duplicated content scores 0 and
+    survives), its scored docs land under ``out_dir/batch=<id>/``, and
+    its window aggregate is committed to the index for the next batch.
+    With ``max_frac`` set, rows scoring above it are dropped instead of
+    emitted (the streaming form of run_curate's --dup-span-max).
+
+    Exactly-once across restarts: foreachBatch replays a batch with the
+    SAME batch_id, append_and_score is idempotent per batch_id
+    (before_seq replay), and the per-batch output directory is
+    overwritten, not appended. Returns the StreamingQuery."""
+    from ..operators.span_index import SpanIndex
+
+    idx = SpanIndex(index_root, w=w, min_docs=min_docs)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = idx.append_and_score(
+            spark, batch_df.select("doc_id", "text"),
+            batch_id=f"stream-{batch_id}")
+        if max_frac is not None:
+            scored = scored.where(F.col("dup_span_frac") <= max_frac)
+        scored.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}")
+
+    return (
+        stream.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -224,10 +224,17 @@ def curation_leg(out: dict) -> None:
     for d in (out_single, out_resumed):
         shutil.rmtree(d, ignore_errors=True)
 
+    # Full stage set: corpus-global line dedup, the exact-substring
+    # duplication filter (w=20 catches the planted near-dup families'
+    # shared bodies), and PII scrubbing — so the kill/resume equality
+    # check covers both persisted side tables (_hot_lines, _hot_spans)
+    # across the death seam, not just the sketch index.
     def cmd(dest):
         return [sys.executable, "scripts/run_curate.py",
                 "--input", docs_path, "--output", dest,
                 "--buckets", str(BUCKETS), "--run-id", "resume-ev",
+                "--line-dedup", "2", "--dup-span-max", "0.9",
+                "--dup-span-w", "20", "--scrub-pii",
                 "--master", f"local[{THREADS}]"]
 
     t0 = time.monotonic()
@@ -249,6 +256,8 @@ def curation_leg(out: dict) -> None:
     caps = [json.loads(v["metrics"]) for v in lin.values()]
     out["resume_curate"] = {
         "n_docs": N_CURATE, "buckets": BUCKETS,
+        "stages": ["line_dedup", "quality_gates", "dup_span_max=0.9@w20",
+                   "sketch_index", "scrub_pii"],
         "single_shot_sec": single_sec, **sched, **cmp_,
         "lsh_cap_dropped_total": sum(
             c.get("lsh_cap_dropped", 0) for c in caps),
