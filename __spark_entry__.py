@@ -2213,6 +2213,77 @@ ORDER BY d.doc_id
 """
 
 
+def _q_incremental_dup_span(spark, sf):
+    """2-batch INCREMENTAL exact-substring scoring via the persisted
+    hot-span index (operators/span_index.py SpanIndex, first-seen-wins:
+    batch 0 is scored against its own window counts only, batch 1
+    against batch 0 + itself). The oracle mirrors the PREFIX semantics
+    exactly — per-fp distinct-doc counts at each batch level — so a
+    green row proves the accretion math, not just the happy path."""
+    import shutil
+    import tempfile
+
+    from document_ai_spark.operators.span_index import SpanIndex
+
+    docs = _t(spark, sf, "documents")
+    root = tempfile.mkdtemp(prefix="span_idx_")
+    try:
+        idx = SpanIndex(root, w=_DUP_SPAN_W)
+        lo = docs.where(F.col("doc_id") < 250)
+        hi = docs.where(F.col("doc_id") >= 250)
+        out = (idx.append_and_score(spark, lo, "b0")
+               .unionByName(idx.append_and_score(spark, hi, "b1")))
+        return out.orderBy("doc_id")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_INCR_DUP_SPAN = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+base AS (
+  SELECT doc_id, CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS b,
+         len(t) AS n_tokens,
+         CASE WHEN len(t) = 0 THEN []
+              ELSE list_transform(
+                  generate_series(1, greatest(len(t) - {_DUP_SPAN_W - 1}, 1)),
+                  i -> md5(array_to_string(
+                           list_slice(t, i, i + {_DUP_SPAN_W - 1}), ' ')))
+         END AS fps
+  FROM toks),
+win AS (
+  SELECT doc_id, b, n_tokens,
+         unnest(generate_series(1, len(fps))) AS s,
+         unnest(fps) AS fp
+  FROM base WHERE len(fps) > 0),
+counts AS (
+  SELECT fp,
+         COUNT(DISTINCT CASE WHEN b = 0 THEN doc_id END) AS c0,
+         COUNT(DISTINCT doc_id) AS c_all
+  FROM win GROUP BY fp),
+hw AS (
+  SELECT w.doc_id, w.s, w.n_tokens FROM win w JOIN counts c USING (fp)
+  WHERE (w.b = 0 AND c.c0 >= 2) OR (w.b = 1 AND c.c_all >= 2)),
+cov AS (
+  SELECT doc_id, COUNT(DISTINCT p) AS covered
+  FROM (SELECT doc_id,
+               unnest(generate_series(s, least(s + {_DUP_SPAN_W - 1},
+                                               n_tokens))) AS p
+        FROM hw)
+  GROUP BY doc_id),
+dw AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM hw GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN b.n_tokens = 0 THEN 0 ELSE len(b.fps) END AS BIGINT)
+         AS n_windows,
+       CAST(COALESCE(dw.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       ROUND(COALESCE(c.covered, 0) / greatest(b.n_tokens, 1), 6)
+         AS dup_span_frac
+FROM base b
+LEFT JOIN dw USING (doc_id) LEFT JOIN cov c USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
 _URL_DEDUP_PLANT = (
     "concat("
     " CASE WHEN doc_id % 4 = 0 THEN 'HTTP://'"
@@ -2672,6 +2743,7 @@ _REGISTRY: dict[str, tuple] = {
     "dup_span_frac": (_q_dup_span_frac, _SQL_DUP_SPAN),
     "rebalance_sample": (_q_rebalance_sample, _SQL_REBALANCE),
     "url_dedup": (_q_url_dedup, _sql_url_dedup()),
+    "incremental_dup_span": (_q_incremental_dup_span, _SQL_INCR_DUP_SPAN),
 }
 
 
