@@ -2284,6 +2284,61 @@ ORDER BY b.doc_id
 """
 
 
+def _q_pack_sequences(spark, sf):
+    """GPT-style concatenate-and-split training-sequence packing
+    (operators/curation.py pack_sequences): global token-stream offsets
+    via a distributed two-pass prefix sum (per-bucket totals, a carry
+    window over the tiny bucket table, bounded within-bucket windows) —
+    never a window-without-partition over the corpus. seq_len=128 and
+    bucket_width=100 exercise multi-chunk docs and multiple buckets at
+    sf0.01."""
+    from document_ai_spark.operators.curation import pack_sequences
+
+    return (pack_sequences(_t(spark, sf, "documents"),
+                           seq_len=128, bucket_width=100)
+            .orderBy("doc_id"))
+
+
+_SQL_PACK_SEQUENCES = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+off AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_offset
+  FROM base)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 128 AS chunk_id,
+       start_offset % 128 AS chunk_pos,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE (start_offset % 128 + n_tokens - 1) // 128 + 1 END
+            AS BIGINT) AS n_chunks
+FROM off ORDER BY doc_id
+"""
+
+
+def _q_epoch_shuffle(spark, sf):
+    """Seeded global training-order permutation (operators/curation.py
+    epoch_shuffle): shuffle_pos in 0..n-1 from md5(seed ':' doc_id)
+    hash order, computed with the two-pass prefix-sum shape (hex-prefix
+    buckets -> tiny carry window -> within-bucket row_number), never a
+    corpus-wide ROW_NUMBER on one task."""
+    from document_ai_spark.operators.curation import epoch_shuffle
+
+    return (epoch_shuffle(_t(spark, sf, "documents"), seed=42)
+            .orderBy("doc_id"))
+
+
+_SQL_EPOCH_SHUFFLE = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+            AS BIGINT) AS shuffle_pos
+FROM documents ORDER BY doc_id
+"""
+
+
 _URL_DEDUP_PLANT = (
     "concat("
     " CASE WHEN doc_id % 4 = 0 THEN 'HTTP://'"
@@ -2744,6 +2799,8 @@ _REGISTRY: dict[str, tuple] = {
     "rebalance_sample": (_q_rebalance_sample, _SQL_REBALANCE),
     "url_dedup": (_q_url_dedup, _sql_url_dedup()),
     "incremental_dup_span": (_q_incremental_dup_span, _SQL_INCR_DUP_SPAN),
+    "pack_sequences": (_q_pack_sequences, _SQL_PACK_SEQUENCES),
+    "epoch_shuffle": (_q_epoch_shuffle, _SQL_EPOCH_SHUFFLE),
 }
 
 

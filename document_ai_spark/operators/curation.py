@@ -465,3 +465,104 @@ def span_frequencies(docs: DataFrame, w: int = 50) -> DataFrame:
             .where(F.col("fp").isNotNull())
             .groupBy("fp")
             .agg(F.count_distinct("doc_id").alias("n_docs")))
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048,
+                   bucket_width: int = 100_000) -> DataFrame:
+    """Concatenate-and-split training-sequence packing (the GPT-style
+    pretraining layout): documents are laid out in ascending doc_id
+    order and the token stream is sliced into seq_len-token training
+    sequences. Per doc: its global ``start_offset`` in the stream, the
+    ``chunk_id`` its first token lands in, the in-chunk position
+    ``chunk_pos``, and ``n_chunks`` it spans (0 for zero-token docs —
+    they occupy no stream space).
+
+    The global running sum is the textbook DISTRIBUTED two-pass prefix
+    sum — Spark's window-without-partition would funnel the whole
+    corpus through ONE task, so instead:
+
+      1. bucket docs by floor(doc_id / bucket_width) — order-preserving,
+         so bucket b's offset is the sum of all earlier buckets,
+      2. per-bucket totals (one tiny aggregate; rows = corpus /
+         bucket_width), cumulated with a window over that BUCKET-COUNT-
+         sized table (single partition of a tiny table — the classic
+         carry step), broadcast back,
+      3. within-bucket running sum under the hash partition on bucket
+         (one exchange + per-bucket sort, bounded by bucket_width rows
+         per task).
+
+    Token counts come from the shared script-aware tokenizer, so
+    packing, budgets and dedup all agree on what a token is. Exact in
+    64-bit: counts are integers, no floating point anywhere. Oracle:
+    the `pack_sequences` row mirrors it with one SUM() OVER (ORDER BY
+    doc_id) in DuckDB — same math, single-node shape."""
+    from pyspark.sql import Window
+    from ..functions.tokenize import tokens_sql
+    toks = tokens_sql("coalesce(text, '')")
+    base = docs.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.floor(F.col("doc_id") / F.lit(bucket_width)).alias("_bk"))
+    totals = base.groupBy("_bk").agg(F.sum("n_tokens").alias("_bk_total"))
+    carry = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bk", F.coalesce(F.sum("_bk_total").over(carry), F.lit(0))
+                .alias("_bk_offset"))
+    within = (Window.partitionBy("_bk").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    start = (F.coalesce(F.sum("n_tokens").over(within), F.lit(0))
+             + F.col("_bk_offset"))
+    out = (base.join(F.broadcast(offsets), "_bk")
+           .select("doc_id", "n_tokens", start.alias("start_offset")))
+    # integer `div`, not floor(/): the double division inside floor()
+    # loses exactness past 2^53 stream tokens (a 10^12-doc corpus is
+    # within an order of magnitude of that)
+    pos = F.expr(f"start_offset % {seq_len}")
+    return out.select(
+        "doc_id", "n_tokens", "start_offset",
+        F.expr(f"start_offset div {seq_len}").alias("chunk_id"),
+        pos.alias("chunk_pos"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+         .otherwise(F.expr(
+             f"(start_offset % {seq_len} + n_tokens - 1) div {seq_len}") + 1)
+         .cast("long").alias("n_chunks"))
+
+
+def epoch_shuffle(docs: DataFrame, seed: int = 0,
+                  prefix_len: int = 3) -> DataFrame:
+    """Deterministic global training-order permutation (the per-epoch
+    shuffle every pretraining job runs before packing): each doc gets a
+    ``shuffle_pos`` in 0..n-1 from the seeded hash order
+    md5(seed ':' doc_id), ties broken by doc_id. Changing ``seed``
+    yields an independent permutation; same seed is bit-stable across
+    runs and engines (md5 + ASCII hex ordering agree everywhere).
+
+    A global ROW_NUMBER would funnel the corpus through one task, so
+    this reuses the pack_sequences two-pass shape on the HASH-ORDERED
+    key space: bucket by the first ``prefix_len`` hex chars of the key
+    (order-preserving prefix, 16^prefix_len buckets), per-bucket counts
+    cumulated with a window over that tiny bucket table (the carry
+    step), broadcast back, then within-bucket ROW_NUMBER under the hash
+    partition — per-task work bounded by corpus / 16^prefix_len rows.
+    prefix_len sizes the bucket space to the DATA (3 → 4096 buckets;
+    10^12 docs → ~2.4e8 rows/bucket at 5 → 10^6 buckets), independent
+    of cluster size.
+
+    Oracle: the `epoch_shuffle` registry row mirrors it with one
+    ROW_NUMBER() OVER (ORDER BY md5(...), doc_id) in DuckDB — same
+    permutation, single-node shape."""
+    from pyspark.sql import Window
+    key = F.md5(F.concat_ws(
+        ":", F.lit(str(seed)), F.col("doc_id").cast("string")))
+    base = (docs.select("doc_id", key.alias("_key"))
+            .select("doc_id", "_key",
+                    F.substring("_key", 1, prefix_len).alias("_bk")))
+    counts = base.groupBy("_bk").agg(F.count("*").alias("_n"))
+    carry = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bk",
+        F.coalesce(F.sum("_n").over(carry), F.lit(0)).alias("_off"))
+    within = Window.partitionBy("_bk").orderBy("_key", "doc_id")
+    pos = F.row_number().over(within).cast("long") - 1 + F.col("_off")
+    return (base.join(F.broadcast(offsets), "_bk")
+            .select("doc_id", pos.cast("long").alias("shuffle_pos")))
