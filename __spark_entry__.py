@@ -2339,6 +2339,73 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _q_sketch_contamination(spark, sf):
+    """Fuzzy benchmark contamination (operators/curation.py
+    sketch_contamination): every corpus doc MinHash-LSH-matched against
+    a broadcast eval set — the paraphrase-robust complement of the exact
+    n-gram blocklist. Corpus = documents + planted near-dup copies,
+    evals = every 25th document, so hits include both verbatim (the
+    eval doc itself, jaccard 1.0) and near-verbatim (its first-word-
+    dropped copy) leakage."""
+    from document_ai_spark.operators.curation import sketch_contamination
+
+    evals = (_t(spark, sf, "documents")
+             .where(F.col("doc_id") % 25 == 0).select("doc_id", "text"))
+    return (sketch_contamination(_dup_docs(spark, sf), evals,
+                                 jaccard_min=0.5)
+            .orderBy("doc_id"))
+
+
+_SQL_SKETCH_CONTAMINATION = f"""
+WITH corpus AS ({_DUP_DOCS_SQL}),
+evals AS (SELECT doc_id AS eval_id, text FROM documents
+          WHERE doc_id % 25 = 0),
+csk AS (
+  SELECT doc_id,
+         list_slice(list_sort(list_distinct(
+             list_transform(sh, s -> md5(s)))), 1, 8) AS sketch,
+         {{sig}} AS sig
+  FROM (SELECT doc_id, sh, {_HS_SQL} AS hs
+        FROM (SELECT doc_id, {_SHINGLE_SQL} AS sh
+              FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM corpus))
+        WHERE len(sh) > 0)),
+esk AS (
+  SELECT eval_id,
+         list_slice(list_sort(list_distinct(
+             list_transform(sh, s -> md5(s)))), 1, 8) AS sketch,
+         {{sig}} AS sig
+  FROM (SELECT eval_id, sh, {_HS_SQL} AS hs
+        FROM (SELECT eval_id, {_SHINGLE_SQL} AS sh
+              FROM (SELECT eval_id, {_DUCK_TOKS} AS toks FROM evals))
+        WHERE len(sh) > 0)),
+cb AS (
+  SELECT doc_id, sketch, t.b AS band,
+         md5(array_to_string(list_slice(sig, t.b*2 + 1, t.b*2 + 2), '|'))
+         AS band_hash
+  FROM csk, range(0, 4) t(b)),
+eb AS (
+  SELECT eval_id, sketch, t.b AS band,
+         md5(array_to_string(list_slice(sig, t.b*2 + 1, t.b*2 + 2), '|'))
+         AS band_hash
+  FROM esk, range(0, 4) t(b)),
+cand AS (
+  SELECT c.doc_id, e.eval_id,
+         any_value(c.sketch) AS sk_a, any_value(e.sketch) AS sk_b
+  FROM cb c JOIN eb e ON c.band = e.band AND c.band_hash = e.band_hash
+  GROUP BY 1, 2),
+hits AS (
+  SELECT doc_id, eval_id,
+         ROUND(len(list_intersect(sk_a, sk_b))
+               / len(list_distinct(sk_a || sk_b)), 6) AS j
+  FROM cand
+  WHERE len(list_intersect(sk_a, sk_b))
+        / len(list_distinct(sk_a || sk_b)) >= 0.5)
+SELECT doc_id, CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_evals_hit,
+       MAX(j) AS max_jaccard
+FROM hits GROUP BY doc_id ORDER BY doc_id
+""".replace("{sig}", _SIG_SQL)
+
+
 _URL_DEDUP_PLANT = (
     "concat("
     " CASE WHEN doc_id % 4 = 0 THEN 'HTTP://'"
@@ -2801,6 +2868,8 @@ _REGISTRY: dict[str, tuple] = {
     "incremental_dup_span": (_q_incremental_dup_span, _SQL_INCR_DUP_SPAN),
     "pack_sequences": (_q_pack_sequences, _SQL_PACK_SEQUENCES),
     "epoch_shuffle": (_q_epoch_shuffle, _SQL_EPOCH_SHUFFLE),
+    "sketch_contamination": (_q_sketch_contamination,
+                             _SQL_SKETCH_CONTAMINATION),
 }
 
 

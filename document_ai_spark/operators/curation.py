@@ -566,3 +566,57 @@ def epoch_shuffle(docs: DataFrame, seed: int = 0,
     pos = F.row_number().over(within).cast("long") - 1 + F.col("_off")
     return (base.join(F.broadcast(offsets), "_bk")
             .select("doc_id", pos.cast("long").alias("shuffle_pos")))
+
+
+def sketch_contamination(docs: DataFrame, eval_docs: DataFrame,
+                         jaccard_min: float = 0.5,
+                         bands: int = 4, rows: int = 2) -> DataFrame:
+    """Fuzzy benchmark contamination: MinHash-LSH match of every corpus
+    doc against a (small) eval/benchmark set. The exact word-n-gram
+    blocklist (`contamination`) misses paraphrased or lightly-edited
+    leakage — a near-verbatim eval question with one word changed shares
+    almost no 3-grams but almost all MinHash bands. This is the
+    doc-level fuzzy complement, the same detector family the dedup path
+    uses, pointed across corpora.
+
+    docs x eval_docs -> (doc_id, n_evals_hit, max_jaccard), one row per
+    corpus doc whose sketch-Jaccard against >= 1 eval doc clears
+    ``jaccard_min``.
+
+    Scale shape: the CORPUS NEVER SHUFFLES — eval sets are 10^3-10^5
+    docs, so the eval side's banded sketch rows broadcast and the band
+    join is a map-side broadcast-hash join; band-collision candidates
+    (a tiny fraction of the corpus) flow into one groupBy(doc_id) with
+    map-side partials. A pair colliding in several bands carries the
+    same jaccard into the aggregate, so count_distinct/max absorb the
+    multi-band duplicates — no first-band filter, no pair-dedup
+    exchange. Both sides reuse banded_sketch_rows, so what counts as a
+    token/shingle/band agrees with the whole dedup family.
+
+    Oracle: the `sketch_contamination` registry row mirrors the banding
+    and the bottom-k jaccard estimate CTE-for-CTE in DuckDB."""
+    from .sketch_index import banded_sketch_rows
+    ev = (banded_sketch_rows(eval_docs, bands=bands, rows=rows)
+          .select(F.col("doc_id").alias("eval_id"),
+                  F.col("minhash_sketch").alias("eval_sketch"),
+                  "band", "band_hash"))
+    corp = banded_sketch_rows(docs, bands=bands, rows=rows).select(
+        "doc_id", "minhash_sketch", "band", "band_hash")
+    inter = F.size(F.array_intersect("minhash_sketch", "eval_sketch"))
+    union = F.size(F.array_union("minhash_sketch", "eval_sketch"))
+    cand = (corp.join(F.broadcast(ev), ["band", "band_hash"])
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .where(F.col("jaccard") >= jaccard_min))
+    return (cand.groupBy("doc_id")
+            .agg(F.count_distinct("eval_id").alias("n_evals_hit"),
+                 F.max("jaccard").alias("max_jaccard")))
+
+
+def decontaminate_fuzzy(docs: DataFrame, eval_docs: DataFrame,
+                        jaccard_min: float = 0.5,
+                        bands: int = 4, rows: int = 2) -> DataFrame:
+    """Corpus minus every doc fuzzy-contaminated by the eval set
+    (sketch_contamination hits, anti-joined)."""
+    hits = sketch_contamination(docs, eval_docs, jaccard_min=jaccard_min,
+                                bands=bands, rows=rows)
+    return docs.join(hits.select("doc_id"), "doc_id", "left_anti")
