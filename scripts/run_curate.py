@@ -9,7 +9,7 @@ Cluster usage (same packaging as run_extract.py):
         --output <store root> \
         --buckets 64 --run-id curate-1 [--logprob-min -8.0|auto] \
         [--eval <benchmark-docs parquet for decontamination>] \
-        [--scrub-pii]
+        [--eval-ngram 8 --eval-fuzzy 0.5] [--scrub-pii]
 
 Per doc-id-hash bucket, checkpointed (kill + re-submit with the same
 --output resumes at the last committed bucket; lineage + the observe()
@@ -21,7 +21,10 @@ cap/gate metrics land in <output>/_manifests/):
      drop docs whose token coverage by corpus-duplicated w-token
      windows exceeds the threshold; hot-window table persisted under
      <output>/_hot_spans, the _hot_lines discipline),
-  2. optional benchmark decontamination against --eval's word n-grams,
+  2. optional benchmark decontamination against --eval: exact word
+     n-gram blocklist (--eval-ngram), plus the paraphrase-robust
+     MinHash-LSH fuzzy pass (--eval-fuzzy; sketch_contamination —
+     eval side broadcast, the bucket never shuffles),
   3. incremental near-dup dedup against the PERSISTED sketch index at
      <output>/_sketch_index (first-seen-wins across buckets AND across
      re-runs — the streaming keep rule),
@@ -84,7 +87,21 @@ def main() -> None:
     ap.add_argument("--dup-span-min-docs", type=int, default=2)
     ap.add_argument("--eval", default=None,
                     help="benchmark docs parquet; survivors sharing a "
-                         "word 3-gram with it are dropped")
+                         "word --eval-ngram-gram with it are dropped")
+    ap.add_argument("--eval-ngram", type=int, default=3, metavar="N",
+                    help="n for the exact blocklist (default 3; "
+                         "production decontamination runs 8-13 to avoid "
+                         "common-phrase false positives — pair the "
+                         "larger n with --eval-fuzzy for paraphrases)")
+    ap.add_argument("--eval-fuzzy", type=float, default=None,
+                    metavar="JACCARD",
+                    help="ALSO fuzzy-decontaminate against --eval: drop "
+                         "survivors whose MinHash sketch-Jaccard vs any "
+                         "eval doc >= JACCARD (sketch_contamination — "
+                         "catches paraphrased leakage the exact n-gram "
+                         "pass misses); requires --eval")
+    ap.add_argument("--eval-fuzzy-bands", type=int, default=4)
+    ap.add_argument("--eval-fuzzy-rows", type=int, default=2)
     ap.add_argument("--scrub-pii", action="store_true",
                     help="redact e-mail/phone/IPv4 in survivors with "
                          "typed placeholders (operators/web.py) as the "
@@ -110,13 +127,18 @@ def main() -> None:
     from document_ai_spark.session import get_spark
     from document_ai_spark.streaming.checkpoint import run_checkpointed
 
+    if args.eval_fuzzy is not None and not args.eval:
+        ap.error("--eval-fuzzy requires --eval")
+
     spark = get_spark("document_ai_spark.curate", master=args.master)
     docs = spark.read.parquet(args.input)
     idx = SketchIndex(f"{args.output}/_sketch_index")
     block = None
+    eval_docs = None
     if args.eval:
+        eval_docs = spark.read.parquet(args.eval)
         block = F.broadcast(
-            eval_ngrams(spark.read.parquet(args.eval), n=3)).cache()
+            eval_ngrams(eval_docs, n=args.eval_ngram)).cache()
 
     hot = None
     if args.line_dedup:
@@ -172,9 +194,19 @@ def main() -> None:
         if block is not None:
             from document_ai_spark.operators.dedup import _word_shingles
             hits = (kept.select(
-                "doc_id", F.explode(_word_shingles(3)).alias("ngram"))
+                "doc_id",
+                F.explode(_word_shingles(args.eval_ngram)).alias("ngram"))
                 .join(block, "ngram").select("doc_id").distinct())
             kept = kept.join(hits, "doc_id", "left_anti")
+        if args.eval_fuzzy is not None:
+            from document_ai_spark.operators.curation import (
+                sketch_contamination,
+            )
+            fhits = sketch_contamination(
+                kept.select("doc_id", "text"), eval_docs,
+                jaccard_min=args.eval_fuzzy,
+                bands=args.eval_fuzzy_bands, rows=args.eval_fuzzy_rows)
+            kept = kept.join(fhits.select("doc_id"), "doc_id", "left_anti")
         # Incremental dedup vs the persisted index: first-seen-wins (the
         # stream_curate keep rule) — a doc is dropped iff it near-dups
         # ANY doc from an earlier-committed bucket (earlier wins,

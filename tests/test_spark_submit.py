@@ -140,3 +140,57 @@ def test_spark_submit_run_curate_line_dedup(tmp_path):
     fracs = {r[0]: r[4] for r in rows}
     assert fracs[1] == round(6 / 27, 6)
     assert all(f == 0.0 for d, f in fracs.items() if d != 1)
+
+
+@pytest.mark.skipif(not Path(SPARK_SUBMIT).exists(),
+                    reason="spark-submit not on this host")
+def test_spark_submit_run_curate_eval_fuzzy(tmp_path):
+    """--eval-ngram 5 + --eval-fuzzy: the exact blocklist at n=5 drops
+    the verbatim eval copy but is blind to the every-5th-word
+    paraphrase (longest unchanged run = 4 words); the MinHash fuzzy
+    pass catches it; clean docs survive both."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    eval_text = ("which planet in the solar system has the most moons "
+                 "and how many of them were discovered after the year "
+                 "two thousand by ground based telescopes")
+    words = eval_text.split()
+    paraphrase = " ".join(
+        w.upper() + "x" if i % 5 == 0 else w for i, w in enumerate(words))
+    body = ("the alpha{i} and beta{i} of gamma{i} in delta{i} with "
+            "epsilon{i} for zeta{i} the eta{i} and theta{i} of iota{i}")
+    docs = pa.table({
+        "doc_id": [1, 2] + list(range(3, 13)),
+        "text": [eval_text, paraphrase]
+                + [body.format(i=i) for i in range(3, 13)],
+        "lang": ["en"] * 12,
+        "source": ["web"] * 12,
+    })
+    inp = tmp_path / "docs.parquet"
+    pq.write_table(docs, inp)
+    ev = tmp_path / "eval.parquet"
+    pq.write_table(pa.table({"doc_id": [100], "text": [eval_text]}), ev)
+
+    zip_path = tmp_path / "document_ai_spark.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for f in sorted((REPO / "document_ai_spark").rglob("*.py")):
+            z.write(f, f.relative_to(REPO))
+
+    out = tmp_path / "out"
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--py-files", str(zip_path),
+           str(REPO / "scripts" / "run_curate.py"),
+           "--input", str(inp), "--output", str(out),
+           "--buckets", "2", "--run-id", "ef1",
+           "--eval", str(ev), "--eval-ngram", "5",
+           "--eval-fuzzy", "0.1",
+           "--eval-fuzzy-bands", "8", "--eval-fuzzy-rows", "1"]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    assert p.returncode == 0, p.stderr[-2000:]
+    ids = {r[0] for r in duckdb.connect().execute(
+        f"SELECT doc_id FROM '{out}/data/**/*.parquet'").fetchall()}
+    assert 1 not in ids          # verbatim: exact 5-gram blocklist
+    assert 2 not in ids          # paraphrase: only the fuzzy pass
+    assert ids == set(range(3, 13))
