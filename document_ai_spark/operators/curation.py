@@ -468,14 +468,17 @@ def span_frequencies(docs: DataFrame, w: int = 50) -> DataFrame:
 
 
 def pack_sequences(docs: DataFrame, seq_len: int = 2048,
-                   bucket_width: int = 100_000) -> DataFrame:
+                   bucket_width: int = 100_000,
+                   order_col: str = "doc_id") -> DataFrame:
     """Concatenate-and-split training-sequence packing (the GPT-style
-    pretraining layout): documents are laid out in ascending doc_id
-    order and the token stream is sliced into seq_len-token training
-    sequences. Per doc: its global ``start_offset`` in the stream, the
-    ``chunk_id`` its first token lands in, the in-chunk position
-    ``chunk_pos``, and ``n_chunks`` it spans (0 for zero-token docs —
-    they occupy no stream space).
+    pretraining layout): documents are laid out in ascending
+    ``order_col`` order (doc_id by default; pass epoch_shuffle's
+    ``shuffle_pos`` to pack a shuffled epoch — it is dense 0..n-1, so
+    the same bucketing math holds) and the token stream is sliced into
+    seq_len-token training sequences. Per doc: its global
+    ``start_offset`` in the stream, the ``chunk_id`` its first token
+    lands in, the in-chunk position ``chunk_pos``, and ``n_chunks`` it
+    spans (0 for zero-token docs — they occupy no stream space).
 
     The global running sum is the textbook DISTRIBUTED two-pass prefix
     sum — Spark's window-without-partition would funnel the whole
@@ -491,6 +494,12 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
          (one exchange + per-bucket sort, bounded by bucket_width rows
          per task).
 
+    Sizing: per-task work is max(bucket_width, n/bucket_width) rows, so
+    bucket_width ~ sqrt(corpus rows) balances the carry table against
+    the bucket sort — 10^6 for a 10^12-doc corpus (both sides 10^6
+    rows). The 100k default suits 10^9-10^11 rows; it is a DATA-sized
+    knob, independent of cluster size.
+
     Token counts come from the shared script-aware tokenizer, so
     packing, budgets and dedup all agree on what a token is. Exact in
     64-bit: counts are integers, no floating point anywhere. Oracle:
@@ -500,15 +509,19 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     from ..functions.tokenize import tokens_sql
     toks = tokens_sql("coalesce(text, '')")
     base = docs.select(
+        "doc_id", order_col,
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.floor(F.col(order_col) / F.lit(bucket_width)).alias("_bk"),
+    ) if order_col != "doc_id" else docs.select(
         "doc_id",
         F.expr(f"size({toks})").cast("long").alias("n_tokens"),
-        F.floor(F.col("doc_id") / F.lit(bucket_width)).alias("_bk"))
+        F.floor(F.col(order_col) / F.lit(bucket_width)).alias("_bk"))
     totals = base.groupBy("_bk").agg(F.sum("n_tokens").alias("_bk_total"))
     carry = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "_bk", F.coalesce(F.sum("_bk_total").over(carry), F.lit(0))
                 .alias("_bk_offset"))
-    within = (Window.partitionBy("_bk").orderBy("doc_id")
+    within = (Window.partitionBy("_bk").orderBy(order_col)
               .rowsBetween(Window.unboundedPreceding, -1))
     start = (F.coalesce(F.sum("n_tokens").over(within), F.lit(0))
              + F.col("_bk_offset"))

@@ -101,3 +101,20 @@ def test_epoch_shuffle_prefix_len_invariance(spark):
     narrow = {r["doc_id"]: r["shuffle_pos"]
               for r in epoch_shuffle(docs, seed=3, prefix_len=4).collect()}
     assert wide == narrow
+
+
+def test_pack_in_shuffled_epoch_order(spark):
+    # the composition the two ops exist for: join epoch_shuffle's
+    # permutation onto the corpus, pack along shuffle_pos — the stream
+    # is contiguous in SHUFFLED order and covers every token exactly once
+    docs = _docs(spark, [(i, "w " * (i % 6)) for i in range(60)])
+    shuffled = docs.join(epoch_shuffle(docs, seed=9), "doc_id")
+    out = (pack_sequences(shuffled, seq_len=16, bucket_width=10,
+                          order_col="shuffle_pos")
+           .join(epoch_shuffle(docs, seed=9), "doc_id")
+           .orderBy("shuffle_pos").collect())
+    pos = 0
+    for r in out:
+        assert r["start_offset"] == pos
+        pos += r["n_tokens"]
+    assert pos == sum(i % 6 for i in range(60))
