@@ -327,3 +327,57 @@ def stream_span_filter(spark: SparkSession, in_dir: str, index_root: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_decontaminate(spark: SparkSession, in_dir: str, eval_path: str,
+                         out_dir: str, checkpoint_dir: str,
+                         ngram: int = 3, fuzzy_jaccard: float = None,
+                         bands: int = 4, rows: int = 2):
+    """Streaming benchmark decontamination: every micro-batch of
+    incoming documents is filtered against a STATIC eval/benchmark set
+    — the exact word-n-gram blocklist, plus (with ``fuzzy_jaccard``
+    set) the paraphrase-robust MinHash-LSH pass
+    (operators/curation.py sketch_contamination). The ingestion-side
+    twin of run_curate's --eval/--eval-fuzzy.
+
+    Unlike the dedup twins there is NOTHING TO INDEX: decontamination
+    is memoryless (the eval set is fixed), so each batch is a pure
+    map-side filter — the blocklist and the eval sketch rows broadcast
+    once and the batch never shuffles (the per-doc candidate aggregate
+    shuffles band collisions only). Exactly-once across restarts the
+    simple way: per-batch output dirs are overwritten on replay.
+    Survivors land under ``out_dir/batch=<id>/``. Returns the
+    StreamingQuery."""
+    from ..operators.curation import eval_ngrams, sketch_contamination
+    from ..operators.dedup import _word_shingles
+
+    eval_docs = spark.read.parquet(eval_path)
+    block = F.broadcast(eval_ngrams(eval_docs, n=ngram))
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hits = (batch_df.select(
+            "doc_id", F.explode(_word_shingles(ngram)).alias("ngram"))
+            .join(block, "ngram").select("doc_id").distinct())
+        kept = batch_df.join(hits, "doc_id", "left_anti")
+        if fuzzy_jaccard is not None:
+            fh = sketch_contamination(
+                kept.select("doc_id", "text"), eval_docs,
+                jaccard_min=fuzzy_jaccard, bands=bands, rows=rows)
+            kept = kept.join(fh.select("doc_id"), "doc_id", "left_anti")
+        kept.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    return (
+        stream.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
