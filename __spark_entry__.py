@@ -2769,6 +2769,91 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _q_nb_quality(spark, sf):
+    """Model-based quality/domain classifier (operators/classifier.py):
+    multinomial Naive Bayes over the script-aware tokenizer, trained
+    relationally on the corpus itself with label = (lang = 'en') — the
+    CCNet/fastText "reference-corpus classifier" step. One vocab-width
+    count shuffle to train, one word-key join + per-doc sum to score."""
+    from document_ai_spark.operators.classifier import nb_quality
+
+    return (nb_quality(_t(spark, sf, "documents"),
+                       F.col("lang") == "en")
+            .orderBy("doc_id"))
+
+
+_SQL_NB_QUALITY = f"""
+WITH words AS (
+  SELECT doc_id, lower(w) AS word
+  FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents)
+  WHERE w <> ''),
+labels AS (SELECT doc_id, (lang = 'en') AS label FROM documents),
+lw AS (SELECT words.doc_id, word, label
+       FROM words JOIN labels USING (doc_id)),
+counts AS (SELECT word,
+                  SUM(CASE WHEN label THEN 1 ELSE 0 END) AS c_pos,
+                  SUM(CASE WHEN label THEN 0 ELSE 1 END) AS c_neg
+           FROM lw GROUP BY word),
+tot AS (SELECT CAST(SUM(c_pos) AS DOUBLE) AS n_pos,
+               CAST(SUM(c_neg) AS DOUBLE) AS n_neg,
+               CAST(COUNT(*) AS DOUBLE) AS vocab FROM counts),
+model AS (SELECT word,
+                 ln((c_pos + 1) / (n_pos + vocab))
+                 - ln((c_neg + 1) / (n_neg + vocab)) AS delta
+          FROM counts, tot),
+prior AS (SELECT ln(CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) + 1
+                         AS DOUBLE)
+                    / (SUM(CASE WHEN label THEN 0 ELSE 1 END) + 1)) AS p
+          FROM labels)
+SELECT doc_id,
+       ROUND(SUM(delta) + p, 4) AS nb_logodds,
+       (ROUND(SUM(delta) + p, 4) > 0) AS nb_pred,
+       COUNT(*) AS n_scored_tokens
+FROM words JOIN model USING (word), prior
+GROUP BY doc_id, p ORDER BY doc_id
+"""
+
+
+def _q_canonical_docs(spark, sf):
+    """Best-copy-per-cluster dedup policy (operators/curation.py
+    canonical_docs): near-dup clusters from banded LSH + star CC, then
+    keep the highest-quality member (ties -> lowest doc_id) instead of
+    an arbitrary representative."""
+    from document_ai_spark.operators.curation import canonical_docs
+
+    return canonical_docs(_dup_docs(spark, sf)).orderBy("doc_id")
+
+
+_SQL_CANONICAL_DOCS = f"""
+WITH RECURSIVE
+{_BANDED_PAIRS_CTE},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT DISTINCT u AS doc_id, u AS r FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.doc_id = e.v),
+clusters AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id),
+q AS (
+  SELECT doc_id,
+         ROUND((CASE WHEN n < 10 THEN n/10.0 WHEN n > 1000 THEN 0.5
+                     ELSE 1.0 END) * 0.6
+               + (CASE WHEN sr BETWEEN 0.05 AND 0.6 THEN 1.0
+                       ELSE 0.5 END) * 0.4, 6) AS quality_score
+  FROM (SELECT doc_id, len(toks) AS n,
+               ROUND(len(list_filter(toks,
+                   w -> list_contains({_STOP_SQL}, lower(w))))
+                     / greatest(len(toks), 1), 6) AS sr
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM base)))
+SELECT c.doc_id, c.cluster, q.quality_score,
+       (ROW_NUMBER() OVER (PARTITION BY c.cluster
+                           ORDER BY q.quality_score DESC, c.doc_id)
+        = 1) AS keep
+FROM clusters c JOIN q USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple] = {
@@ -2870,6 +2955,8 @@ _REGISTRY: dict[str, tuple] = {
     "epoch_shuffle": (_q_epoch_shuffle, _SQL_EPOCH_SHUFFLE),
     "sketch_contamination": (_q_sketch_contamination,
                              _SQL_SKETCH_CONTAMINATION),
+    "nb_quality": (_q_nb_quality, _SQL_NB_QUALITY),
+    "canonical_docs": (_q_canonical_docs, _SQL_CANONICAL_DOCS),
 }
 
 

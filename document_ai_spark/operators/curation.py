@@ -633,3 +633,40 @@ def decontaminate_fuzzy(docs: DataFrame, eval_docs: DataFrame,
     hits = sketch_contamination(docs, eval_docs, jaccard_min=jaccard_min,
                                 bands=bands, rows=rows)
     return docs.join(hits.select("doc_id"), "doc_id", "left_anti")
+
+
+def canonical_docs(docs: DataFrame, jaccard_min: float = 0.5) -> DataFrame:
+    """Best-copy selection inside each near-dup cluster: instead of
+    curate()'s "keep the minimum doc_id", keep the member with the
+    HIGHEST quality score (ties -> lowest doc_id) — the production
+    dedup policy (keep the cleanest mirror of a page, not an arbitrary
+    one).
+
+    Output: one row per clustered document —
+    (doc_id, cluster, quality_score, keep). Singletons (docs in no
+    near-dup pair) are implicitly kept and not listed, same contract as
+    dedup.duplicate_clusters.
+
+    Scale shape: clusters come from the banded-LSH pair table (tiny vs
+    the corpus) via the O(log^2 n) star algorithm; the quality scan is
+    one pass of JVM exprs; the argmax is a row_number window
+    partitioned by cluster — per-task state is bounded by the largest
+    dup family, which the LSH bucket cap already bounds upstream.
+
+    Oracle: registry row `canonical_docs` mirrors the full composition
+    (LSH CTEs -> recursive-closure clusters -> quality CASEs -> window
+    argmax) in DuckDB.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import duplicate_clusters_star
+
+    pairs = banded_near_dup_pairs(docs, jaccard_min=jaccard_min)
+    clusters = duplicate_clusters_star(pairs)
+    quality = with_quality_score(docs).select("doc_id", "quality_score")
+    members = clusters.join(quality, "doc_id")
+    w = (Window.partitionBy("cluster")
+         .orderBy(F.desc("quality_score"), F.asc("doc_id")))
+    return members.select(
+        "doc_id", "cluster", "quality_score",
+        (F.row_number().over(w) == 1).alias("keep"))
