@@ -102,6 +102,21 @@ def main() -> None:
                          "pass misses); requires --eval")
     ap.add_argument("--eval-fuzzy-bands", type=int, default=4)
     ap.add_argument("--eval-fuzzy-rows", type=int, default=2)
+    ap.add_argument("--nb-ref", default=None, metavar="PARQUET",
+                    help="reference 'good' corpus (doc_id, text): train "
+                         "a Naive Bayes classifier (ref = positive, a "
+                         "deterministic --nb-neg-frac sample of the "
+                         "input = negative) and drop docs scoring below "
+                         "--nb-min log-odds — the CCNet/fastText "
+                         "model-based filter. The model is trained ONCE "
+                         "per run, persisted under <output>/_nb_model, "
+                         "and reused across buckets and resumes")
+    ap.add_argument("--nb-min", type=float, default=0.0,
+                    help="minimum nb_logodds to keep (with --nb-ref)")
+    ap.add_argument("--nb-neg-frac", type=float, default=0.2,
+                    help="deterministic fraction of the input sampled "
+                         "as the negative training class (with "
+                         "--nb-ref)")
     ap.add_argument("--scrub-pii", action="store_true",
                     help="redact e-mail/phone/IPv4 in survivors with "
                          "typed placeholders (operators/web.py) as the "
@@ -152,6 +167,32 @@ def main() -> None:
                 .write.mode("overwrite").parquet(hot_path)
         hot = spark.read.parquet(hot_path)
 
+    nb_model = nb_params = None
+    if args.nb_ref:
+        # Train once from (reference positives, deterministic corpus
+        # sample negatives) over ORIGINAL text; persist both tables so
+        # a resumed run scores with the identical model (same
+        # discipline as _hot_lines). Parquet round-trips doubles
+        # bit-exactly, so resume scores match the first run's.
+        import os
+
+        from document_ai_spark.operators.classifier import nb_train
+        from document_ai_spark.operators.curation import (
+            deterministic_sample,
+        )
+        nb_path = f"{args.output}/_nb_model"
+        if not os.path.exists(os.path.join(nb_path, "params", "_SUCCESS")):
+            ref = spark.read.parquet(args.nb_ref) \
+                .select("doc_id", "text").withColumn("label", F.lit(True))
+            neg = deterministic_sample(
+                docs, fraction=args.nb_neg_frac) \
+                .select("doc_id", "text").withColumn("label", F.lit(False))
+            model, params = nb_train(ref.unionByName(neg))
+            model.write.mode("overwrite").parquet(f"{nb_path}/model")
+            params.write.mode("overwrite").parquet(f"{nb_path}/params")
+        nb_model = spark.read.parquet(f"{nb_path}/model")
+        nb_params = spark.read.parquet(f"{nb_path}/params")
+
     hot_spans = None
     if args.dup_span_max is not None:
         # Same discipline as _hot_lines: one corpus-wide aggregate over
@@ -184,6 +225,18 @@ def main() -> None:
                 .join(gated, "doc_id")
                 .where("keep")
                 .drop("keep"))
+        if nb_model is not None:
+            # Model-based quality gate (CCNet shape): score against the
+            # persisted NB model; the score column rides the audit
+            # output. Scored on the post-line-dedup text the other
+            # gates see. Zero-token docs carry no score row, but the
+            # quality gate has already dropped them (n_tokens < 10).
+            from document_ai_spark.operators.classifier import nb_score
+            scores = nb_score(kept.select("doc_id", "text"),
+                              nb_model, nb_params)
+            kept = (kept
+                    .join(scores.select("doc_id", "nb_logodds"), "doc_id")
+                    .where(F.col("nb_logodds") >= args.nb_min))
         if hot_spans is not None:
             spans = dup_span_stats_against(
                 kept.select("doc_id", "text"), hot_spans,

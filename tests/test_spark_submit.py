@@ -194,3 +194,67 @@ def test_spark_submit_run_curate_eval_fuzzy(tmp_path):
     assert 1 not in ids          # verbatim: exact 5-gram blocklist
     assert 2 not in ids          # paraphrase: only the fuzzy pass
     assert ids == set(range(3, 13))
+
+
+@pytest.mark.skipif(not Path(SPARK_SUBMIT).exists(),
+                    reason="spark-submit not on this host")
+def test_spark_submit_run_curate_nb_filter(tmp_path):
+    """--nb-ref: docs whose vocabulary matches the reference corpus
+    survive the Naive Bayes gate; same-shaped docs built from words the
+    reference never saw score negative log-odds and are dropped — even
+    though BOTH groups pass the heuristic quality gates (same token
+    count and stopword scaffold). The model is trained once and
+    persisted under <output>/_nb_model."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    scaffold = "the {0} and {1} of {2} with {3} for {4} in {5} then {6}"
+    vocab_a = ["sun", "valley", "river", "meadow", "stone", "light",
+               "garden"]
+    vocab_b = ["blorp", "zorg", "flurm", "quux", "vrang", "skree",
+               "plomp"]
+
+    def rot(v, i):
+        return [v[(j + i) % len(v)] for j in range(len(v))]
+
+    ref = pa.table({
+        "doc_id": list(range(100, 106)),
+        "text": [scaffold.format(*rot(vocab_a, i)) for i in range(6)],
+    })
+    docs = pa.table({
+        "doc_id": list(range(1, 9)),
+        "text": [scaffold.format(*rot(vocab_a, i)) for i in range(4)]
+                + [scaffold.format(*rot(vocab_b, i)) for i in range(4)],
+        "lang": ["en"] * 8,
+        "source": ["web"] * 8,
+    })
+    inp = tmp_path / "docs.parquet"
+    pq.write_table(docs, inp)
+    refp = tmp_path / "ref.parquet"
+    pq.write_table(ref, refp)
+
+    zip_path = tmp_path / "document_ai_spark.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for f in sorted((REPO / "document_ai_spark").rglob("*.py")):
+            z.write(f, f.relative_to(REPO))
+
+    out = tmp_path / "out"
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--py-files", str(zip_path),
+           str(REPO / "scripts" / "run_curate.py"),
+           "--input", str(inp), "--output", str(out),
+           "--buckets", "2", "--run-id", "nb1",
+           "--nb-ref", str(refp), "--nb-min", "0.0",
+           "--nb-neg-frac", "1.0"]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    assert p.returncode == 0, p.stderr[-2000:]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, nb_logodds FROM '{out}/data/**/*.parquet' "
+        "ORDER BY doc_id").fetchall()
+    assert {r[0] for r in rows} == {1, 2, 3, 4}
+    assert all(r[1] > 0 for r in rows)
+    # The model persisted for resume: both tables committed.
+    assert (out / "_nb_model" / "model" / "_SUCCESS").exists()
+    assert (out / "_nb_model" / "params" / "_SUCCESS").exists()
