@@ -2854,6 +2854,43 @@ ORDER BY c.doc_id
 """
 
 
+def _q_intra_doc_line_dedup(spark, sf):
+    """Within-document repeated-line removal (operators/curation.py
+    strip_repeated_lines) — the corpus has single-line docs, so the
+    query plants a deterministic multi-line layout (text, text, blank,
+    40-char prefix, text) per doc: both dup copies of the full text are
+    stripped, the blank and the prefix line survive."""
+    from document_ai_spark.operators.curation import strip_repeated_lines
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr("concat(text, '\\n', text, '\\n\\n', "
+               "substring(text, 1, 40), '\\n', text)").alias("text"))
+    return strip_repeated_lines(d).orderBy("doc_id")
+
+
+_SQL_INTRA_DOC_LINE_DEDUP = """
+WITH planted AS (
+  SELECT doc_id,
+         text || chr(10) || text || chr(10) || chr(10)
+              || substring(text, 1, 40) || chr(10) || text AS text
+  FROM documents),
+split AS (SELECT doc_id,
+                 str_split(coalesce(text, ''), chr(10)) AS ls
+          FROM planted)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS text_dedup,
+       n AS n_lines,
+       n - len(kept) AS n_removed
+FROM (SELECT doc_id,
+             list_filter(ls, (l, i) -> trim(l) = ''
+                             OR list_position(ls, l) = i) AS kept,
+             len(ls) AS n
+      FROM split)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple] = {
@@ -2957,6 +2994,8 @@ _REGISTRY: dict[str, tuple] = {
                              _SQL_SKETCH_CONTAMINATION),
     "nb_quality": (_q_nb_quality, _SQL_NB_QUALITY),
     "canonical_docs": (_q_canonical_docs, _SQL_CANONICAL_DOCS),
+    "intra_doc_line_dedup": (_q_intra_doc_line_dedup,
+                             _SQL_INTRA_DOC_LINE_DEDUP),
 }
 
 

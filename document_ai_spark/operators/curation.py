@@ -259,6 +259,46 @@ def strip_hot_lines(docs: DataFrame, hot: DataFrame) -> DataFrame:
         (F.col("n_lines") - F.size("kept_ls")).alias("n_removed"))
 
 
+def strip_repeated_lines(docs: DataFrame) -> DataFrame:
+    """Intra-document exact line dedup — the within-doc repetition pass
+    (RefinedWeb's line-level "remove repeated content" rule), the
+    complement of line_dedup's CORPUS-level boilerplate pass: a
+    non-blank line that already appeared EARLIER IN THE SAME DOCUMENT
+    is removed, the first occurrence stays, and blank/whitespace-only
+    lines always stay (they are paragraph structure, and
+    first-occurrence-wins would merge every paragraph into the first).
+
+    docs(doc_id, text, ...) -> (doc_id, text_dedup, n_lines,
+    n_removed), one row per input doc — same contract as
+    strip_hot_lines so the two passes compose.
+
+    Scale shape: map-side ONLY — no shuffle, no per-doc state outside
+    the row. The keep rule is `first index of this line == own index`,
+    a pure HOF over the split array, bound ONCE via the array+transform
+    struct idiom (HOFs re-evaluate per reference otherwise). Per-task
+    compute is O(n_lines * cost(array_position)) = O(n_lines^2) string
+    compares on a pathological doc — for real documents (10^2..10^4
+    lines) that is microseconds; a corpus of adversarial
+    million-duplicate-line docs should run line_dedup first, whose
+    relational shape bounds per-task work by partition size.
+
+    Oracle: the `intra_doc_line_dedup` registry row mirrors the HOF
+    with DuckDB's indexed list_filter + list_position."""
+    s = F.expr(
+        "element_at(transform(array(split(coalesce(text, ''), '\\n')), "
+        "ls -> named_struct("
+        "  'kept', filter(ls, (l, i) -> trim(l) = '' "
+        "                 OR array_position(ls, l) = i + 1), "
+        "  'n', size(ls))), 1)")
+    return (docs.withColumn("_rl", s)
+            .select("doc_id",
+                    F.array_join(F.col("_rl.kept"), "\n")
+                    .alias("text_dedup"),
+                    F.col("_rl.n").alias("n_lines"),
+                    (F.col("_rl.n") - F.size(F.col("_rl.kept")))
+                    .alias("n_removed")))
+
+
 def deterministic_sample(docs: DataFrame, fraction: float = 0.25,
                          key: str = "doc_id") -> DataFrame:
     """Reproducible corpus sampling: keep a row iff the first two hex

@@ -70,6 +70,11 @@ def main() -> None:
                          "hot-line table is computed once per corpus, "
                          "persisted under <output>/_hot_lines, and "
                          "reused across buckets and resumes")
+    ap.add_argument("--intra-line-dedup", action="store_true",
+                    help="strip lines repeated WITHIN a document "
+                         "(first occurrence stays, blanks always stay) "
+                         "after the corpus-level --line-dedup pass; "
+                         "map-side only, no shuffle")
     ap.add_argument("--dup-span-max", type=float, default=None,
                     metavar="FRAC",
                     help="drop docs whose dup_span_frac (fraction of "
@@ -214,13 +219,24 @@ def main() -> None:
                 F.col("n_removed").alias("n_boiler_lines_removed"))
             sub = sub.select("doc_id", "lang", "source") \
                 .join(stripped, "doc_id")
+        if args.intra_line_dedup:
+            # Within-doc repeats, on the post-boilerplate text; pure
+            # map-side HOF so it adds no exchange to the bucket plan.
+            from document_ai_spark.operators.curation import (
+                strip_repeated_lines,
+            )
+            rl = strip_repeated_lines(sub).select(
+                "doc_id", F.col("text_dedup").alias("text"),
+                F.col("n_removed").alias("n_intra_lines_removed"))
+            sub = sub.drop("text").join(rl, "doc_id")
         gated = quality_gates(
             sub, quality_min=args.quality_min,
             dup_line_max=args.dup_line_max,
             top_bigram_max=args.top_bigram_max,
             logprob_min=args.logprob_min)
         carry = ["doc_id", "text", "lang", "source"] + (
-            ["n_boiler_lines_removed"] if hot is not None else [])
+            ["n_boiler_lines_removed"] if hot is not None else []) + (
+            ["n_intra_lines_removed"] if args.intra_line_dedup else [])
         kept = (sub.select(*carry)
                 .join(gated, "doc_id")
                 .where("keep")

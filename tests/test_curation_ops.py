@@ -174,3 +174,65 @@ def test_hot_lines_bucket_strip_parity(spark):
     full = {r["doc_id"]: r["text_dedup"] for r in line_dedup(docs).collect()}
     assert full[1] == "boiler\nbody 1"
     assert full[2] == "body 2"
+
+
+def test_strip_repeated_lines_basic(spark):
+    """First occurrence stays, later exact copies drop, blanks always
+    stay (even repeated), order preserved."""
+    from document_ai_spark.operators.curation import strip_repeated_lines
+
+    rows = [
+        (1, "alpha\nbeta\nalpha\n\ngamma\n\nbeta\nalpha"),
+        (2, "single line doc"),
+        (3, ""),
+        (4, None),
+        (5, "x\nx\nx\nx"),
+    ]
+    out = {r["doc_id"]: r for r in strip_repeated_lines(
+        _docs(spark, rows)).collect()}
+    assert out[1]["text_dedup"] == "alpha\nbeta\n\ngamma\n"
+    assert out[1]["n_lines"] == 8 and out[1]["n_removed"] == 3
+    assert out[2]["text_dedup"] == "single line doc"
+    assert out[2]["n_removed"] == 0
+    # Empty / NULL text -> one blank line, kept, nothing removed.
+    for d in (3, 4):
+        assert out[d]["text_dedup"] == ""
+        assert out[d]["n_lines"] == 1 and out[d]["n_removed"] == 0
+    assert out[5]["text_dedup"] == "x" and out[5]["n_removed"] == 3
+
+
+def test_strip_repeated_lines_whitespace_only_lines_kept(spark):
+    """Whitespace-only (space) lines count as blank: never removed,
+    never treated as duplicates of each other."""
+    from document_ai_spark.operators.curation import strip_repeated_lines
+
+    out = strip_repeated_lines(
+        _docs(spark, [(1, "a\n \n \na")])).collect()[0]
+    assert out["text_dedup"] == "a\n \n "
+    assert out["n_removed"] == 1
+
+
+def test_strip_repeated_lines_composes_with_hot_lines(spark):
+    """Same output contract as strip_hot_lines, so the corpus-level and
+    intra-doc passes chain: corpus boilerplate first, then within-doc
+    repeats on the rebuilt text."""
+    from document_ai_spark.operators.curation import (
+        hot_lines,
+        strip_hot_lines,
+        strip_repeated_lines,
+    )
+
+    rows = [
+        (1, "BANNER\ncontent one\ncontent one"),
+        (2, "BANNER\ncontent two"),
+    ]
+    docs = _docs(spark, rows)
+    pass1 = strip_hot_lines(docs, hot_lines(docs, min_docs=2)).select(
+        "doc_id", F.col("text_dedup").alias("text"))
+    out = {r["doc_id"]: r for r in strip_repeated_lines(pass1).collect()}
+    # doc 1 keeps its canonical BANNER (min doc_id) and one content line.
+    assert out[1]["text_dedup"] == "BANNER\ncontent one"
+    assert out[1]["n_removed"] == 1
+    # doc 2's BANNER was corpus-stripped; nothing repeats within it.
+    assert out[2]["text_dedup"] == "content two"
+    assert out[2]["n_removed"] == 0

@@ -92,9 +92,14 @@ def test_spark_submit_run_curate_line_dedup(tmp_path):
     # following shared 'the') are corpus-hot -> frac 6/27 = 0.22
     shared_run = ("mu nu xi omicron pi rho sigma tau upsilon phi chi "
                   "psi omega aleph bet gimel")
+    # doc 1 additionally carries an exact WITHIN-doc duplicate of its
+    # body line: corpus line-dedup ignores it (one distinct doc), the
+    # --intra-line-dedup pass strips it. Scoring below is unaffected
+    # because dup-span coverage is computed on the post-strip text.
     docs = pa.table({
         "doc_id": list(range(1, 43)),
-        "text": [f"{boiler}\n{body.format(i=i)}" for i in range(1, 41)]
+        "text": [f"{boiler}\n{body.format(i=1)}\n{body.format(i=1)}"]
+                + [f"{boiler}\n{body.format(i=i)}" for i in range(2, 41)]
                 + [f"{boiler}\n{body.format(i=i)} {shared_run}"
                    for i in (41, 42)],
         "lang": ["en"] * 42,
@@ -115,6 +120,7 @@ def test_spark_submit_run_curate_line_dedup(tmp_path):
            str(REPO / "scripts" / "run_curate.py"),
            "--input", str(inp), "--output", str(out),
            "--buckets", "2", "--run-id", "ld1", "--line-dedup", "2",
+           "--intra-line-dedup",
            "--scrub-pii", "--dup-span-max", "0.3", "--dup-span-w", "4"]
     p = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
     assert p.returncode == 0, p.stderr[-2000:]
@@ -123,12 +129,19 @@ def test_spark_submit_run_curate_line_dedup(tmp_path):
 
     rows = duckdb.connect().execute(
         f"SELECT doc_id, text, n_boiler_lines_removed, n_email, "
-        f"dup_span_frac FROM '{out}/data/**/*.parquet'").fetchall()
+        f"dup_span_frac, n_intra_lines_removed "
+        f"FROM '{out}/data/**/*.parquet'").fetchall()
     assert rows, "no survivors"
     keeps = [r for r in rows if boiler in r[1]]
     # only the canonical doc (min doc_id = 1) still carries the line
     assert [(r[0], r[2]) for r in keeps] == [(1, 0)]
     assert all(r[2] == 1 for r in rows if r[0] != 1)
+    # --intra-line-dedup stripped doc 1's within-doc duplicate body
+    # line (and nothing else anywhere)
+    intra = {r[0]: r[5] for r in rows}
+    assert intra[1] == 1
+    assert all(v == 0 for d, v in intra.items() if d != 1)
+    assert [r[1].count("alpha1 ") for r in rows if r[0] == 1] == [1]
     # --scrub-pii redacted the planted address and counted it
     assert all("@" not in r[1] and "<EMAIL>" in r[1] and r[3] == 1
                for r in rows)
