@@ -119,3 +119,54 @@ def test_canonical_docs_keeps_best_quality_member(spark):
     keeps = Counter(r["cluster"] for r in out if r["keep"])
     sizes = Counter(r["cluster"] for r in out)
     assert keeps == Counter({c: 1 for c in sizes})
+
+
+def test_nb_matches_pure_python_reference(spark):
+    """Seeded random corpus: Spark's relational NB must match a
+    straightforward pure-Python multinomial NB to float tolerance
+    (identical after the 4-decimal rounding contract)."""
+    import math
+    import random
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(30)]
+    texts, labels = [], []
+    for i in range(40):
+        n = rng.randint(1, 25)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+        labels.append(rng.random() < 0.4)
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t, label=bool(b))
+         for i, (t, b) in enumerate(zip(texts, labels))])
+    model, params = nb_train(docs)
+    got = {r["doc_id"]: (r["nb_logodds"], r["nb_pred"],
+                         r["n_scored_tokens"])
+           for r in nb_score(docs, model, params).collect()}
+
+    # Pure-Python reference (same tokenization: whitespace words,
+    # lowercased — the corpus here is ASCII so the script-aware
+    # tokenizer degenerates to a whitespace split).
+    c_pos, c_neg = {}, {}
+    n_pos = n_neg = d_pos = d_neg = 0
+    for t, b in zip(texts, labels):
+        d_pos, d_neg = d_pos + b, d_neg + (not b)
+        for w in t.lower().split():
+            if b:
+                c_pos[w] = c_pos.get(w, 0) + 1
+                n_pos += 1
+            else:
+                c_neg[w] = c_neg.get(w, 0) + 1
+                n_neg += 1
+    seen = set(c_pos) | set(c_neg)
+    v = len(seen)
+    prior = math.log((d_pos + 1) / (d_neg + 1))
+    for i, t in enumerate(texts):
+        words = t.lower().split()
+        s = sum(math.log((c_pos.get(w, 0) + 1) / (n_pos + v))
+                - math.log((c_neg.get(w, 0) + 1) / (n_neg + v))
+                for w in words)
+        want = round(s + prior, 4)
+        assert got[i][0] == want, (i, got[i][0], want)
+        assert got[i][1] == (want > 0)
+        assert got[i][2] == len(words)

@@ -236,3 +236,36 @@ def test_strip_repeated_lines_composes_with_hot_lines(spark):
     # doc 2's BANNER was corpus-stripped; nothing repeats within it.
     assert out[2]["text_dedup"] == "content two"
     assert out[2]["n_removed"] == 0
+
+
+def test_strip_repeated_lines_matches_python_reference(spark):
+    """Seeded fuzz: 60 random multi-line texts (repeats, blanks,
+    space-only lines, CJK, empty) — Spark must match the obvious
+    pure-Python first-occurrence filter. NOTE the blank rule is
+    ASCII-space trim (Spark/DuckDB `trim` semantics), so the reference
+    uses strip(' '), not strip()."""
+    import random
+
+    from document_ai_spark.operators.curation import strip_repeated_lines
+
+    rng = random.Random(1234)
+    pool = ["alpha", "beta", "gamma", "", " ", "  ", "文字",
+            "x y", "alpha", "tab\there"]
+    texts = []
+    for _ in range(60):
+        n = rng.randint(0, 12)
+        texts.append("\n".join(rng.choice(pool) for _ in range(n))
+                     if n else rng.choice(["", None]))
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = {r["doc_id"]: (r["text_dedup"], r["n_lines"], r["n_removed"])
+           for r in strip_repeated_lines(
+               spark.createDataFrame(rows, "doc_id long, text string")
+           ).collect()}
+
+    for i, t in enumerate(texts):
+        ls = (t or "").split("\n")
+        kept = [l for j, l in enumerate(ls)
+                if l.strip(" ") == "" or ls.index(l) == j]
+        want = ("\n".join(kept), len(ls), len(ls) - len(kept))
+        assert got[i] == want, (i, repr(t), got[i], want)
