@@ -2339,6 +2339,50 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _q_pack_shuffled(spark, sf):
+    """The full training-manifest composition: epoch_shuffle's seeded
+    permutation feeds pack_sequences as the pack order (order_col =
+    shuffle_pos — dense 0..n-1, so the bucketed two-pass prefix-sum
+    math holds unchanged). One query proves the two layout ops compose
+    the way a real pretraining job uses them: shuffle THIS epoch, then
+    pack the shuffled stream."""
+    from document_ai_spark.operators.curation import (
+        epoch_shuffle,
+        pack_sequences,
+    )
+
+    d = _t(spark, sf, "documents")
+    shuf = epoch_shuffle(d, seed=42)
+    return (pack_sequences(d.join(shuf, "doc_id"), seq_len=128,
+                           bucket_width=100, order_col="shuffle_pos")
+            .orderBy("doc_id"))
+
+
+_SQL_PACK_SHUFFLED = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+shuf AS (SELECT doc_id,
+                CAST(ROW_NUMBER() OVER (
+                     ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+                              doc_id) - 1 AS BIGINT) AS sp
+         FROM documents),
+base AS (SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS n_tokens, sp
+         FROM toks JOIN shuf USING (doc_id)),
+off AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY sp
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_offset
+  FROM base)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 128 AS chunk_id,
+       start_offset % 128 AS chunk_pos,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE (start_offset % 128 + n_tokens - 1) // 128 + 1 END
+            AS BIGINT) AS n_chunks
+FROM off ORDER BY doc_id
+"""
+
+
 def _q_sketch_contamination(spark, sf):
     """Fuzzy benchmark contamination (operators/curation.py
     sketch_contamination): every corpus doc MinHash-LSH-matched against
@@ -2996,6 +3040,7 @@ _REGISTRY: dict[str, tuple] = {
     "canonical_docs": (_q_canonical_docs, _SQL_CANONICAL_DOCS),
     "intra_doc_line_dedup": (_q_intra_doc_line_dedup,
                              _SQL_INTRA_DOC_LINE_DEDUP),
+    "pack_shuffled": (_q_pack_shuffled, _SQL_PACK_SHUFFLED),
 }
 
 
