@@ -2383,6 +2383,74 @@ FROM off ORDER BY doc_id
 """
 
 
+def _q_hash_split(spark, sf):
+    """Deterministic train/val/test carve (operators/curation.py
+    hash_split): per-doc label from where md5(seed ':' doc_id)'s 32-bit
+    prefix falls among the cumulative weight cutoffs — a pure function
+    of the row key, so the split is stable across runs, engines,
+    partitionings, and corpus growth (appending docs never moves an
+    existing doc between splits, unlike randomSplit/ntile)."""
+    from document_ai_spark.operators.curation import hash_split
+
+    return (hash_split(_t(spark, sf, "documents"), seed=7)
+            .select("doc_id", "split").orderBy("doc_id"))
+
+
+# The same cutoff literals hash_split embeds: floor(cum_frac * 2^32)
+# for the default 90/5/5 weights.
+_HS_CUT1 = int(0.90 * 2 ** 32)
+_HS_CUT2 = int((0.90 + 0.05) * 2 ** 32)
+
+_SQL_HASH_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN u < {_HS_CUT1} THEN 'train'
+            WHEN u < {_HS_CUT2} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))
+             ::BIGINT AS u
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
+def _q_chunk_manifest(spark, sf):
+    """Training-reader manifest (operators/curation.py chunk_manifest):
+    the inverse of pack_sequences — one row per (chunk, doc-segment)
+    saying which token range of which document fills which slice of
+    each fixed-length training sequence. Same two-pass prefix sum as
+    pack_sequences plus a bounded per-doc chunk-range explode."""
+    from document_ai_spark.operators.curation import chunk_manifest
+
+    return (chunk_manifest(_t(spark, sf, "documents"),
+                           seq_len=128, bucket_width=100)
+            .orderBy("chunk_id", "chunk_pos"))
+
+
+_SQL_CHUNK_MANIFEST = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+off AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_offset
+  FROM base WHERE n_tokens > 0),
+seg AS (
+  SELECT doc_id, start_offset, n_tokens,
+         unnest(generate_series(start_offset // 128,
+                                (start_offset + n_tokens - 1) // 128)) AS c
+  FROM off)
+SELECT c AS chunk_id, doc_id,
+       greatest(start_offset - c * 128, 0) AS chunk_pos,
+       greatest(c * 128 - start_offset, 0) AS doc_offset,
+       least((c + 1) * 128, start_offset + n_tokens)
+         - greatest(c * 128, start_offset) AS seg_len
+FROM seg
+ORDER BY chunk_id, chunk_pos
+"""
+
+
 def _q_sketch_contamination(spark, sf):
     """Fuzzy benchmark contamination (operators/curation.py
     sketch_contamination): every corpus doc MinHash-LSH-matched against
@@ -3041,6 +3109,8 @@ _REGISTRY: dict[str, tuple] = {
     "intra_doc_line_dedup": (_q_intra_doc_line_dedup,
                              _SQL_INTRA_DOC_LINE_DEDUP),
     "pack_shuffled": (_q_pack_shuffled, _SQL_PACK_SHUFFLED),
+    "hash_split": (_q_hash_split, _SQL_HASH_SPLIT),
+    "chunk_manifest": (_q_chunk_manifest, _SQL_CHUNK_MANIFEST),
 }
 
 

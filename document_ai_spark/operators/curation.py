@@ -290,13 +290,16 @@ def strip_repeated_lines(docs: DataFrame) -> DataFrame:
         "  'kept', filter(ls, (l, i) -> trim(l) = '' "
         "                 OR array_position(ls, l) = i + 1), "
         "  'n', size(ls))), 1)")
+    # long, not int: strip_hot_lines emits count()-typed longs for the
+    # same columns, and the DuckDB oracle's len() is BIGINT — keep the
+    # two passes schema-compatible so they compose and compare.
     return (docs.withColumn("_rl", s)
             .select("doc_id",
                     F.array_join(F.col("_rl.kept"), "\n")
                     .alias("text_dedup"),
-                    F.col("_rl.n").alias("n_lines"),
+                    F.col("_rl.n").cast("long").alias("n_lines"),
                     (F.col("_rl.n") - F.size(F.col("_rl.kept")))
-                    .alias("n_removed")))
+                    .cast("long").alias("n_removed")))
 
 
 def deterministic_sample(docs: DataFrame, fraction: float = 0.25,
@@ -710,3 +713,100 @@ def canonical_docs(docs: DataFrame, jaccard_min: float = 0.5) -> DataFrame:
     return members.select(
         "doc_id", "cluster", "quality_score",
         (F.row_number().over(w) == 1).alias("keep"))
+
+
+def hash_split(docs: DataFrame, weights=None, seed: int = 0,
+               key: str = "doc_id") -> DataFrame:
+    """Deterministic multi-way corpus split (the train/val/test carve
+    every training job runs): adds a ``split`` label chosen by where the
+    32-bit value of md5(seed ':' key)'s first 8 hex chars falls among
+    the cumulative weight cutoffs.
+
+    Properties a 10^12-doc corpus needs and df.randomSplit() lacks:
+
+      * PURE FUNCTION OF THE ROW KEY — identical across runs, engines,
+        cluster layouts, and partition counts (randomSplit's assignment
+        depends on partition iteration order, so a repartition reshuffles
+        the split).
+      * STABLE UNDER GROWTH — each doc's label is independent of every
+        other doc, so appending a crawl batch never moves an existing
+        doc between splits (an ntile/row_number split renumbers
+        everything). This is what keeps yesterday's held-out set held
+        out.
+      * Map-side only: no shuffle, no RNG state, whole-stage codegen.
+      * Granularity 2^-32 (vs deterministic_sample's 1/256): good for
+        a 0.001% eval carve at web scale.
+      * ``seed`` re-deals the whole split; seeds are independent
+        because the hash preimage includes it.
+
+    ``weights`` is an ordered {label: weight} dict (normalized
+    internally; default 90/5/5 train/val/test). The CASE cutoffs are
+    floor(cum_frac * 2^32) with the last forced to 2^32, so labels are
+    disjoint and exhaustive by construction.
+
+    Oracle: the `hash_split` registry row mirrors the md5-prefix
+    arithmetic with ('0x' || substr(md5(..),1,8))::BIGINT in DuckDB —
+    the same 32-bit integer, same cutoffs, bit-identical labels."""
+    if weights is None:
+        weights = {"train": 0.90, "val": 0.05, "test": 0.05}
+    if len(weights) < 2:
+        raise ValueError("hash_split needs >= 2 labels")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights}")
+    total = float(sum(weights.values()))
+    labels = list(weights)
+    cuts, cum = [], 0.0
+    for name in labels[:-1]:
+        cum += weights[name] / total
+        cuts.append(int(cum * 2 ** 32))
+    u = F.expr(
+        f"cast(conv(substring(md5(concat('{seed}', ':', "
+        f"cast({key} as string))), 1, 8), 16, 10) as bigint)")
+    label = F.lit(labels[-1])
+    for name, cut in zip(reversed(labels[:-1]), reversed(cuts)):
+        label = F.when(u < cut, F.lit(name)).otherwise(label)
+    return docs.withColumn("split", label)
+
+
+def chunk_manifest(docs: DataFrame, seq_len: int = 2048,
+                   bucket_width: int = 100_000,
+                   order_col: str = "doc_id") -> DataFrame:
+    """The training-reader's view of pack_sequences: one row per
+    (chunk, document-segment), i.e. exactly which token range of which
+    document fills each position of each fixed-length training sequence.
+
+    pack_sequences answers "where does doc d land?"; a data loader needs
+    the inverse — "chunk c is assembled from THESE segments, in THIS
+    order". Per row: ``chunk_id``, ``doc_id``, ``chunk_pos`` (the
+    segment's first token position inside the chunk), ``doc_offset``
+    (the segment's first token position inside the document) and
+    ``seg_len`` tokens. Segments within a chunk tile it exactly —
+    chunk_pos runs 0..seq_len-1 with no gaps or overlaps except in the
+    stream's final (possibly short) chunk; zero-token docs occupy no
+    stream space and emit no rows.
+
+    Scale shape: pack_sequences' two-pass prefix sum (its exchanges, no
+    new ones) plus a per-doc explode of its chunk range — output rows =
+    corpus rows + total_tokens/seq_len extra boundary rows, each task's
+    explosion bounded by its own docs' n_tokens/seq_len. All integer
+    expression math, whole-stage codegen.
+
+    Oracle: the `chunk_manifest` registry row rebuilds the offsets with
+    SUM() OVER and the segment tiling with generate_series in DuckDB —
+    same integer math, single-node shape."""
+    packed = pack_sequences(docs, seq_len=seq_len,
+                            bucket_width=bucket_width, order_col=order_col)
+    seg = F.explode(F.expr(
+        f"transform(sequence(chunk_id, chunk_id + n_chunks - 1), c -> "
+        f"named_struct("
+        f"  'chunk_id', c,"
+        f"  'chunk_pos', greatest(start_offset - c * {seq_len}, 0),"
+        f"  'doc_offset', greatest(c * {seq_len} - start_offset, 0),"
+        f"  'seg_len', least((c + 1) * {seq_len}, "
+        f"                   start_offset + n_tokens) "
+        f"             - greatest(c * {seq_len}, start_offset)))"
+    )).alias("seg")
+    return (packed.where(F.col("n_tokens") > 0)
+            .select("doc_id", seg)
+            .select("seg.chunk_id", "doc_id", "seg.chunk_pos",
+                    "seg.doc_offset", "seg.seg_len"))
