@@ -2383,6 +2383,42 @@ FROM off ORDER BY doc_id
 """
 
 
+def _q_band_bucket_stats(spark, sf):
+    """LSH bucket-size distribution per band (operators/dedup.py
+    band_bucket_stats): the data-driven sizing signal for the
+    max_bucket cap and the banding shuffle budget — docs, buckets,
+    colliding buckets, largest bucket, and the exact candidate-pair
+    count the expansion stage would emit."""
+    return (D.band_bucket_stats(_t(spark, sf, "documents"),
+                                bands=4, rows=2)
+            .orderBy("band"))
+
+
+_SQL_BAND_BUCKET_STATS = f"""
+WITH sk AS (
+  SELECT doc_id, {_sig_sql(8)} AS sig
+  FROM (SELECT doc_id, sh, {_HS_SQL} AS hs
+        FROM (SELECT doc_id, {_SHINGLE_SQL} AS sh
+              FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents))
+        WHERE len(sh) > 0)),
+banded AS (
+  SELECT doc_id, t.b AS band,
+         md5(array_to_string(
+             list_slice(sig, t.b * 2 + 1, t.b * 2 + 2), '|')) AS band_hash
+  FROM sk, range(0, 4) t(b)),
+buckets AS (
+  SELECT band, band_hash, COUNT(*) AS n FROM banded GROUP BY 1, 2)
+SELECT CAST(band AS INTEGER) AS band,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_buckets,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_colliding_buckets,
+       CAST(MAX(n) AS BIGINT) AS max_bucket,
+       CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM buckets GROUP BY band ORDER BY band
+"""
+
+
 def _q_hash_split(spark, sf):
     """Deterministic train/val/test carve (operators/curation.py
     hash_split): per-doc label from where md5(seed ':' doc_id)'s 32-bit
@@ -3111,6 +3147,7 @@ _REGISTRY: dict[str, tuple] = {
     "pack_shuffled": (_q_pack_shuffled, _SQL_PACK_SHUFFLED),
     "hash_split": (_q_hash_split, _SQL_HASH_SPLIT),
     "chunk_manifest": (_q_chunk_manifest, _SQL_CHUNK_MANIFEST),
+    "band_bucket_stats": (_q_band_bucket_stats, _SQL_BAND_BUCKET_STATS),
 }
 
 

@@ -632,3 +632,65 @@ def ngram_jaccard_pairs(df: DataFrame, sample_ids, k: int = SHINGLE_K
     return pairs.select(
         "probe_id", "doc_id",
         F.round(inter / union, 6).alias("jaccard"))
+
+
+def band_bucket_stats(df: DataFrame, bands: int = LSH_BANDS,
+                      rows: int = LSH_ROWS) -> DataFrame:
+    """Per-band LSH bucket-size distribution — the DATA-DRIVEN sizing
+    signal behind the `max_bucket` cap and the banding shuffle budget.
+
+    MAX_BUCKET=256 is a safety constant chosen far above any organic
+    bucket; this operator measures what the organic buckets actually
+    look like on a given corpus, per band: how many docs index, how
+    many buckets they hash into, how many buckets would expand pairs
+    (size > 1), the largest bucket, and the exact candidate-pair count
+    Σ n·(n−1)/2 the expansion stage will emit. Feed it a
+    deterministic_sample slice to budget a 100 TB run before launching
+    it; `suggest_bucket_cap` turns the answer into a cap.
+
+    Scale shape: the signature-only projection (no bottom-k sketch —
+    stats never verify pairs), one shuffle of bare (band, band_hash)
+    keys, then a `bands`-row rollup with map-side partials. Strictly
+    cheaper than any dedup query it budgets for.
+
+    Oracle: the `band_bucket_stats` registry row mirrors the k-perm
+    signature + banding CTEs in DuckDB and the same two aggregates."""
+    s = with_minhash_signature(
+        df.where(F.col("text").rlike(f"[^{WS_RANGES}]")),
+        n_hashes=bands * rows)
+    banded = s.select(F.explode(F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> named_struct("
+        f"  'band', b,"
+        f"  'band_hash', md5(concat_ws('|', slice(minhash_sig, "
+        f"                b * {rows} + 1, {rows})))))"
+    )).alias("bk")).select("bk.band", "bk.band_hash")
+    buckets = banded.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("n"))
+    return (buckets.groupBy("band").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("n") > 1).cast("long")).alias("n_colliding_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.expr("n * (n - 1) div 2")).alias("candidate_pairs")))
+
+
+def suggest_bucket_cap(df: DataFrame, bands: int = LSH_BANDS,
+                       rows: int = LSH_ROWS, margin: int = 8,
+                       floor: int = 64) -> int:
+    """Derive the `max_bucket` cap from the corpus instead of a
+    constant: the next power of two >= margin x the largest organic
+    bucket (any band), never below `floor`.
+
+    The cap must sit ABOVE every organic bucket (a cap that bites on
+    real buckets silently costs recall — the observed-drop metric would
+    show it, but the point of the cap is to bound ADVERSARIAL buckets
+    only) and low enough that a degenerate bucket cannot OOM a reducer;
+    margin x organic-max is the standard compromise. Runs one
+    band_bucket_stats pass (drive it on a deterministic_sample for a
+    pre-flight budget at full scale); the collect is a `bands`-row
+    control-plane scalar, not data-plane traffic."""
+    stats = band_bucket_stats(df, bands=bands, rows=rows) \
+        .agg(F.max("max_bucket")).first()
+    biggest = int(stats[0] or 1)
+    cap = max(floor, margin * biggest)
+    return 1 << (cap - 1).bit_length()

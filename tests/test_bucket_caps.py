@@ -110,3 +110,35 @@ def test_cap_collectors_are_thread_local(spark):
         t = threading.Thread(target=other)
         t.start(); t.join()
     assert caps.observations == []
+
+
+def test_band_bucket_stats_counts_exactly(spark):
+    # 12 identical docs + 5 unique ones: the identical family shares
+    # every band bucket; uniques land alone (w.h.p. for these texts).
+    docs = spark.createDataFrame(
+        [(f"s{i:02d}", "spam spam spam spam") for i in range(12)]
+        + [(f"u{i}", f"unique text number {i} entirely different {i}")
+           for i in range(5)],
+        schema="doc_id string, text string")
+    stats = {r["band"]: r.asDict()
+             for r in D.band_bucket_stats(docs, bands=4, rows=2).collect()}
+    assert set(stats) == {0, 1, 2, 3}
+    for b, s in stats.items():
+        assert s["n_docs"] == 17
+        assert s["max_bucket"] == 12
+        # the spam family contributes C(12,2)=66 pairs in every band
+        assert s["candidate_pairs"] >= 66
+        assert s["n_colliding_buckets"] >= 1
+        assert s["n_buckets"] <= 17 - 12 + 1 + 0 + 5  # family + uniques
+
+
+def test_suggest_bucket_cap_bounds(spark):
+    docs = spark.createDataFrame(
+        [(f"s{i:02d}", "spam spam spam spam") for i in range(12)]
+        + [(f"u{i}", f"unique text number {i} entirely different {i}")
+           for i in range(5)],
+        schema="doc_id string, text string")
+    cap = D.suggest_bucket_cap(docs, bands=4, rows=2, margin=8, floor=64)
+    # margin * organic max = 96 -> next pow2 = 128; power of two, >= floor
+    assert cap == 128
+    assert D.suggest_bucket_cap(docs.limit(3), margin=2, floor=64) == 64
