@@ -2383,6 +2383,42 @@ FROM off ORDER BY doc_id
 """
 
 
+def _q_budget_sample(spark, sf):
+    """Absolute per-slice token budget (operators/curation.py
+    budget_sample): each (lang, source) slice keeps docs with
+    probability min(1, budget / slice_tokens) under the seeded
+    md5-prefix rule — the unit-of-tokens complement to
+    rebalance_sample's doc-share flattening. budget=200 leaves the smallest
+    slices intact and thins most others at test SFs."""
+    from document_ai_spark.operators.curation import budget_sample
+
+    return (budget_sample(_t(spark, sf, "documents"), max_tokens=200)
+            .select("doc_id", "slice_tokens",
+                    F.round("keep_frac", 6).alias("keep_frac"))
+            .orderBy("doc_id"))
+
+
+_SQL_BUDGET_SAMPLE = f"""
+WITH toks AS (SELECT doc_id, lang, source,
+                     CAST(len({_DUCK_TOKS}) AS BIGINT) AS nt
+              FROM documents),
+tot AS (SELECT lang, source, SUM(nt) AS slice_tokens
+        FROM toks GROUP BY 1, 2),
+fr AS (SELECT lang, source, CAST(slice_tokens AS BIGINT) AS slice_tokens,
+              CASE WHEN slice_tokens <= 0 THEN 1.0
+                   ELSE least(1.0, 200.0 / slice_tokens) END AS keep_frac
+       FROM tot)
+SELECT d.doc_id, fr.slice_tokens, ROUND(fr.keep_frac, 6) AS keep_frac
+FROM documents d JOIN fr ON d.lang IS NOT DISTINCT FROM fr.lang
+                        AND d.source IS NOT DISTINCT FROM fr.source
+WHERE fr.keep_frac >= 1.0
+   OR substr(md5('0:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+      < lower(lpad(hex(CAST(floor(fr.keep_frac * 65536) AS INTEGER)),
+                   4, '0'))
+ORDER BY d.doc_id
+"""
+
+
 def _q_band_bucket_stats(spark, sf):
     """LSH bucket-size distribution per band (operators/dedup.py
     band_bucket_stats): the data-driven sizing signal for the
@@ -3148,6 +3184,7 @@ _REGISTRY: dict[str, tuple] = {
     "hash_split": (_q_hash_split, _SQL_HASH_SPLIT),
     "chunk_manifest": (_q_chunk_manifest, _SQL_CHUNK_MANIFEST),
     "band_bucket_stats": (_q_band_bucket_stats, _SQL_BAND_BUCKET_STATS),
+    "budget_sample": (_q_budget_sample, _SQL_BUDGET_SAMPLE),
 }
 
 

@@ -810,3 +810,64 @@ def chunk_manifest(docs: DataFrame, seq_len: int = 2048,
             .select("doc_id", seg)
             .select("seg.chunk_id", "doc_id", "seg.chunk_pos",
                     "seg.doc_offset", "seg.seg_len"))
+
+
+def budget_sample(docs: DataFrame, max_tokens: int,
+                  keys=("lang", "source"), id_col: str = "doc_id",
+                  seed: int = 0) -> DataFrame:
+    """Cap every corpus slice at an ABSOLUTE token budget (the "at most
+    N tokens from each source" rule a mixture spec states directly):
+    slice s with T_s total tokens keeps each doc with probability
+    min(1, max_tokens / T_s), so the kept slice carries ~max_tokens
+    tokens in expectation. The doc-count complement is
+    temperature_rebalance (relative flattening); this one takes the
+    budget in the unit the training job is priced in.
+
+    Keep rule: first 4 hex chars of md5(seed ':' id) < floor(frac *
+    65536) in hex — the temperature_rebalance discipline (1/65536
+    granularity, frac >= 1.0 keeps all), with hash_split's seeded
+    preimage so re-deals are available. A pure function of (seed, id,
+    slice totals): appending a crawl batch re-dilutes a slice through
+    its new total only — it never flips which EXISTING docs a given
+    (total, seed) kept, and the sampled (not prefix-cut) rule is what
+    makes that composition possible: an exact greedy cut to max_tokens
+    would reshuffle its keep set on every append (and cost a
+    pack_sequences-style prefix sum; use pack_sequences downstream if
+    an exact cut is required).
+
+    Engine parity: T_s is an exact BIGINT sum of script-aware token
+    counts; max_tokens / T_s is one exactly-rounded IEEE division, so
+    the DuckDB oracle computes bit-identical cuts.
+
+    Scale shape: one token-count aggregate (key + partial-sum rows),
+    then a BROADCAST of the per-slice fraction table back onto the
+    scan and a map-side filter — the corpus is read twice and never
+    shuffled. Returns kept rows + (keep_frac, slice_tokens) audit
+    columns."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    from ..functions.tokenize import tokens_sql
+    keys = list(keys)
+    n_tok = F.expr(f"size({tokens_sql('coalesce(text, %s)' % repr(''))})") \
+        .cast("long")
+    totals = (docs.withColumn("_nt", n_tok)
+              .groupBy(*keys).agg(F.sum("_nt").alias("slice_tokens")))
+    frac = F.when(F.col("slice_tokens") <= 0, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), F.lit(float(max_tokens)) / F.col("slice_tokens")))
+    fr = totals.select(
+        *[F.col(k).alias(f"_fr_{k}") for k in keys],
+        "slice_tokens", frac.alias("keep_frac"))
+    cut = F.lower(F.lpad(F.hex(
+        F.floor(F.col("keep_frac") * F.lit(65536.0)).cast("int")), 4, "0"))
+    h = F.substring(F.md5(F.concat_ws(
+        ":", F.lit(str(seed)), F.col(id_col).cast("string"))), 1, 4)
+    keep = (F.col("keep_frac") >= 1.0) | (h < cut)
+    cond = None
+    for k in keys:
+        # null-safe: a NULL lang/source is a real slice (see
+        # temperature_rebalance)
+        c = F.col(k).eqNullSafe(F.col(f"_fr_{k}"))
+        cond = c if cond is None else (cond & c)
+    return (docs.join(F.broadcast(fr), cond)
+            .where(keep)
+            .select(*docs.columns, "slice_tokens", "keep_frac"))

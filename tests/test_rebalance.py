@@ -58,3 +58,66 @@ def test_null_slice_key_is_its_own_slice(spark):
     # the NULL-lang slice is the rarest -> keep_frac 1.0, all 3 kept
     assert len(kept_null) == 3
     assert all(r["keep_frac"] == 1.0 for r in kept_null)
+
+
+# -- budget_sample (absolute per-slice token budget) -------------------------
+
+def _bs_docs(spark):
+    # two slices: 'big' ~3000 tokens across 100 docs, 'small' ~60 tokens
+    rows = ([(i, " ".join(f"w{j}" for j in range(30)), "en", "big")
+             for i in range(100)]
+            + [(1000 + i, "a b c d e f", "en", "small") for i in range(10)])
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+def test_budget_sample_caps_only_over_budget_slices(spark):
+    from document_ai_spark.operators.curation import budget_sample
+    out = budget_sample(_bs_docs(spark), max_tokens=600).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # small slice (60 tokens) is under budget: all 10 kept at frac 1.0
+    assert len(by_src["small"]) == 10
+    assert all(r["keep_frac"] == 1.0 for r in by_src["small"])
+    # big slice (3000 tokens) thins to ~600/3000 = 0.2 of its docs
+    assert all(abs(r["keep_frac"] - 0.2) < 1e-9 for r in by_src["big"])
+    kept_tokens = 30 * len(by_src["big"])
+    assert 200 <= kept_tokens <= 1200        # ~600 expected, md5-binomial
+    assert all(r["slice_tokens"] == 3000 for r in by_src["big"])
+
+
+def test_budget_sample_stable_under_slice_growth(spark):
+    """With the slice total held fixed, appending docs to ANOTHER slice
+    never changes which docs this slice keeps (the decision reads only
+    (seed, doc_id, own-slice total))."""
+    from document_ai_spark.operators.curation import budget_sample
+    base = _bs_docs(spark)
+    grown = base.unionByName(spark.createDataFrame(
+        [(2000 + i, "x y z", "de", "other") for i in range(50)],
+        "doc_id long, text string, lang string, source string"))
+    a = {r["doc_id"] for r in budget_sample(base, 600).collect()
+         if r["source"] == "big"}
+    b = {r["doc_id"] for r in budget_sample(grown, 600).collect()
+         if r["source"] == "big"}
+    assert a == b
+
+
+def test_budget_sample_seed_redeals_and_validates(spark):
+    import pytest
+    from document_ai_spark.operators.curation import budget_sample
+    docs = _bs_docs(spark)
+    a = {r["doc_id"] for r in budget_sample(docs, 600, seed=0).collect()}
+    b = {r["doc_id"] for r in budget_sample(docs, 600, seed=1).collect()}
+    assert a != b
+    with pytest.raises(ValueError):
+        budget_sample(docs, 0)
+
+
+def test_budget_sample_null_slice_keys_survive(spark):
+    from document_ai_spark.operators.curation import budget_sample
+    docs = spark.createDataFrame(
+        [(1, "a b c", None, None), (2, "d e f", None, None)],
+        "doc_id long, text string, lang string, source string")
+    out = budget_sample(docs, max_tokens=100).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
