@@ -31,7 +31,13 @@ cap/gate metrics land in <output>/_manifests/):
   4. optional PII redaction of survivors (--scrub-pii: e-mail/phone/
      IPv4 -> typed placeholders + per-doc counts; applied LAST so gates
      and the dedup index key on original bytes),
-  5. survivors land in <output>/data/bucket=<b>/.
+  5. optional deterministic split labels (--split
+     train=0.9,val=0.05,test=0.05: hash_split on doc_id — stable
+     across resumes and corpus growth),
+  6. survivors land in <output>/data/bucket=<b>/;
+  7. optional --slice-budget caps every (lang, source) slice of the
+     COMMITTED survivors at ~N tokens (budget_sample) into
+     <output>/data_budgeted/.
 
 The gate signal columns ride along, so the output doubles as a
 per-document quality audit table. A final token_budget rollup over all
@@ -122,6 +128,21 @@ def main() -> None:
                     help="deterministic fraction of the input sampled "
                          "as the negative training class (with "
                          "--nb-ref)")
+    ap.add_argument("--split", default=None, metavar="W",
+                    help="carve survivors into deterministic splits, "
+                         "e.g. 'train=0.9,val=0.05,test=0.05': adds a "
+                         "`split` column via hash_split (pure function "
+                         "of --split-seed and doc_id — stable across "
+                         "resumes and corpus growth)")
+    ap.add_argument("--split-seed", type=int, default=0)
+    ap.add_argument("--slice-budget", type=int, default=None,
+                    metavar="TOKENS",
+                    help="after curation, cap every (lang, source) "
+                         "slice of the committed survivors at ~TOKENS "
+                         "tokens (budget_sample over the FINAL corpus "
+                         "— budgets apply to what survived the gates, "
+                         "not the raw crawl); budgeted rows land in "
+                         "<output>/data_budgeted/")
     ap.add_argument("--scrub-pii", action="store_true",
                     help="redact e-mail/phone/IPv4 in survivors with "
                          "typed placeholders (operators/web.py) as the "
@@ -149,6 +170,14 @@ def main() -> None:
 
     if args.eval_fuzzy is not None and not args.eval:
         ap.error("--eval-fuzzy requires --eval")
+    split_weights = None
+    if args.split:
+        try:
+            split_weights = {
+                part.split("=")[0]: float(part.split("=")[1])
+                for part in args.split.split(",")}
+        except (IndexError, ValueError):
+            ap.error("--split expects 'name=frac,name=frac,...'")
 
     spark = get_spark("document_ai_spark.curate", master=args.master)
     docs = spark.read.parquet(args.input)
@@ -305,6 +334,13 @@ def main() -> None:
             # original bytes — resumes and incremental probes of a
             # scrubbed run remain comparable with unscrubbed history.
             survivors = scrub_pii(survivors)
+        if split_weights is not None:
+            # Pure map-side function of (seed, doc_id): a resumed
+            # bucket re-derives the identical labels, so the split is
+            # checkpoint-safe by construction.
+            from document_ai_spark.operators.curation import hash_split
+            survivors = hash_split(survivors, weights=split_weights,
+                                   seed=args.split_seed)
         return survivors
 
     store = run_checkpointed(
@@ -320,6 +356,20 @@ def main() -> None:
           f"({len(store.committed_buckets())} buckets)")
     token_budget(survivors.select("doc_id", "text", "lang", "source")) \
         .show(100, truncate=False)
+    if args.slice_budget is not None:
+        # Budgets are stated against the CURATED corpus (what a
+        # training job would actually read), so this runs over the
+        # committed survivors, not the raw crawl. Deterministic from
+        # (committed set, seed): re-running overwrites byte-identically.
+        from document_ai_spark.operators.curation import budget_sample
+        budgeted = budget_sample(survivors, max_tokens=args.slice_budget)
+        budgeted.write.mode("overwrite") \
+            .parquet(f"{args.output}/data_budgeted")
+        n_b = budgeted.count()
+        print(f"slice budget {args.slice_budget} tokens: "
+              f"{n_out} -> {n_b} docs -> {args.output}/data_budgeted")
+        token_budget(budgeted.select("doc_id", "text", "lang", "source")) \
+            .show(100, truncate=False)
     spark.stop()
 
 

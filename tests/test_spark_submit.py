@@ -271,3 +271,52 @@ def test_spark_submit_run_curate_nb_filter(tmp_path):
     # The model persisted for resume: both tables committed.
     assert (out / "_nb_model" / "model" / "_SUCCESS").exists()
     assert (out / "_nb_model" / "params" / "_SUCCESS").exists()
+
+
+@pytest.mark.skipif(not Path(SPARK_SUBMIT).exists(),
+                    reason="spark-submit not on this host")
+def test_spark_submit_run_curate_split_and_budget(tmp_path):
+    """--split labels survivors deterministically; --slice-budget caps
+    each slice of the COMMITTED corpus and writes data_budgeted/."""
+    zip_path = tmp_path / "document_ai_spark.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for f in sorted((REPO / "document_ai_spark").rglob("*.py")):
+            z.write(f, f.relative_to(REPO))
+
+    out = tmp_path / "curate_out"
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--py-files", str(zip_path),
+           str(REPO / "scripts" / "run_curate.py"),
+           "--input", "/root/testdata/sf0.001/documents.parquet",
+           "--output", str(out), "--buckets", "2", "--run-id", "t-sb",
+           "--split", "train=0.9,val=0.05,test=0.05",
+           "--slice-budget", "200"]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "slice budget 200 tokens:" in p.stdout
+
+    import duckdb
+    data = duckdb.sql(
+        f"SELECT split, COUNT(*) FROM '{out}/data/bucket=*/*.parquet' "
+        "GROUP BY 1").fetchall()
+    labels = {r[0] for r in data}
+    assert labels <= {"train", "val", "test"} and "train" in labels
+    # split labels are the pure md5 function of doc_id (seed 0)
+    import hashlib
+    rows = duckdb.sql(
+        f"SELECT doc_id, split FROM '{out}/data/bucket=*/*.parquet'"
+    ).fetchall()
+    cut1, cut2 = int(0.90 * 2 ** 32), int(0.95 * 2 ** 32)
+    for doc_id, split in rows:
+        u = int(hashlib.md5(f"0:{doc_id}".encode()).hexdigest()[:8], 16)
+        want = "train" if u < cut1 else "val" if u < cut2 else "test"
+        assert split == want
+    # budgeted output exists, is a subset, and keeps keep_frac audit
+    b = duckdb.sql(
+        f"SELECT COUNT(*), MIN(keep_frac), MAX(keep_frac) "
+        f"FROM '{out}/data_budgeted/*.parquet'").fetchone()
+    n_all = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{out}/data/bucket=*/*.parquet'"
+    ).fetchone()[0]
+    assert 0 < b[0] <= n_all
+    assert 0 < b[1] <= b[2] <= 1.0
