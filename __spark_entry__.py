@@ -2383,6 +2383,69 @@ FROM off ORDER BY doc_id
 """
 
 
+def _q_corpus_overlap(spark, sf):
+    """Big-vs-big fuzzy corpus overlap (operators/dedup.py
+    corpus_overlap): every-3rd doc mutated (first word dropped, id
+    shifted) plays the second corpus; each original near-dupping a
+    mutation reports (n_b_matches, max_jaccard). Both sides shuffle
+    once on banded keys into a shuffle-hash equi join — the
+    two-big-corpora member of the contamination family."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    b = d.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("array_join(slice(split(trim(text), '\\\\s+'), 2, "
+               "size(split(trim(text), '\\\\s+'))), ' ')").alias("text"))
+    return D.corpus_overlap(d, b, jaccard_min=0.5).orderBy("doc_id")
+
+
+def _sql_corpus_overlap() -> str:
+    bands, rows = 4, 2
+    # plain __SRC__ placeholder, NOT str.format: the embedded token /
+    # shingle SQL is full of regex braces like \x{0009}
+    band_sql = (
+        "SELECT doc_id, sketch, t.b AS band,\n"
+        "       md5(array_to_string(\n"
+        f"           list_slice(sig, t.b * {rows} + 1, "
+        f"t.b * {rows} + {rows}), '|')) AS band_hash\n"
+        f"FROM __SRC__, range(0, {bands}) t(b)")
+    sk_sql = (
+        "SELECT doc_id,\n"
+        "       list_slice(list_sort(list_distinct(\n"
+        "           list_transform(sh, s -> md5(s)))), 1, 8) AS sketch,\n"
+        f"       {_sig_sql(bands * rows)} AS sig\n"
+        "FROM (SELECT doc_id, sh, " + _HS_SQL + " AS hs\n"
+        "      FROM (SELECT doc_id, " + _SHINGLE_SQL + " AS sh\n"
+        "            FROM (SELECT doc_id, " + _DUCK_TOKS +
+        " AS toks FROM __SRC__))\n"
+        "      WHERE len(sh) > 0)")
+    return f"""
+WITH a_docs AS (SELECT doc_id, text FROM documents),
+b_docs AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         coalesce(array_to_string(
+             list_slice(str_split_regex(trim(text),
+                                        '[ \\x{{0009}}-\\x{{000D}}]+'), 2,
+                        len(str_split_regex(trim(text),
+                                            '[ \\x{{0009}}-\\x{{000D}}]+'))),
+             ' '), '') AS text
+  FROM documents WHERE doc_id % 3 = 0),
+a_sk AS ({sk_sql.replace('__SRC__', 'a_docs')}),
+b_sk AS ({sk_sql.replace('__SRC__', 'b_docs')}),
+a_band AS ({band_sql.replace('__SRC__', 'a_sk')}),
+b_band AS ({band_sql.replace('__SRC__', 'b_sk')}),
+cand AS (
+  SELECT a.doc_id, b.doc_id AS b_id,
+         ROUND(len(list_intersect(a.sketch, b.sketch))
+               / len(list_distinct(a.sketch || b.sketch)), 6) AS jaccard
+  FROM a_band a JOIN b_band b USING (band, band_hash)
+  WHERE len(list_intersect(a.sketch, b.sketch))
+        / len(list_distinct(a.sketch || b.sketch)) >= 0.5)
+SELECT doc_id, CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_b_matches,
+       MAX(jaccard) AS max_jaccard
+FROM cand GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _q_budget_sample(spark, sf):
     """Absolute per-slice token budget (operators/curation.py
     budget_sample): each (lang, source) slice keeps docs with
@@ -3185,6 +3248,7 @@ _REGISTRY: dict[str, tuple] = {
     "chunk_manifest": (_q_chunk_manifest, _SQL_CHUNK_MANIFEST),
     "band_bucket_stats": (_q_band_bucket_stats, _SQL_BAND_BUCKET_STATS),
     "budget_sample": (_q_budget_sample, _SQL_BUDGET_SAMPLE),
+    "corpus_overlap": (_q_corpus_overlap, _sql_corpus_overlap()),
 }
 
 

@@ -694,3 +694,62 @@ def suggest_bucket_cap(df: DataFrame, bands: int = LSH_BANDS,
     biggest = int(stats[0] or 1)
     cap = max(floor, margin * biggest)
     return 1 << (cap - 1).bit_length()
+
+
+def corpus_overlap(docs_a: DataFrame, docs_b: DataFrame,
+                   jaccard_min: float = 0.5,
+                   bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+                   max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """BIG-vs-BIG fuzzy corpus overlap: for every doc of ``docs_a``, how
+    many ``docs_b`` docs it near-duplicates and the best sketch-Jaccard
+    — "how much of this crawl is already in the training set", measured
+    before deciding to ingest it.
+
+    This is the two-big-corpora member of the family: eval-sized B goes
+    through sketch_contamination (B broadcasts, A never shuffles);
+    append-only ingestion goes through SketchIndex (B is the persisted
+    index). Here BOTH sides are corpus-scale, so both shuffle ONCE on
+    their banded keys into a shuffle-hash equi join — never a broadcast,
+    never a cross join. The B side is capped per (band, band_hash)
+    bucket (deterministic min-doc_id prefix, same discipline as
+    _cap_bucket_items) so a degenerate shared-boilerplate bucket bounds
+    the join's per-key fanout at max_bucket; multi-band duplicate hits
+    are absorbed by the per-doc count_distinct/max aggregate, so no
+    first-band filter and no pair-dedup exchange is needed.
+
+    Returns (doc_id, n_b_matches, max_jaccard), one row per A doc with
+    >= 1 match clearing ``jaccard_min``.
+
+    Oracle: the `corpus_overlap` registry row mirrors the banding and
+    the bottom-k estimate CTE-for-CTE over a planted mutated copy."""
+    from pyspark.sql import Window
+
+    from .sketch_index import banded_sketch_rows
+    a = banded_sketch_rows(docs_a, bands=bands, rows=rows).select(
+        "doc_id", "minhash_sketch", "band", "band_hash")
+    b = banded_sketch_rows(docs_b, bands=bands, rows=rows).select(
+        F.col("doc_id").alias("b_id"),
+        F.col("minhash_sketch").alias("b_sketch"),
+        "band", "band_hash")
+    w = Window.partitionBy("band", "band_hash").orderBy("b_id")
+    b = (b.withColumn("_rn", F.row_number().over(w))
+         .where(F.col("_rn") <= max_bucket).drop("_rn"))
+    inter = F.size(F.array_intersect("minhash_sketch", "b_sketch"))
+    union = F.size(F.array_union("minhash_sketch", "b_sketch"))
+    cand = (a.join(b, ["band", "band_hash"])
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .where(F.col("jaccard") >= jaccard_min))
+    return (cand.groupBy("doc_id")
+            .agg(F.count_distinct("b_id").alias("n_b_matches"),
+                 F.max("jaccard").alias("max_jaccard")))
+
+
+def novel_docs(docs_a: DataFrame, docs_b: DataFrame,
+               jaccard_min: float = 0.5,
+               bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+               max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """``docs_a`` minus everything fuzzy-present in ``docs_b`` — the
+    ingest-the-new-crawl filter (corpus_overlap hits, anti-joined)."""
+    hits = corpus_overlap(docs_a, docs_b, jaccard_min=jaccard_min,
+                          bands=bands, rows=rows, max_bucket=max_bucket)
+    return docs_a.join(hits.select("doc_id"), "doc_id", "left_anti")

@@ -80,3 +80,51 @@ def test_corpus_side_never_shuffles(spark):
     plan = (sketch_contamination(docs, evals)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# -- corpus_overlap / novel_docs (big-vs-big member of the family) -----------
+
+def test_corpus_overlap_finds_planted_mutations(spark):
+    from document_ai_spark.operators.dedup import corpus_overlap, novel_docs
+    a = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta"),
+         (1, "totally different content about other things entirely"),
+         (2, "third document with its own unique words here")],
+        "doc_id long, text string")
+    # b0 near-dups a0 (one word dropped); b1 is unrelated
+    b = spark.createDataFrame(
+        [(100, "beta gamma delta epsilon zeta eta theta"),
+         (101, "nothing in common with anything above at all")],
+        "doc_id long, text string")
+    hits = {r["doc_id"]: r for r in
+            corpus_overlap(a, b, jaccard_min=0.5).collect()}
+    assert set(hits) == {0}
+    assert hits[0]["n_b_matches"] == 1
+    assert hits[0]["max_jaccard"] >= 0.5
+    novel = {r["doc_id"] for r in novel_docs(a, b).collect()}
+    assert novel == {1, 2}
+
+
+def test_corpus_overlap_multi_match_counts_distinct(spark):
+    from document_ai_spark.operators.dedup import corpus_overlap
+    text = "one two three four five six seven eight nine ten"
+    a = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    # three near-identical B copies -> n_b_matches counts each ONCE even
+    # though every (band, copy) collision reaches the aggregate
+    b = spark.createDataFrame(
+        [(100, text), (101, text), (102, text + " eleven")],
+        "doc_id long, text string")
+    r = corpus_overlap(a, b, jaccard_min=0.5).collect()
+    assert len(r) == 1 and r[0]["n_b_matches"] == 3
+    assert r[0]["max_jaccard"] == 1.0
+
+
+def test_corpus_overlap_b_bucket_cap_bounds_matches(spark):
+    from document_ai_spark.operators.dedup import corpus_overlap
+    text = "spam spam spam spam spam spam"
+    a = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(100 + i, text) for i in range(40)], "doc_id long, text string")
+    r = corpus_overlap(a, b, jaccard_min=0.0, max_bucket=5).collect()
+    # deterministic min-id prefix of each bucket survives the cap
+    assert len(r) == 1 and r[0]["n_b_matches"] == 5
