@@ -3138,6 +3138,168 @@ ORDER BY doc_id
 """
 
 
+def _q_gopher_rules(spark, sf):
+    """Gopher quality-rule flags (operators/selection.py gopher_rules):
+    the published Rae et al. 2021 App. A rule set — word count, mean
+    word length, symbol/bullet/ellipsis ratios, alpha-word fraction,
+    required-stopword presence — each as a boolean plus the combined
+    gopher_keep, in ONE corpus scan (two single-eval structs)."""
+    from document_ai_spark.operators.selection import gopher_rules
+
+    return gopher_rules(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+_SQL_GOPHER_RULES = f"""
+WITH tk AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+    len(t) AS n_words,
+    ROUND(COALESCE(list_sum(list_transform(t, w -> length(w))), 0)
+          / GREATEST(len(t), 1)::DOUBLE, 6) AS mean_word_len,
+    ROUND(((length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3)
+          / GREATEST(len(t), 1)::DOUBLE, 6) AS symbol_ratio,
+    ROUND(len(list_filter(str_split(text, chr(10)),
+                          l -> regexp_matches(trim(l),
+                                              '^[-*\\x{{2022}}]')))
+          / GREATEST(len(str_split(text, chr(10))), 1)::DOUBLE, 6)
+      AS bullet_frac,
+    ROUND(len(list_filter(str_split(text, chr(10)),
+                          l -> regexp_matches(l,
+                                   '(\\.\\.\\.|\\x{{2026}}) *$')))
+          / GREATEST(len(str_split(text, chr(10))), 1)::DOUBLE, 6)
+      AS ellipsis_frac,
+    ROUND(len(list_filter(t, w -> regexp_matches(w, '[{ALPHA_RANGES}]')))
+          / GREATEST(len(t), 1)::DOUBLE, 6) AS alpha_frac,
+    len(list_intersect(list_transform(t, w -> lower(w)),
+        ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+      AS stop_hits
+  FROM tk)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, stop_hits,
+       (n_words BETWEEN 50 AND 100000) AS ok_words,
+       (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mwl,
+       (symbol_ratio <= 0.1) AS ok_symbols,
+       (bullet_frac <= 0.9) AS ok_bullets,
+       (ellipsis_frac <= 0.3) AS ok_ellipsis,
+       (alpha_frac >= 0.8) AS ok_alpha,
+       (stop_hits >= 2) AS ok_stops,
+       ((n_words BETWEEN 50 AND 100000)
+        AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        AND (symbol_ratio <= 0.1) AND (bullet_frac <= 0.9)
+        AND (ellipsis_frac <= 0.3) AND (alpha_frac >= 0.8)
+        AND (stop_hits >= 2)) AS gopher_keep
+FROM m ORDER BY doc_id
+"""
+
+
+def _q_perplexity_buckets(spark, sf):
+    """CCNet head/middle/tail perplexity buckets (operators/selection.py
+    perplexity_buckets): per-lang thirds of the unigram-LM score,
+    thresholds from exact percentiles (quantile_cont parity)."""
+    from document_ai_spark.operators.selection import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+_SQL_PERPLEXITY_BUCKETS = f"""
+WITH words AS (
+  SELECT doc_id, lower(w) AS word
+  FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents)
+  WHERE w <> ''),
+freqs AS (SELECT word, COUNT(*) AS wc FROM words GROUP BY word),
+tot AS (SELECT CAST(SUM(wc) AS DOUBLE) AS n_tok,
+               CAST(COUNT(*) AS DOUBLE) AS vocab FROM freqs),
+lp AS (SELECT doc_id,
+              ROUND(AVG(ln((wc + 1) / (n_tok + vocab))), 6)
+                AS unigram_logprob
+       FROM words JOIN freqs USING (word), tot GROUP BY doc_id),
+scored AS (SELECT d.doc_id, d.lang, lp.unigram_logprob
+           FROM documents d JOIN lp ON d.doc_id = lp.doc_id),
+th AS (SELECT lang,
+              ROUND(quantile_cont(unigram_logprob,
+                                  {1.0 / 3.0!r}), 4) AS t_mid,
+              ROUND(quantile_cont(unigram_logprob,
+                                  {2.0 / 3.0!r}), 4) AS t_head
+       FROM scored GROUP BY lang)
+SELECT s.doc_id, s.lang, s.unigram_logprob,
+       CASE WHEN s.unigram_logprob >= th.t_head THEN 'head'
+            WHEN s.unigram_logprob >= th.t_mid THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scored s JOIN th USING (lang) ORDER BY s.doc_id
+"""
+
+
+# Shared CTE prefix for the DSIR oracles: hashed unigram+bigram bucket
+# stream, bucket distributions (target = lang 'en' vs raw = all), and
+# the add-one-smoothed log-ratio table (the Spark side's broadcast).
+_DSIR_CTES = f"""
+tk AS (SELECT doc_id, (lang = 'en') AS is_t,
+              list_transform({_DUCK_TOKS}, w -> lower(w)) AS t
+       FROM documents),
+feats AS (
+  SELECT doc_id, is_t,
+         unnest(list_concat(t,
+           list_transform(t[1:len(t) - 1],
+                          (w, i) -> w || ' ' || t[i + 1]))) AS feat
+  FROM tk),
+b AS (SELECT doc_id, is_t,
+             ('0x' || substr(md5(feat), 1, 7))::BIGINT % 1024 AS bucket
+      FROM feats),
+bc AS (SELECT bucket,
+              SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t,
+              COUNT(*) AS c_r
+       FROM b GROUP BY bucket),
+tot AS (SELECT CAST(SUM(c_t) AS DOUBLE) AS t_tot,
+               CAST(SUM(c_r) AS DOUBLE) AS r_tot FROM bc),
+ratio AS (SELECT bucket,
+                 ln((c_t + 1) / (t_tot + 1024))
+                 - ln((c_r + 1) / (r_tot + 1024)) AS lr
+          FROM bc, tot),
+w AS (SELECT doc_id, COUNT(*) AS n_features,
+             ROUND(SUM(lr), 4) AS dsir_logw
+      FROM b JOIN ratio USING (bucket) GROUP BY doc_id)
+"""
+
+
+def _q_dsir_weights(spark, sf):
+    """DSIR importance log-weights (operators/selection.py
+    dsir_logweights): hashed unigram+bigram bucket distributions,
+    target = lang 'en' vs the raw corpus; log w = sum of smoothed
+    bucket log-ratios (Xie et al. 2023)."""
+    from document_ai_spark.operators.selection import dsir_logweights
+
+    return dsir_logweights(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+_SQL_DSIR_WEIGHTS = f"""
+WITH {_DSIR_CTES}
+SELECT doc_id, n_features, dsir_logw FROM w ORDER BY doc_id
+"""
+
+
+def _q_dsir_sample(spark, sf):
+    """DSIR Gumbel-top-k resample (operators/selection.py dsir_sample):
+    k=25 docs sampled without replacement proportional to the
+    importance weight via md5-seeded Gumbel perturbation — fully
+    deterministic and engine-independent."""
+    from document_ai_spark.operators.selection import dsir_sample
+
+    return dsir_sample(_t(spark, sf, "documents"), k=25)
+
+
+_SQL_DSIR_SAMPLE = f"""
+WITH {_DSIR_CTES}
+SELECT doc_id, n_features, dsir_logw,
+       ROUND(dsir_logw
+             + (-ln(-ln((('0x' || substr(md5('0:'
+                          || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         + 1) / 4294967297.0))), 4) AS gumbel_key
+FROM w ORDER BY gumbel_key DESC, doc_id LIMIT 25
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple] = {
@@ -3249,6 +3411,10 @@ _REGISTRY: dict[str, tuple] = {
     "band_bucket_stats": (_q_band_bucket_stats, _SQL_BAND_BUCKET_STATS),
     "budget_sample": (_q_budget_sample, _SQL_BUDGET_SAMPLE),
     "corpus_overlap": (_q_corpus_overlap, _sql_corpus_overlap()),
+    "gopher_rules": (_q_gopher_rules, _SQL_GOPHER_RULES),
+    "perplexity_buckets": (_q_perplexity_buckets, _SQL_PERPLEXITY_BUCKETS),
+    "dsir_weights": (_q_dsir_weights, _SQL_DSIR_WEIGHTS),
+    "dsir_sample": (_q_dsir_sample, _SQL_DSIR_SAMPLE),
 }
 
 
