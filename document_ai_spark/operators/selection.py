@@ -195,16 +195,26 @@ def _hashed_features(docs: DataFrame, target: Column,
 
 
 def dsir_logweights(docs: DataFrame, target: Column | None = None,
-                    n_buckets: int = 1024) -> DataFrame:
+                    n_buckets: int = 1024,
+                    target_docs: DataFrame | None = None) -> DataFrame:
     """DSIR importance log-weights (Xie et al. 2023): score each raw
     document by how target-like its hashed-n-gram profile is,
 
         log w(x) = sum over features f of
                    [ ln p_target(bucket(f)) - ln p_raw(bucket(f)) ]
 
-    with add-one-smoothed bucket distributions estimated from the
-    corpus itself: the target distribution from rows where ``target``
-    holds (default: lang = 'en'), the raw distribution from ALL rows.
+    with add-one-smoothed bucket distributions. Two published shapes:
+
+      * in-corpus target (default): p_target from the rows of ``docs``
+        where the ``target`` predicate holds (default lang = 'en'),
+        p_raw from ALL rows;
+      * reference corpus: pass ``target_docs`` (doc_id, text) — e.g.
+        Wikipedia as the trusted domain — and p_target is estimated
+        from it while p_raw stays the raw corpus (the paper's setup).
+        The reference's bucket counts are one n_buckets-row aggregate,
+        so an arbitrarily large reference costs one extra scan and no
+        extra shuffle width.
+
     High-weight documents look like the target domain; selecting the
     top of the weight distribution (see dsir_sample) is the published
     alternative to binary classifier gating.
@@ -212,12 +222,24 @@ def dsir_logweights(docs: DataFrame, target: Column | None = None,
     Returns (doc_id, n_features, dsir_logw); the sum rounds to 4
     decimals so engine-dependent float summation order can't flip the
     hash compare. Zero-token docs have no features and no row."""
-    if target is None:
-        target = F.col("lang") == "en"
-    feats = _hashed_features(docs, target, n_buckets)
-    bc = feats.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("c_t"),
-        F.count("*").alias("c_r"))
+    if target_docs is not None:
+        feats = _hashed_features(docs, F.lit(False), n_buckets)
+        tcounts = (_hashed_features(target_docs, F.lit(True), n_buckets)
+                   .groupBy("bucket").agg(F.count("*").alias("c_t")))
+        rcounts = feats.groupBy("bucket").agg(F.count("*").alias("c_r"))
+        # Full outer: a bucket seen only in the reference still shifts
+        # the smoothed totals; a raw-only bucket gets c_t = 0.
+        bc = (rcounts.join(tcounts, "bucket", "full_outer")
+              .select("bucket",
+                      F.coalesce("c_t", F.lit(0)).alias("c_t"),
+                      F.coalesce("c_r", F.lit(0)).alias("c_r")))
+    else:
+        if target is None:
+            target = F.col("lang") == "en"
+        feats = _hashed_features(docs, target, n_buckets)
+        bc = feats.groupBy("bucket").agg(
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("c_t"),
+            F.count("*").alias("c_r"))
     tot = bc.agg(F.sum("c_t").cast("double").alias("t_tot"),
                  F.sum("c_r").cast("double").alias("r_tot"))
     ratio = (bc.crossJoin(F.broadcast(tot))
@@ -234,7 +256,8 @@ def dsir_logweights(docs: DataFrame, target: Column | None = None,
 
 
 def dsir_sample(docs: DataFrame, k: int, target: Column | None = None,
-                n_buckets: int = 1024, seed: int = 0) -> DataFrame:
+                n_buckets: int = 1024, seed: int = 0,
+                target_docs: DataFrame | None = None) -> DataFrame:
     """DSIR's Gumbel-top-k importance resample: perturb each log-weight
     with an i.i.d. Gumbel(0,1) draw and keep the k largest — exactly
     sampling k documents without replacement with probability
@@ -246,7 +269,8 @@ def dsir_sample(docs: DataFrame, k: int, target: Column | None = None,
     under repartitioning. Selection key rounds to 4 decimals with a
     doc_id tiebreak -> a total order both engines agree on; the top-k
     is an orderBy+limit (TakeOrdered), never a full sort."""
-    w = dsir_logweights(docs, target=target, n_buckets=n_buckets)
+    w = dsir_logweights(docs, target=target, n_buckets=n_buckets,
+                        target_docs=target_docs)
     u = ((F.expr(f"cast(conv(substring(md5(concat('{seed}', ':', "
                  "cast(doc_id as string))), 1, 8), 16, 10) as bigint)")
           + 1) / F.lit(float(2 ** 32 + 1)))

@@ -21,6 +21,11 @@ cap/gate metrics land in <output>/_manifests/):
      drop docs whose token coverage by corpus-duplicated w-token
      windows exceeds the threshold; hot-window table persisted under
      <output>/_hot_spans, the _hot_lines discipline),
+  1c. optional Gopher rule set (--gopher: the published Rae et al.
+     2021 App. A flags, knobs --gopher-min-words/--gopher-min-stops)
+     and CCNet perplexity-bucket filter (--ppl-keep head,middle:
+     corpus-level per-lang unigram-LM terciles, bucket map persisted
+     under <output>/_ppl_buckets),
   2. optional benchmark decontamination against --eval: exact word
      n-gram blocklist (--eval-ngram), plus the paraphrase-robust
      MinHash-LSH fuzzy pass (--eval-fuzzy; sketch_contamination —
@@ -37,7 +42,10 @@ cap/gate metrics land in <output>/_manifests/):
   6. survivors land in <output>/data/bucket=<b>/;
   7. optional --slice-budget caps every (lang, source) slice of the
      COMMITTED survivors at ~N tokens (budget_sample) into
-     <output>/data_budgeted/.
+     <output>/data_budgeted/;
+  8. optional --dsir-top K resamples the committed survivors by DSIR
+     hashed-n-gram importance weight (Gumbel top-K; target = --dsir-ref
+     parquet or the --dsir-target predicate) into <output>/data_dsir/.
 
 The gate signal columns ride along, so the output doubles as a
 per-document quality audit table. A final token_budget rollup over all
@@ -143,6 +151,42 @@ def main() -> None:
                          "— budgets apply to what survived the gates, "
                          "not the raw crawl); budgeted rows land in "
                          "<output>/data_budgeted/")
+    ap.add_argument("--gopher", action="store_true",
+                    help="apply the Gopher rule set (Rae et al. 2021 "
+                         "App. A: word count, mean word length, symbol/"
+                         "bullet/ellipsis ratios, alpha fraction, "
+                         "required stopwords) as an extra gate on the "
+                         "post-line-dedup text; per-rule flags ride the "
+                         "audit output")
+    ap.add_argument("--gopher-min-words", type=int, default=50,
+                    help="Gopher word-count floor (paper default 50; "
+                         "tune down for short-document corpora)")
+    ap.add_argument("--gopher-min-stops", type=int, default=2,
+                    help="required distinct Gopher stopwords "
+                         "(paper default 2)")
+    ap.add_argument("--ppl-keep", default=None, metavar="BUCKETS",
+                    help="CCNet perplexity-bucket filter: keep only "
+                         "docs whose per-lang unigram-LM third is in "
+                         "this comma list, e.g. 'head,middle' (CCNet "
+                         "trains on head+middle). Buckets are computed "
+                         "ONCE from the raw corpus (the LM and its "
+                         "thresholds are corpus-relative), persisted "
+                         "under <output>/_ppl_buckets, and reused "
+                         "across buckets and resumes")
+    ap.add_argument("--dsir-top", type=int, default=None, metavar="K",
+                    help="after curation, DSIR-resample the committed "
+                         "survivors (Xie et al. 2023): Gumbel-top-K by "
+                         "hashed unigram+bigram importance weight into "
+                         "<output>/data_dsir/")
+    ap.add_argument("--dsir-ref", default=None, metavar="PARQUET",
+                    help="reference target corpus for --dsir-top "
+                         "(doc_id, text) — e.g. a trusted-domain "
+                         "sample; when absent the target distribution "
+                         "comes from survivors matching --dsir-target")
+    ap.add_argument("--dsir-target", default="lang = 'en'",
+                    help="SQL predicate defining the in-corpus target "
+                         "distribution when --dsir-ref is absent")
+    ap.add_argument("--dsir-seed", type=int, default=0)
     ap.add_argument("--scrub-pii", action="store_true",
                     help="redact e-mail/phone/IPv4 in survivors with "
                          "typed placeholders (operators/web.py) as the "
@@ -227,6 +271,29 @@ def main() -> None:
         nb_model = spark.read.parquet(f"{nb_path}/model")
         nb_params = spark.read.parquet(f"{nb_path}/params")
 
+    ppl_keep = ppl_map = None
+    if args.ppl_keep:
+        ppl_keep = [b.strip() for b in args.ppl_keep.split(",")
+                    if b.strip()]
+        if not ppl_keep or set(ppl_keep) - {"head", "middle", "tail"}:
+            ap.error("--ppl-keep expects a comma list of "
+                     "head/middle/tail")
+        # The unigram LM and its per-lang tercile thresholds are
+        # corpus-relative, so buckets must come from ONE corpus-wide
+        # pass over the ORIGINAL text — never per checkpoint bucket
+        # (a bucket-local LM shifts every logprob). Persisted like
+        # _hot_lines: deterministic from the input, resume-identical.
+        import os
+
+        from document_ai_spark.operators.selection import (
+            perplexity_buckets,
+        )
+        pb_path = f"{args.output}/_ppl_buckets"
+        if not os.path.exists(os.path.join(pb_path, "_SUCCESS")):
+            perplexity_buckets(docs).write.mode("overwrite") \
+                .parquet(pb_path)
+        ppl_map = spark.read.parquet(pb_path)
+
     hot_spans = None
     if args.dup_span_max is not None:
         # Same discipline as _hot_lines: one corpus-wide aggregate over
@@ -270,6 +337,31 @@ def main() -> None:
                 .join(gated, "doc_id")
                 .where("keep")
                 .drop("keep"))
+        if args.gopher:
+            # Published-constant rule set on the post-line-dedup text;
+            # per-rule flags join onto the audit output so a dropped
+            # rule is attributable.
+            from document_ai_spark.operators.selection import (
+                gopher_rules,
+            )
+            gr = gopher_rules(kept.select("doc_id", "text"),
+                              min_words=args.gopher_min_words,
+                              min_stop_hits=args.gopher_min_stops)
+            kept = (kept
+                    .join(gr.select("doc_id", "ok_words", "ok_mwl",
+                                    "ok_symbols", "ok_bullets",
+                                    "ok_ellipsis", "ok_alpha", "ok_stops",
+                                    "gopher_keep"), "doc_id")
+                    .where("gopher_keep").drop("gopher_keep"))
+        if ppl_map is not None:
+            # Join against the persisted corpus-level bucket map; the
+            # ppl_bucket label rides the audit output. Zero-token docs
+            # have no bucket row, but the quality gate already dropped
+            # them.
+            kept = (kept
+                    .join(ppl_map.select("doc_id", "ppl_bucket"),
+                          "doc_id")
+                    .where(F.col("ppl_bucket").isin(ppl_keep)))
         if nb_model is not None:
             # Model-based quality gate (CCNet shape): score against the
             # persisted NB model; the score column rides the audit
@@ -370,6 +462,27 @@ def main() -> None:
               f"{n_out} -> {n_b} docs -> {args.output}/data_budgeted")
         token_budget(budgeted.select("doc_id", "text", "lang", "source")) \
             .show(100, truncate=False)
+    if args.dsir_top is not None:
+        # DSIR over the COMMITTED survivors (resampling binds on what a
+        # training job reads). Deterministic from (committed set, seed,
+        # target): re-running overwrites byte-identically.
+        from document_ai_spark.operators.selection import dsir_sample
+        tgt_docs = tgt_pred = None
+        if args.dsir_ref:
+            tgt_docs = spark.read.parquet(args.dsir_ref) \
+                .select("doc_id", "text")
+        else:
+            tgt_pred = F.expr(args.dsir_target)
+        sel = dsir_sample(
+            survivors.select("doc_id", "text", "lang", "source"),
+            k=args.dsir_top, target=tgt_pred, seed=args.dsir_seed,
+            target_docs=tgt_docs)
+        picked = survivors.join(
+            sel.select("doc_id", "dsir_logw", "gumbel_key"), "doc_id")
+        picked.write.mode("overwrite").parquet(f"{args.output}/data_dsir")
+        n_d = picked.count()
+        print(f"dsir top-{args.dsir_top}: {n_out} -> {n_d} docs -> "
+              f"{args.output}/data_dsir")
     spark.stop()
 
 

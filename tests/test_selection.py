@@ -124,6 +124,26 @@ def test_dsir_target_like_docs_score_higher(spark):
     assert min(w[i] for i in range(20)) > max(w[i] for i in range(20, 40))
 
 
+def test_dsir_reference_corpus_form(spark):
+    # The paper's setup: target distribution from a SEPARATE trusted
+    # corpus. Raw docs sharing the reference's vocabulary must outscore
+    # raw docs that don't.
+    raw = _df(spark, [
+        (0, "tea scone garden rain queen tea scone", "xx", "s"),
+        (1, "berg wald fluss stein zug berg wald", "xx", "s"),
+    ])
+    ref = spark.createDataFrame(
+        [(100, "tea scone garden rain queen crown palace")],
+        "doc_id bigint, text string")
+    w = {r["doc_id"]: r["dsir_logw"]
+         for r in dsir_logweights(raw, target_docs=ref).collect()}
+    assert w[0] > w[1]
+    # target predicate is ignored when target_docs is given: lang 'xx'
+    # matches nothing, yet weights are finite and ordered.
+    s = dsir_sample(raw, k=1, target_docs=ref).collect()
+    assert [r["doc_id"] for r in s] == [0]
+
+
 def test_dsir_sample_deterministic_topk(spark):
     rows = [(i, f"doc {i} words tea rain " + ("garden " * (i % 5)),
              "en" if i % 3 else "de", "s") for i in range(40)]

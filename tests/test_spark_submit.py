@@ -320,3 +320,55 @@ def test_spark_submit_run_curate_split_and_budget(tmp_path):
     ).fetchone()[0]
     assert 0 < b[0] <= n_all
     assert 0 < b[1] <= b[2] <= 1.0
+
+
+@pytest.mark.skipif(not Path(SPARK_SUBMIT).exists(),
+                    reason="spark-submit not on this host")
+def test_spark_submit_run_curate_gopher_ppl_dsir(tmp_path):
+    """--gopher + --ppl-keep gate with published rule sets (bucket map
+    persisted corpus-level); --dsir-top resamples the committed
+    survivors into data_dsir/."""
+    zip_path = tmp_path / "document_ai_spark.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for f in sorted((REPO / "document_ai_spark").rglob("*.py")):
+            z.write(f, f.relative_to(REPO))
+
+    out = tmp_path / "curate_out"
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--py-files", str(zip_path),
+           str(REPO / "scripts" / "run_curate.py"),
+           "--input", "/root/testdata/sf0.001/documents.parquet",
+           "--output", str(out), "--buckets", "2", "--run-id", "t-gpd",
+           "--gopher", "--gopher-min-words", "20",
+           "--gopher-min-stops", "1",
+           "--ppl-keep", "head,middle",
+           "--dsir-top", "50"]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "dsir top-50: " in p.stdout
+
+    import duckdb
+    # corpus-level bucket map persisted once, covers every scored doc
+    pb = duckdb.sql(
+        f"SELECT DISTINCT ppl_bucket FROM '{out}/_ppl_buckets/*.parquet'"
+    ).fetchall()
+    assert {r[0] for r in pb} == {"head", "middle", "tail"}
+    # survivors carry the audit columns and honor both gates
+    rows = duckdb.sql(
+        f"SELECT DISTINCT ppl_bucket FROM '{out}/data/bucket=*/*.parquet'"
+    ).fetchall()
+    assert {r[0] for r in rows} <= {"head", "middle"}
+    flags = duckdb.sql(
+        f"SELECT MIN(ok_words::INT), MIN(ok_stops::INT) "
+        f"FROM '{out}/data/bucket=*/*.parquet'").fetchone()
+    assert flags == (1, 1)
+    # DSIR output: exactly K rows, a subset of survivors, with weights
+    d = duckdb.sql(
+        f"SELECT COUNT(*), COUNT(dsir_logw), COUNT(gumbel_key) "
+        f"FROM '{out}/data_dsir/*.parquet'").fetchone()
+    assert d[0] == 50 and d[1] == 50 and d[2] == 50
+    extra = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{out}/data_dsir/*.parquet' d "
+        f"WHERE d.doc_id NOT IN (SELECT doc_id "
+        f"FROM '{out}/data/bucket=*/*.parquet')").fetchone()[0]
+    assert extra == 0
