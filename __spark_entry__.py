@@ -3300,6 +3300,109 @@ FROM w ORDER BY gumbel_key DESC, doc_id LIMIT 25
 """
 
 
+def _q_ngram_repetition(spark, sf):
+    """Gopher Table A1 n-gram repetition rules (operators/textquality.py
+    ngram_repetition): top-{2,3,4}-gram and duplicate-{5..10}-gram
+    character fractions + the combined rep_keep at the published
+    thresholds. All nine n values ride one explode."""
+    from document_ai_spark.operators.textquality import ngram_repetition
+
+    return ngram_repetition(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+def _sql_ngram_repetition() -> str:
+    ns_top, ns_dup = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    top_max = {2: 0.20, 3: 0.18, 4: 0.16}
+    dup_max = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    gram_lists = ", ".join(
+        f"CASE WHEN len(t) >= {n} THEN "
+        f"list_transform(t[1:len(t) - {n - 1}], (w, i) -> "
+        f"struct_pack(n := {n}, "
+        f"g := array_to_string(t[i:i + {n - 1}], ' '))) "
+        f"ELSE [] END" for n in sorted(set(ns_top) | set(ns_dup)))
+    top_cols = ", ".join(
+        f"ROUND(COALESCE(MAX(CASE WHEN n = {n} AND top.c >= 2 THEN "
+        f"top.c * top.ch / tc END), 0.0), 6) AS top{n}_char_frac"
+        for n in ns_top)
+    dup_cols = ", ".join(
+        f"ROUND(COALESCE(MAX(CASE WHEN n = {n} THEN "
+        f"dup / occ END), 0.0), 6) AS dup{n}_char_frac" for n in ns_dup)
+    keep = " AND ".join(
+        [f"top{n}_char_frac <= {top_max[n]}" for n in ns_top]
+        + [f"dup{n}_char_frac <= {dup_max[n]}" for n in ns_dup])
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         CAST(COALESCE(list_sum(list_transform(t, w -> length(w))), 0)
+              AS DOUBLE) AS tc,
+         unnest(flatten([{gram_lists}])) AS s
+  FROM base),
+cnt AS (
+  SELECT doc_id, tc, n, g, length(g) - (n - 1) AS ch, c
+  FROM (SELECT doc_id, tc, s.n AS n, s.g AS g, COUNT(*) AS c
+        FROM grams GROUP BY ALL)),
+per_n AS (
+  SELECT doc_id, tc, n,
+         CAST(SUM(c * ch) AS DOUBLE) AS occ,
+         CAST(SUM(CASE WHEN c >= 2 THEN c * ch ELSE 0 END) AS DOUBLE)
+           AS dup,
+         MAX(struct_pack(c := c, ch := ch)) AS top
+  FROM cnt GROUP BY doc_id, tc, n),
+fr AS (
+  SELECT doc_id, {top_cols}, {dup_cols}
+  FROM per_n GROUP BY doc_id)
+SELECT *, ({keep}) AS rep_keep FROM fr ORDER BY doc_id
+"""
+
+
+def _q_c4_clean(spark, sf):
+    """C4 line/page cleaning rules (operators/web.py c4_clean, Raffel
+    et al. 2020 §2.2): terminal-punctuation + min-words line filter,
+    javascript/policy-phrase line drops, brace/lorem-ipsum/min-kept
+    page verdict. Map-side only — zero exchanges."""
+    from document_ai_spark.operators.web import c4_clean
+
+    return c4_clean(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+def _sql_c4_clean() -> str:
+    from document_ai_spark.operators.web import (
+        C4_MIN_KEPT_LINES,
+        C4_MIN_LINE_WORDS,
+        C4_POLICY_PHRASES,
+    )
+    policy = " AND ".join(
+        f"NOT contains(lower(trim(l)), '{p}')" for p in C4_POLICY_PHRASES)
+    return f"""
+WITH staged AS (
+  SELECT doc_id, text, str_split(text, chr(10)) AS ls FROM documents),
+k AS (
+  SELECT doc_id, text, ls,
+         list_filter(ls, l ->
+           regexp_matches(trim(l), '[.!?\\x{{22}}]$')
+           AND len(list_filter(
+                 regexp_split_to_array(trim(l),
+                   '[ \\x{{0009}}-\\x{{000D}}\\x{{3000}}]+'),
+                 x -> x <> '')) >= {C4_MIN_LINE_WORDS}
+           AND NOT regexp_matches(lower(trim(l)),
+                 '(^|[^a-z])javascript([^a-z]|$)')
+           AND {policy}) AS kept
+  FROM staged)
+SELECT doc_id,
+       COALESCE(array_to_string(kept, chr(10)), '') AS text_clean,
+       len(ls) AS n_lines,
+       len(kept) AS n_kept_lines,
+       contains(text, '{{') AS has_brace,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       (len(kept) >= {C4_MIN_KEPT_LINES}
+        AND NOT contains(text, '{{')
+        AND NOT contains(lower(text), 'lorem ipsum')) AS c4_keep
+FROM k ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple] = {
@@ -3415,6 +3518,8 @@ _REGISTRY: dict[str, tuple] = {
     "perplexity_buckets": (_q_perplexity_buckets, _SQL_PERPLEXITY_BUCKETS),
     "dsir_weights": (_q_dsir_weights, _SQL_DSIR_WEIGHTS),
     "dsir_sample": (_q_dsir_sample, _SQL_DSIR_SAMPLE),
+    "ngram_repetition": (_q_ngram_repetition, _sql_ngram_repetition()),
+    "c4_clean": (_q_c4_clean, _sql_c4_clean()),
 }
 
 

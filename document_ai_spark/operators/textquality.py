@@ -296,6 +296,102 @@ def repetition_stats(df: DataFrame) -> DataFrame:
             ))
 
 
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
+                        9: 0.11, 10: 0.10}
+
+
+def ngram_repetition(df: DataFrame,
+                     ns_top: tuple = (2, 3, 4),
+                     ns_dup: tuple = (5, 6, 7, 8, 9, 10)) -> DataFrame:
+    """The rest of Gopher's Table A1 repetition family (Rae et al.
+    2021): per document,
+
+      * top{n}_char_frac — characters covered by the single most
+        frequent word n-gram (count x n-gram chars / doc token chars;
+        0 unless it occurs at least twice), n in ns_top; Gopher
+        rejects above 0.20 / 0.18 / 0.16;
+      * dup{n}_char_frac — fraction of n-gram-occurrence characters
+        that belong to an n-gram appearing more than once, n in
+        ns_dup; Gopher rejects above 0.15 ... 0.10.
+
+    plus ``rep_keep``: the conjunction at the published thresholds.
+    (dup_line_frac / top_bigram_frac live in repetition_stats; this
+    operator adds the n>=2 character-weighted rules.) The dup
+    denominator is occurrence characters (every n-gram occurrence's
+    chars), which bounds the frac at 1 without the overlap-dedup pass
+    some implementations run — deviation documented, thresholds keep
+    their published values. Tie-break on the top n-gram needs no rule:
+    candidates tying on (count, chars) have equal count*chars, so the
+    output is tie-invariant.
+
+    Scale shape: ALL requested n values ride ONE token-array
+    evaluation into ONE explode (each doc emits ~|ns| x n_tokens
+    tagged windows), then the same two relational shuffles as
+    repetition_stats — groupBy(doc_id, n, gram) count with map-side
+    partials, then groupBy(doc_id). Per-window work is O(n) slice +
+    concat, bounded per task; no per-doc distinct-count HOFs, so an
+    adversarial 10 MB doc costs O(windows) across the cluster. Docs
+    with zero tokens emit no windows and no row (the word-count gate
+    rejects them first); a doc shorter than some n simply lacks that
+    n's row and the frac coalesces to 0."""
+    ns = sorted(set(ns_top) | set(ns_dup))
+    # No token contains whitespace (the tokenizer splits on it), so an
+    # n-gram's token chars are length(gram) - (n-1) joiner spaces —
+    # derived AFTER the count agg instead of an O(n) aggregate per
+    # window, and the explode shuffles one string per window, nothing
+    # else (measured 9.2 -> 7.8 s at sf0.1 for the 9-value default;
+    # the remaining cost is the inherent |ns| x n_tokens window blowup
+    # — production picks the n values it actually gates on).
+    parts = []
+    for n in ns:
+        parts.append(
+            "transform(filter(transform(tk, (w, i) -> i), "
+            f"                i -> i + {n} <= size(tk)), "
+            f"i -> named_struct('n', {n}, "
+            f"     'g', concat_ws(' ', slice(tk, i + 1, {n}))))")
+    grams_expr = F.expr(
+        f"element_at(transform(array({tokens_sql()}), tk -> named_struct("
+        "  'tc', aggregate(tk, 0, (a, w) -> a + length(w)), "
+        f" 'gs', concat({', '.join(parts)}))), 1)")
+    ex = (df.withColumn("_ng", grams_expr)
+          .select("doc_id", F.col("_ng.tc").alias("tc"),
+                  F.explode("_ng.gs").alias("s"))
+          .select("doc_id", "tc", "s.n", "s.g"))
+    cnt = (ex.groupBy("doc_id", "tc", "n", "g")
+           .agg(F.count("*").alias("c"))
+           .withColumn("ch", F.length("g") - (F.col("n") - 1)))
+    per_n = (cnt.groupBy("doc_id", "tc", "n").agg(
+        F.sum(F.col("c") * F.col("ch")).alias("occ"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.col("ch"))
+              .otherwise(F.lit(0))).alias("dup"),
+        F.max(F.struct("c", "ch")).alias("top")))
+    # A count-1 "top" n-gram is not repetition: without the c >= 2
+    # guard every short unique-word doc scores chars(one n-gram)/tc
+    # and trips the threshold. Overlapping repeats can still push the
+    # frac past 1 (e.g. "spam ham" * k) — Gopher's definition, kept.
+    top_cols = [
+        F.round(F.coalesce(
+            F.max(F.when((F.col("n") == n) & (F.col("top.c") >= 2),
+                         F.col("top.c") * F.col("top.ch")
+                         / F.col("tc"))), F.lit(0.0)), 6)
+        .alias(f"top{n}_char_frac") for n in sorted(ns_top)]
+    dup_cols = [
+        F.round(F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col("dup") / F.col("occ"))),
+            F.lit(0.0)), 6)
+        .alias(f"dup{n}_char_frac") for n in sorted(ns_dup)]
+    out = per_n.groupBy("doc_id").agg(*top_cols, *dup_cols)
+    keep = F.lit(True)
+    for n in sorted(ns_top):
+        keep = keep & (F.col(f"top{n}_char_frac")
+                       <= GOPHER_TOP_NGRAM_MAX[n])
+    for n in sorted(ns_dup):
+        keep = keep & (F.col(f"dup{n}_char_frac")
+                       <= GOPHER_DUP_NGRAM_MAX[n])
+    return out.withColumn("rep_keep", keep)
+
+
 def with_unigram_logprob(df: DataFrame) -> DataFrame:
     """Unigram language-model score per document: mean over tokens of
     ln P(word), with P estimated from THIS corpus (add-one smoothing

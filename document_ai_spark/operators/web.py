@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.tokenize import WS_RANGES as _WS_CLASS
+
 # Patterns shared verbatim with the DuckDB oracle (__spark_entry__.py).
 # Leftmost-first vs leftmost-longest ambiguity is avoided by making each
 # quantifier's extent unambiguous at any match start: the e-mail local
@@ -50,6 +52,72 @@ PII_RULES = (
 
 URL_PATTERN = r"https?://([A-Za-z0-9.-]+)/"
 DOMAIN_PATTERN = r"([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$"
+
+
+# C4 cleaning heuristics (Raffel et al. 2020 §2.2), shared verbatim
+# with the DuckDB oracle. Policy phrases are matched lowercase as plain
+# substrings (no regex); the terminal-punctuation class is the
+# published set {. ! ? "} spelled \x{hhhh} for Java/RE2 parity.
+C4_POLICY_PHRASES = ("terms of use", "privacy policy", "cookie policy",
+                     "uses cookies", "use of cookies", "use cookies")
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+
+
+def c4_clean(docs: DataFrame, text_col: str = "text",
+             min_line_words: int = C4_MIN_LINE_WORDS,
+             min_kept_lines: int = C4_MIN_KEPT_LINES) -> DataFrame:
+    """The C4 line/page cleaning rules (Raffel et al. 2020 §2.2) — the
+    third published curation canon next to Gopher (selection.py
+    gopher_rules + textquality.ngram_repetition) and CCNet
+    (perplexity_buckets):
+
+    line KEPT iff it ends in terminal punctuation (. ! ? \"), has >=
+    min_line_words whitespace-separated words (C4's English-centric
+    definition — deliberately NOT the script-aware tokenizer, matching
+    the published rule), does not contain the word 'javascript', and
+    contains no cookie/policy boilerplate phrase (lowercased substring
+    match). Page DROPPED (c4_keep = false) iff its text contains '{'
+    (code), contains 'lorem ipsum' (placeholder), or fewer than
+    min_kept_lines lines survive — the paper's ">= 3 sentences" stated
+    on kept lines, each of which ends in terminal punctuation (the
+    documented approximation).
+
+    Emits text_clean (kept lines re-joined), per-rule counters and the
+    page verdict; the (kind='dirty-word list') rule is out of scope —
+    noted, not silently skipped. Pure map-side HOFs over one line
+    split — ZERO exchanges, whole-stage codegen, no Python."""
+    lines = F.split(F.col(text_col), "\n")
+    # Every predicate references the lambda line var only — one filter
+    # pass; trim once per line inside the lambda.
+    policy = list(C4_POLICY_PHRASES)
+
+    def line_ok(line):
+        t = F.trim(line)
+        lt = F.lower(t)
+        ok = t.rlike(r'[.!?\x{22}]$')
+        n_words = F.size(F.filter(
+            F.split(t, f"[{_WS_CLASS}]+"), lambda x: x != ""))
+        ok = ok & (n_words >= min_line_words)
+        ok = ok & ~lt.rlike(r"(^|[^a-z])javascript([^a-z]|$)")
+        for p in policy:
+            ok = ok & ~lt.contains(p)
+        return ok
+
+    staged = (docs
+              .withColumn("_lines", lines)
+              .withColumn("_kept", F.filter(F.col("_lines"), line_ok)))
+    lt_all = F.lower(F.col(text_col))
+    return (staged.select(
+        "doc_id",
+        F.array_join("_kept", "\n").alias("text_clean"),
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size("_kept").cast("long").alias("n_kept_lines"),
+        F.col(text_col).contains("{").alias("has_brace"),
+        lt_all.contains("lorem ipsum").alias("has_lorem"),
+        ((F.size("_kept") >= min_kept_lines)
+         & ~F.col(text_col).contains("{")
+         & ~lt_all.contains("lorem ipsum")).alias("c4_keep")))
 
 
 def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:

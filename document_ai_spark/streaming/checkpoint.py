@@ -49,6 +49,17 @@ class JobKilled(RuntimeError):
     """Raised by the test hook to simulate a mid-run crash."""
 
 
+def _observed(obs: Observation, key: str):
+    """An Observation metric, or None when the metrics row never
+    materialized — Spark's AQE PropagateEmptyRelation may replace the
+    observed subtree with an empty LocalTableScan when a runtime filter
+    empties it, and Observation.get then fails inside toPyRow."""
+    try:
+        return obs.get[key]
+    except Exception:
+        return None
+
+
 def ingest_bucketed(docs_df: DataFrame, path: str, buckets: int) -> str:
     """One full pass over the source, written parquet-partitioned by the
     run's bucket expression so per-bucket reads prune to 1/B of files."""
@@ -133,6 +144,7 @@ def run_checkpointed(
         tombs = store.pending_tombstones(b)
         if tombs:
             sub = sub.where(~F.col("doc_id").isin(tombs))
+        sub_raw = sub
         sub = sub.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
         # Plan metrics ride the write job itself and land in the lineage
         # row (Lineage.metrics): missing-payload counts from the output
@@ -165,13 +177,22 @@ def run_checkpointed(
         if caps.observations:
             metrics.update(caps.summary())
         if obs_out is not None:
-            metrics["missing_payloads"] = int(
-                obs_out.get["missing_payloads"] or 0)
+            mp = _observed(obs_out, "missing_payloads")
+            metrics["missing_payloads"] = int(mp or 0)
+        # AQE's PropagateEmptyRelation can collapse the observed subtree
+        # when every row of a bucket is filtered at runtime (e.g. a gate
+        # that keeps nothing), leaving the CollectMetrics row empty —
+        # Observation.get then throws from toPyRow. Telemetry must not
+        # kill the run: fall back to one count() of the (deterministic)
+        # pre-observe input.
+        rows_in = _observed(obs_in, "rows_in")
+        if rows_in is None:
+            rows_in = sub_raw.count()
         store.commit(Lineage(
             run_id=run_id,
             partition_id=b,
             snapshot_id=store.snapshot_id(),
-            rows_in=int(obs_in.get["rows_in"]),
+            rows_in=int(rows_in),
             rows_out=rows_out,
             latency_ms=round((time.monotonic() - t0) * 1000, 3),
             committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

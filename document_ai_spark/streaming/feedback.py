@@ -132,7 +132,9 @@ def stream_extract(spark: SparkSession, in_dir: str, out_dir: str,
 
 def stream_curate(spark: SparkSession, in_dir: str, index_root: str,
                   out_dir: str, checkpoint_dir: str,
-                  quality_min: float = 0.8, jaccard_min: float = 0.5):
+                  quality_min: float = 0.8, jaccard_min: float = 0.5,
+                  c4: bool = False, gopher: bool = False,
+                  gopher_min_words: int = 50, gopher_min_stops: int = 2):
     """Streaming training-data curation: per micro-batch, quality-gate ->
     near-dup against the PERSISTED sketch index -> append survivors.
 
@@ -165,9 +167,27 @@ def stream_curate(spark: SparkSession, in_dir: str, index_root: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        gated = (with_quality_score(batch_df)
+        src = batch_df
+        if c4:
+            # Stateless map — streaming-safe by construction; the index
+            # then keys on CLEANED text, matching the batch CLI's --c4.
+            from ..operators.web import c4_clean
+            cc = c4_clean(src.select("doc_id", "text"))
+            src = (src.drop("text")
+                   .join(cc.where("c4_keep")
+                         .select("doc_id",
+                                 F.col("text_clean").alias("text")),
+                         "doc_id"))
+        gated = (with_quality_score(src)
                  .where(F.col("quality_score") >= quality_min)
                  .select("doc_id", "text", "lang", "source"))
+        if gopher:
+            from ..operators.selection import gopher_rules
+            g = gopher_rules(gated.select("doc_id", "text"),
+                             min_words=gopher_min_words,
+                             min_stop_hits=gopher_min_stops)
+            gated = gated.join(
+                g.where("gopher_keep").select("doc_id"), "doc_id")
         pairs = idx.append_and_find(
             spark, gated.select("doc_id", "text"),
             batch_id=f"curate-{batch_id}", jaccard_min=jaccard_min)

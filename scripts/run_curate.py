@@ -21,8 +21,12 @@ cap/gate metrics land in <output>/_manifests/):
      drop docs whose token coverage by corpus-duplicated w-token
      windows exceeds the threshold; hot-window table persisted under
      <output>/_hot_spans, the _hot_lines discipline),
-  1c. optional Gopher rule set (--gopher: the published Rae et al.
-     2021 App. A flags, knobs --gopher-min-words/--gopher-min-stops)
+  1c. optional C4 cleaning (--c4: Raffel et al. 2020 line/page rules
+     applied before the gates — gates and dedup see the cleaned text),
+     Gopher rule set (--gopher: the published Rae et al.
+     2021 App. A flags, knobs --gopher-min-words/--gopher-min-stops),
+     Gopher n-gram repetition rules (--rep-ngrams: top-{2,3,4} /
+     dup-{5..10} char fractions at the published thresholds),
      and CCNet perplexity-bucket filter (--ppl-keep head,middle:
      corpus-level per-lang unigram-LM terciles, bucket map persisted
      under <output>/_ppl_buckets),
@@ -164,6 +168,22 @@ def main() -> None:
     ap.add_argument("--gopher-min-stops", type=int, default=2,
                     help="required distinct Gopher stopwords "
                          "(paper default 2)")
+    ap.add_argument("--c4", action="store_true",
+                    help="apply the C4 cleaning rules (Raffel et al. "
+                         "2020 §2.2) BEFORE the quality gates: keep "
+                         "only terminal-punctuation lines with >= 5 "
+                         "words and no javascript/cookie-policy "
+                         "boilerplate, drop brace/lorem-ipsum pages "
+                         "and pages with < 3 surviving lines; gates "
+                         "and dedup then see the CLEANED text")
+    ap.add_argument("--rep-ngrams", action="store_true",
+                    help="apply Gopher's n-gram repetition rules "
+                         "(top-{2,3,4}-gram / dup-{5..10}-gram char "
+                         "fractions at the published thresholds, "
+                         "ngram_repetition) on the post-line-dedup "
+                         "text; frac columns ride the audit output. "
+                         "Docs with <2 tokens have no frac row and "
+                         "pass this gate by definition")
     ap.add_argument("--ppl-keep", default=None, metavar="BUCKETS",
                     help="CCNet perplexity-bucket filter: keep only "
                          "docs whose per-lang unigram-LM third is in "
@@ -325,6 +345,19 @@ def main() -> None:
                 "doc_id", F.col("text_dedup").alias("text"),
                 F.col("n_removed").alias("n_intra_lines_removed"))
             sub = sub.drop("text").join(rl, "doc_id")
+        if args.c4:
+            # Line-level cleaning belongs with the boilerplate passes:
+            # downstream gates, dedup sketches, and the persisted index
+            # all key on the cleaned text.
+            from document_ai_spark.operators.web import c4_clean
+            c = c4_clean(sub.select("doc_id", "text"))
+            sub = (sub.drop("text")
+                   .join(c.where("c4_keep")
+                         .select("doc_id",
+                                 F.col("text_clean").alias("text"),
+                                 (F.col("n_lines") - F.col("n_kept_lines"))
+                                 .alias("n_c4_lines_removed")),
+                         "doc_id"))
         gated = quality_gates(
             sub, quality_min=args.quality_min,
             dup_line_max=args.dup_line_max,
@@ -332,7 +365,8 @@ def main() -> None:
             logprob_min=args.logprob_min)
         carry = ["doc_id", "text", "lang", "source"] + (
             ["n_boiler_lines_removed"] if hot is not None else []) + (
-            ["n_intra_lines_removed"] if args.intra_line_dedup else [])
+            ["n_intra_lines_removed"] if args.intra_line_dedup else []) + (
+            ["n_c4_lines_removed"] if args.c4 else [])
         kept = (sub.select(*carry)
                 .join(gated, "doc_id")
                 .where("keep")
@@ -353,6 +387,17 @@ def main() -> None:
                                     "ok_ellipsis", "ok_alpha", "ok_stops",
                                     "gopher_keep"), "doc_id")
                     .where("gopher_keep").drop("gopher_keep"))
+        if args.rep_ngrams:
+            from document_ai_spark.operators.textquality import (
+                ngram_repetition,
+            )
+            rep = ngram_repetition(kept.select("doc_id", "text"))
+            # left join: docs too short for any n>=2 gram have no row
+            # and keep (coalesce true) — the word-count gates own them.
+            kept = (kept
+                    .join(rep, "doc_id", "left")
+                    .where(F.coalesce("rep_keep", F.lit(True)))
+                    .drop("rep_keep"))
         if ppl_map is not None:
             # Join against the persisted corpus-level bucket map; the
             # ppl_bucket label rides the audit output. Zero-token docs

@@ -120,3 +120,26 @@ def test_observe_metrics_persisted_in_lineage(spark, corpus_dfs, tmp_path):
             for r in store2.lineage_df(spark).collect()]
     assert any(m.get("lsh_cap_dropped", 0) > 0 for m in lin2), lin2
     assert max(m.get("lsh_max_bucket", 0) for m in lin2) > 2
+
+
+def test_runtime_empty_bucket_commits(spark, corpus_dfs, tmp_path):
+    """An extract_fn that filters EVERY row at runtime must still
+    commit its buckets: AQE's PropagateEmptyRelation can collapse the
+    observed subtree and leave Observation.get with no metrics row —
+    telemetry degrades to a recount instead of killing the run."""
+    import pyspark.sql.functions as F
+
+    docs_df, payloads_df = corpus_dfs
+    root = str(tmp_path / "ckpt_empty")
+
+    def drop_all(sub, _payloads):
+        return (sub.where(F.lit(False))
+                .select("doc_id", F.lit("x").alias("text")))
+
+    store = run_checkpointed(spark, docs_df, payloads_df, root,
+                             run_id="run-empty", buckets=3,
+                             extract_fn=drop_all)
+    lin = store.lineage_df(spark).collect()
+    assert len(lin) == 3
+    assert sum(r["rows_in"] for r in lin) == docs_df.count()
+    assert all(r["rows_out"] == 0 for r in lin)

@@ -1,0 +1,101 @@
+"""Randomized cross-engine parity for the published-rule operators
+(c4_clean / gopher_rules / ngram_repetition): 150 seeded adversarial
+documents — policy phrases split across casing, javascript-as-substring
+vs as-word, bullet/ellipsis/quote line endings, braces, lorem-ipsum,
+CJK runs, U+3000, repeated phrases — run through the Spark operator AND
+the registry's EXACT oracle SQL over the same rows. The tokenizer fuzz
+test (test_cjk_tokenize) caught a real Java-vs-RE2 divergence this way;
+this extends the net to the line/page regexes and the n-gram window
+arithmetic."""
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 6)
+    return v
+
+
+def _rowset(rows):
+    return Counter(tuple(_norm(v) for v in r) for r in rows)
+
+
+WORDS = ["the", "quick", "brown", "fox", "data", "spark", "lorem",
+         "ipsum", "Lorem", "Ipsum", "javascript", "Javascript",
+         "javascripting", "nojavascript", "cookies", "uses", "privacy",
+         "policy", "of", "use", "terms", "#tag", "...", "a{b", "词汇",
+         "漢字文字", "east", "…", "x"]
+ENDINGS = [".", "!", "?", '"', "", "...", "…", " .", ". "]
+STARTS = ["", "- ", "* ", "• ", "  - ", "　"]
+
+
+@pytest.fixture(scope="module")
+def fuzz_docs():
+    rng = random.Random(20260818)
+    docs = []
+    for i in range(150):
+        lines = []
+        for _ in range(rng.randint(0, 8)):
+            n = rng.randint(0, 9)
+            body = " ".join(rng.choice(WORDS) for _ in range(n))
+            if rng.random() < 0.3:   # plant a repeated phrase
+                phrase = " ".join(rng.choice(WORDS) for _ in range(3))
+                body = f"{body} {phrase} {phrase}".strip()
+            lines.append(rng.choice(STARTS) + body + rng.choice(ENDINGS))
+        text = "\n".join(lines)
+        if rng.random() < 0.15:
+            text += " uses cookies"
+        docs.append((i, text, rng.choice(["en", "zh"]), "fuzz",
+                     len(text)))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def fuzz_ddb(fuzz_docs):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?, ?)",
+                    fuzz_docs)
+    return con
+
+
+@pytest.fixture(scope="module")
+def fuzz_sdf(spark, fuzz_docs):
+    return spark.createDataFrame(
+        fuzz_docs, "doc_id bigint, text string, lang string, "
+                   "source string, n_chars bigint")
+
+
+@pytest.mark.parametrize("op", ["c4_clean", "gopher_rules",
+                                "ngram_repetition"])
+def test_published_rules_cross_engine_fuzz(op, fuzz_sdf, fuzz_ddb):
+    if op == "c4_clean":
+        from document_ai_spark.operators.web import c4_clean as fn
+    elif op == "gopher_rules":
+        from document_ai_spark.operators.selection import (
+            gopher_rules as fn,
+        )
+    else:
+        from document_ai_spark.operators.textquality import (
+            ngram_repetition as fn,
+        )
+    sdf = fn(fuzz_sdf).orderBy("doc_id")
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    duck_rows = fuzz_ddb.execute(E.oracle_sql()[op]).fetchall()
+    assert len(spark_rows) == len(duck_rows)
+    s, d = _rowset(spark_rows), _rowset(duck_rows)
+    if s != d:
+        only_s = list((s - d).keys())[:3]
+        only_d = list((d - s).keys())[:3]
+        raise AssertionError(
+            f"{op} diverged:\n spark-only={only_s}\n duck-only={only_d}")

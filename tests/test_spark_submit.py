@@ -372,3 +372,74 @@ def test_spark_submit_run_curate_gopher_ppl_dsir(tmp_path):
         f"WHERE d.doc_id NOT IN (SELECT doc_id "
         f"FROM '{out}/data/bucket=*/*.parquet')").fetchone()[0]
     assert extra == 0
+
+
+@pytest.mark.skipif(not Path(SPARK_SUBMIT).exists(),
+                    reason="spark-submit not on this host")
+def test_spark_submit_run_curate_c4_and_rep(tmp_path):
+    """--c4 cleans line-level boilerplate BEFORE the gates (survivor
+    text is the cleaned text); --rep-ngrams drops n-gram repetition
+    bombs at the published Gopher thresholds."""
+    zip_path = tmp_path / "document_ai_spark.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for f in sorted((REPO / "document_ai_spark").rglob("*.py")):
+            z.write(f, f.relative_to(REPO))
+
+    # Planted corpus: C4-shaped pages (the synthetic sf corpus has no
+    # terminal punctuation, so --c4 is exercised on its real input
+    # shape). 30 good pages, one cookie-boilerplate page, one
+    # repetition bomb, one brace page.
+    import duckdb
+    good = ("This is a good long sentence that ends well and keeps "
+            "the stopword rate in a natural band for the gate.\n"
+            "Another full sentence with plenty of words is here and "
+            "it also reads like ordinary prose text.\n"
+            "And a third complete sentence closes the page with more "
+            "of the usual words to be sure.")
+    src = tmp_path / "c4docs.parquet"
+    con = duckdb.connect()
+    con.execute(f"""
+      COPY (
+        SELECT i AS doc_id,
+               CASE
+                 WHEN i = 97 THEN '{good}' || chr(10) ||
+                      'This site uses cookies to improve your experience.'
+                 WHEN i = 98 THEN repeat('the cat sat on the mat and ', 40)
+                      || 'the end is here now.'
+                 WHEN i = 99 THEN '{good}' || ' {{ code braces }}'
+                 ELSE '{good}' || ' Extra words vary with seed '
+                      || CAST(i AS VARCHAR) || ' to dodge the near-dup '
+                      || 'index while staying natural prose here with '
+                      || 'more filler number ' || CAST(i * 7 AS VARCHAR)
+                      || ' still ending properly.'
+               END AS text,
+               'en' AS lang, 'web' AS source
+        FROM range(100) t(i)
+      ) TO '{src}' (FORMAT PARQUET)""")
+
+    out = tmp_path / "curate_out"
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--py-files", str(zip_path),
+           str(REPO / "scripts" / "run_curate.py"),
+           "--input", str(src),
+           "--output", str(out), "--buckets", "2", "--run-id", "t-c4",
+           "--c4", "--rep-ngrams", "--jaccard-min", "0.95"]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    assert p.returncode == 0, p.stderr[-2000:]
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{out}/data/bucket=*/*.parquet'"
+    ).fetchall()
+    ids = {r[0] for r in rows}
+    assert 98 not in ids            # repetition bomb: rep_keep false
+    assert 99 not in ids            # brace page: c4_keep false
+    if 97 in ids:                   # cookie LINE stripped by --c4
+        t97 = dict(rows)[97]
+        assert "cookies" not in t97
+    # survivor text is the CLEANED text: no page keeps a brace and the
+    # audit counter column rides the output
+    n_c4 = duckdb.sql(
+        f"SELECT MAX(n_c4_lines_removed) "
+        f"FROM '{out}/data/bucket=*/*.parquet'").fetchone()[0]
+    assert n_c4 >= 1
+    assert len(ids) >= 20

@@ -82,3 +82,31 @@ def test_stream_curate_chained_family_collapses(spark, tmp_path):
             for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert kept.issuperset({"k0"})
     assert "k1" not in kept and "k2" not in kept
+
+
+def test_stream_curate_published_gates(spark, tmp_path):
+    """c4=True cleans line boilerplate and keys the index on the
+    cleaned text; gopher=True drops rule violators — both stateless,
+    so exactly-once semantics are untouched."""
+    in_dir = str(tmp_path / "in")
+    c4_page = ("This is a good long sentence that ends well today.\n"
+               "Another full sentence with plenty of words is here.\n"
+               "And a third complete sentence closes the page now.\n"
+               "This site uses cookies to improve your experience.")
+    no_stop = " ".join(f"tok{i}" for i in range(60)) + "."
+    _write_batch(spark, in_dir, [
+        ("good", c4_page, "en", "s1"),
+        ("brace", c4_page + "\nvar x = { a } in a long sentence here.",
+         "en", "s1"),
+        ("nostop", "\n".join([no_stop] * 3), "en", "s1"),
+    ])
+    q = stream_curate(spark, in_dir, str(tmp_path / "idx"),
+                      str(tmp_path / "out"), str(tmp_path / "ckpt"),
+                      quality_min=0.2, jaccard_min=0.9,
+                      c4=True, gopher=True,
+                      gopher_min_words=10, gopher_min_stops=2)
+    q.awaitTermination()
+    rows = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert set(rows) == {"good"}
+    assert "cookies" not in rows["good"]   # line stripped by c4

@@ -97,3 +97,69 @@ def test_domain_stats_single_exchange(spark):
     # mean text leaked past the explode projection.
     n_hash_exchanges = plan.count("Exchange hashpartitioning")
     assert n_hash_exchanges == 2
+
+
+# -- c4_clean ---------------------------------------------------------------
+
+GOOD_PAGE = ("This is a good long sentence that ends well.\n"
+             "Another full sentence with plenty of words here.\n"
+             "And a third complete sentence closing the page.")
+
+
+def _c4(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, text string")
+    from document_ai_spark.operators.web import c4_clean
+    return {r["doc_id"]: r.asDict() for r in c4_clean(df).collect()}
+
+
+def test_c4_keeps_clean_page(spark):
+    out = _c4(spark, [GOOD_PAGE])[0]
+    assert out["c4_keep"] is True
+    assert out["n_kept_lines"] == 3
+    assert out["text_clean"] == GOOD_PAGE
+
+
+def test_c4_line_rules_each_fire(spark):
+    page = ("ends with no punctuation at all here\n"      # no terminal
+            "Too few words.\n"                            # < 5 words
+            "Please enable javascript to view this content today.\n"
+            "This site uses cookies to improve your experience online.\n"
+            "We keep this perfectly fine long sentence though.")
+    out = _c4(spark, [page])[0]
+    assert out["n_lines"] == 5
+    assert out["n_kept_lines"] == 1
+    assert out["text_clean"].startswith("We keep")
+    assert out["c4_keep"] is False  # < 3 kept lines
+
+
+def test_c4_page_rules(spark):
+    brace = GOOD_PAGE + "\nvar x = { a: 1 } in a sentence ending here."
+    lorem = GOOD_PAGE.replace("good long", "Lorem Ipsum")
+    outs = _c4(spark, [brace, lorem])
+    assert outs[0]["has_brace"] is True and outs[0]["c4_keep"] is False
+    assert outs[1]["has_lorem"] is True and outs[1]["c4_keep"] is False
+
+
+def test_c4_javascript_is_word_bounded(spark):
+    # 'javascripting' must NOT trip the word rule; 'JavaScript' must.
+    page = ("We love javascripting every single day with passion.\n"
+            "JavaScript is required to view this page properly.\n"
+            + GOOD_PAGE)
+    out = _c4(spark, [page])[0]
+    assert out["n_kept_lines"] == 4  # first line kept, second dropped
+
+
+def test_c4_empty_and_null_safe(spark):
+    out = _c4(spark, ["", "   \n  "])
+    assert out[0]["c4_keep"] is False and out[0]["n_kept_lines"] == 0
+    assert out[1]["c4_keep"] is False and out[1]["text_clean"] == ""
+
+
+def test_c4_zero_exchanges(spark):
+    from document_ai_spark.operators.web import c4_clean
+    d = spark.createDataFrame([(0, GOOD_PAGE)],
+                              "doc_id bigint, text string")
+    plan = c4_clean(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
