@@ -24,7 +24,10 @@ from document_ai_spark.functions.tokenize import (                # noqa: E402
     ALPHA_RANGES,
     CJK_RANGES,
     WS_RANGES,
+    WS_STRIP_RE,
     duck_tokens_sql,
+    ws_trim,
+    ws_trim_sql,
 )
 from document_ai_spark.operators import dedup as D               # noqa: E402
 from document_ai_spark.operators import similarity as S          # noqa: E402
@@ -36,6 +39,14 @@ SF0001 = "/root/testdata/sf0.001"
 # RE2 reads the exact same \x{hhhh}-range pattern Java regex does, so
 # both engines produce identical token arrays (tests/test_cjk_tokenize).
 _DUCK_TOKS = duck_tokens_sql("text")
+
+
+def _dtrim(e: str) -> str:
+    """DuckDB-side engine-parity trim: strip WS_RANGES chars from both
+    ends (DuckDB's native trim() strips the full Unicode Zs set — incl.
+    NBSP/U+3000 — while Spark's strips only U+0020; shared rules must
+    use this explicit form on both engines)."""
+    return f"regexp_replace({e}, '{WS_STRIP_RE}', '', 'g')"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -684,8 +695,8 @@ def _dup_docs(spark, sf):
     d = _t(spark, sf, "documents").select("doc_id", "text")
     mut = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.expr("array_join(slice(split(trim(text), '\\\\s+'), 2, "
-               "size(split(trim(text), '\\\\s+'))), ' ')").alias("text"))
+        F.expr(f"array_join(slice(split({ws_trim_sql('text')}, '\\\\s+'), 2, "
+               f"size(split({ws_trim_sql('text')}, '\\\\s+'))), ' ')").alias("text"))
     return d.unionByName(mut)
 
 
@@ -694,8 +705,8 @@ SELECT doc_id, text FROM documents
 UNION ALL
 SELECT doc_id + 1000000 AS doc_id,
        coalesce(array_to_string(
-           list_slice(str_split_regex(trim(text), '[ \\x{0009}-\\x{000D}]+'), 2,
-                      len(str_split_regex(trim(text), '[ \\x{0009}-\\x{000D}]+'))), ' '), '')
+           list_slice(str_split_regex(regexp_replace(text, '^[ \\x{0009}-\\x{000D}\\x{3000}]+|[ \\x{0009}-\\x{000D}\\x{3000}]+$', '', 'g'), '[ \\x{0009}-\\x{000D}]+'), 2,
+                      len(str_split_regex(regexp_replace(text, '^[ \\x{0009}-\\x{000D}\\x{3000}]+|[ \\x{0009}-\\x{000D}\\x{3000}]+$', '', 'g'), '[ \\x{0009}-\\x{000D}]+'))), ' '), '')
          AS text
 FROM documents
 """
@@ -1367,7 +1378,7 @@ FROM documents ORDER BY doc_id
 def _q_arrays_overlap(spark, sf):
     """K5: language-set intersection analog (arrays_overlap)."""
     d = _t(spark, sf, "documents")
-    toks = F.split(F.trim("text"), r"\s+")
+    toks = F.split(ws_trim(F.col("text")), r"\s+")
     head = F.slice(toks, 1, 5)
     tail = F.slice(toks, -5, 5)
     return (d.select("doc_id",
@@ -1378,7 +1389,7 @@ def _q_arrays_overlap(spark, sf):
 _SQL_ARRAYS_OVERLAP = r"""
 SELECT doc_id,
        len(list_intersect(toks[1:5], toks[-5:])) > 0 AS head_tail_overlap
-FROM (SELECT doc_id, str_split_regex(trim(text), '[ \x{0009}-\x{000D}]+') AS toks
+FROM (SELECT doc_id, str_split_regex(regexp_replace(text, '^[ \x{0009}-\x{000D}\x{3000}]+|[ \x{0009}-\x{000D}\x{3000}]+$', '', 'g'), '[ \x{0009}-\x{000D}]+') AS toks
       FROM documents) ORDER BY doc_id
 """
 
@@ -1505,7 +1516,14 @@ GROUP BY CUBE (lang, source) ORDER BY lang, source
 
 
 def _q_string_surface(spark, sf):
-    """§2.8 string scalar surface: upper/trim/split/length/startswith."""
+    """§2.8 string scalar surface: upper/trim/split/length/startswith.
+
+    trim() here IS the demonstrated scalar (kept native on both
+    engines). Scope note: Spark trims U+0020 only while DuckDB trims
+    the Unicode Zs set, so this row would diverge on text edged with
+    NBSP/U+3000 — the synthetic corpus has none; every VERDICT-bearing
+    operator uses the explicit WS_RANGES trim instead (ws_trim /
+    _dtrim, see the published-rules fuzz test)."""
     d = _t(spark, sf, "documents")
     toks = F.split(F.trim("text"), r"\s+")
     return d.select(
@@ -1700,8 +1718,8 @@ def _q_curation_budget(spark, sf):
     d = _t(spark, sf, "documents").select("doc_id", "text", "lang", "source")
     mut = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.expr("array_join(slice(split(trim(text), '\\\\s+'), 2, "
-               "size(split(trim(text), '\\\\s+'))), ' ')").alias("text"),
+        F.expr(f"array_join(slice(split({ws_trim_sql('text')}, '\\\\s+'), 2, "
+               f"size(split({ws_trim_sql('text')}, '\\\\s+'))), ' ')").alias("text"),
         "lang", "source")
     return curate(d.unionByName(mut), quality_min=0.8, jaccard_min=0.5)
 
@@ -1713,8 +1731,8 @@ base AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id,
          coalesce(array_to_string(
-             list_slice(str_split_regex(trim(text), '[ \\x{{0009}}-\\x{{000D}}]+'), 2,
-                        len(str_split_regex(trim(text), '[ \\x{{0009}}-\\x{{000D}}]+'))), ' '), '')
+             list_slice(str_split_regex({_dtrim('text')}, '[ \\x{{0009}}-\\x{{000D}}]+'), 2,
+                        len(str_split_regex({_dtrim('text')}, '[ \\x{{0009}}-\\x{{000D}}]+'))), ' '), '')
            AS text,
          lang, source FROM documents),
 scored AS (
@@ -1838,10 +1856,10 @@ q AS (
                      / greatest(len(t), 1), 6) AS sr
         FROM toks)),
 lines AS (
-  SELECT doc_id, trim(l) AS line
+  SELECT doc_id, {_dtrim('l')} AS line
   FROM (SELECT doc_id, unnest(str_split(text, chr(10))) AS l
         FROM documents)
-  WHERE trim(l) <> ''),
+  WHERE {_dtrim('l')} <> ''),
 line_stats AS (
   SELECT doc_id, SUM(c) AS n_lines,
          SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines
@@ -1953,10 +1971,10 @@ q AS (
                      / greatest(len(t), 1), 6) AS sr
         FROM toks)),
 lines AS (
-  SELECT doc_id, trim(l) AS line
+  SELECT doc_id, {_dtrim('l')} AS line
   FROM (SELECT doc_id, unnest(str_split(text, chr(10))) AS l
         FROM documents)
-  WHERE trim(l) <> ''),
+  WHERE {_dtrim('l')} <> ''),
 line_stats AS (
   SELECT doc_id, SUM(c) AS n_lines,
          SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines
@@ -2023,7 +2041,7 @@ lines AS (
 keyed AS (SELECT doc_id, pos, line, md5(line) AS lk FROM lines),
 hot AS (
   SELECT lk, MIN(doc_id) AS keep_doc_id
-  FROM keyed WHERE trim(line) <> ''
+  FROM keyed WHERE regexp_replace(line, '^[ \\x{0009}-\\x{000D}\\x{3000}]+|[ \\x{0009}-\\x{000D}\\x{3000}]+$', '', 'g') <> ''
   GROUP BY lk HAVING COUNT(DISTINCT doc_id) >= 2),
 kept AS (
   SELECT k.doc_id, k.pos, k.line
@@ -2393,8 +2411,8 @@ def _q_corpus_overlap(spark, sf):
     d = _t(spark, sf, "documents").select("doc_id", "text")
     b = d.where(F.col("doc_id") % 3 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.expr("array_join(slice(split(trim(text), '\\\\s+'), 2, "
-               "size(split(trim(text), '\\\\s+'))), ' ')").alias("text"))
+        F.expr(f"array_join(slice(split({ws_trim_sql('text')}, '\\\\s+'), 2, "
+               f"size(split({ws_trim_sql('text')}, '\\\\s+'))), ' ')").alias("text"))
     return D.corpus_overlap(d, b, jaccard_min=0.5).orderBy("doc_id")
 
 
@@ -2423,9 +2441,9 @@ WITH a_docs AS (SELECT doc_id, text FROM documents),
 b_docs AS (
   SELECT doc_id + 1000000 AS doc_id,
          coalesce(array_to_string(
-             list_slice(str_split_regex(trim(text),
+             list_slice(str_split_regex({_dtrim('text')},
                                         '[ \\x{{0009}}-\\x{{000D}}]+'), 2,
-                        len(str_split_regex(trim(text),
+                        len(str_split_regex({_dtrim('text')},
                                             '[ \\x{{0009}}-\\x{{000D}}]+'))),
              ' '), '') AS text
   FROM documents WHERE doc_id % 3 = 0),
@@ -2802,10 +2820,10 @@ base AS (
              '[^{ALPHA_RANGES}0-9{WS_RANGES}{CJK_RANGES}]')) AS n_symbols
   FROM toks),
 lines AS (
-  SELECT doc_id, trim(l) AS line
+  SELECT doc_id, {_dtrim('l')} AS line
   FROM (SELECT doc_id, unnest(str_split(text, chr(10))) AS l
         FROM documents)
-  WHERE trim(l) <> ''),
+  WHERE {_dtrim('l')} <> ''),
 line_stats AS (
   SELECT doc_id, SUM(c) AS n_lines,
          SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines
@@ -3130,7 +3148,7 @@ SELECT doc_id,
        n AS n_lines,
        n - len(kept) AS n_removed
 FROM (SELECT doc_id,
-             list_filter(ls, (l, i) -> trim(l) = ''
+             list_filter(ls, (l, i) -> regexp_replace(l, '^[ \\x{0009}-\\x{000D}\\x{3000}]+|[ \\x{0009}-\\x{000D}\\x{3000}]+$', '', 'g') = ''
                              OR list_position(ls, l) = i) AS kept,
              len(ls) AS n
       FROM split)
@@ -3161,7 +3179,7 @@ m AS (
            + (length(text) - length(replace(text, '...', ''))) // 3)
           / GREATEST(len(t), 1)::DOUBLE, 6) AS symbol_ratio,
     ROUND(len(list_filter(str_split(text, chr(10)),
-                          l -> regexp_matches(trim(l),
+                          l -> regexp_matches({_dtrim('l')},
                                               '^[-*\\x{{2022}}]')))
           / GREATEST(len(str_split(text, chr(10))), 1)::DOUBLE, 6)
       AS bullet_frac,
@@ -3373,20 +3391,21 @@ def _sql_c4_clean() -> str:
         C4_MIN_LINE_WORDS,
         C4_POLICY_PHRASES,
     )
+    t = _dtrim("l")
     policy = " AND ".join(
-        f"NOT contains(lower(trim(l)), '{p}')" for p in C4_POLICY_PHRASES)
+        f"NOT contains(lower({t}), '{p}')" for p in C4_POLICY_PHRASES)
     return f"""
 WITH staged AS (
   SELECT doc_id, text, str_split(text, chr(10)) AS ls FROM documents),
 k AS (
   SELECT doc_id, text, ls,
          list_filter(ls, l ->
-           regexp_matches(trim(l), '[.!?\\x{{22}}]$')
+           regexp_matches({t}, '[.!?\\x{{22}}]$')
            AND len(list_filter(
-                 regexp_split_to_array(trim(l),
+                 regexp_split_to_array({t},
                    '[ \\x{{0009}}-\\x{{000D}}\\x{{3000}}]+'),
                  x -> x <> '')) >= {C4_MIN_LINE_WORDS}
-           AND NOT regexp_matches(lower(trim(l)),
+           AND NOT regexp_matches(lower({t}),
                  '(^|[^a-z])javascript([^a-z]|$)')
            AND {policy}) AS kept
   FROM staged)
@@ -3400,6 +3419,207 @@ SELECT doc_id,
         AND NOT contains(text, '{{')
         AND NOT contains(lower(text), 'lorem ipsum')) AS c4_keep
 FROM k ORDER BY doc_id
+"""
+
+
+def _q_fineweb_filters(spark, sf):
+    """FineWeb custom quality filters (operators/web.py
+    fineweb_filters, Penedo et al. 2024 §3.4): punct-ending line
+    ratio, short-line ratio, duplicated-line char fraction, newline/
+    word ratio, and the combined keep verdict. One scan, two hash
+    aggs shuffling (doc_id, md5(line)) keys + small ints only."""
+    from document_ai_spark.operators.web import fineweb_filters
+
+    return fineweb_filters(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+def _sql_fineweb_filters() -> str:
+    from document_ai_spark.operators.web import (
+        FW_DUP_CHAR_MAX,
+        FW_LINE_PUNCT_MIN,
+        FW_NEWLINE_WORD_MAX,
+        FW_SHORT_LINE_LEN,
+        FW_SHORT_LINE_MAX,
+    )
+    t = _dtrim("l")
+    return f"""
+WITH per_line AS (
+  SELECT doc_id, md5(l) AS lk, len(l) AS chars,
+         regexp_matches(l, '[.\\x{{27}}\\x{{22}}!?]$') AS punct,
+         len(l) <= {FW_SHORT_LINE_LEN} AS short,
+         {t} <> '' AS nonempty,
+         len(list_filter(regexp_split_to_array(l, '[{WS_RANGES}]+'),
+             x -> x <> '')) AS words
+  FROM (SELECT doc_id, unnest(str_split(text, chr(10))) AS l
+        FROM documents)),
+g AS (
+  SELECT doc_id, lk, COUNT(*) AS cnt, first(chars) AS chars,
+         first(punct) AS punct, first(short) AS short,
+         first(nonempty) AS nonempty, first(words) AS words
+  FROM per_line GROUP BY 1, 2),
+a AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_lines,
+         CAST(SUM(cnt * words) AS BIGINT) AS n_words,
+         CAST(SUM(cnt * chars) AS BIGINT) AS tot_chars,
+         CAST(SUM(CASE WHEN punct THEN cnt ELSE 0 END) AS BIGINT)
+           AS punct_lines,
+         CAST(SUM(CASE WHEN short THEN cnt ELSE 0 END) AS BIGINT)
+           AS short_lines,
+         CAST(SUM(CASE WHEN nonempty THEN (cnt - 1) * chars ELSE 0 END)
+              AS BIGINT) AS dup_chars
+  FROM g GROUP BY doc_id),
+r AS (
+  SELECT doc_id, n_lines, n_words,
+         ROUND(punct_lines / n_lines, 6) AS line_punct_ratio,
+         ROUND(short_lines / n_lines, 6) AS short_line_frac,
+         ROUND(CASE WHEN tot_chars > 0 THEN dup_chars / tot_chars
+                    ELSE 0.0 END, 6) AS dup_line_char_frac,
+         ROUND(CASE WHEN n_words > 0 THEN (n_lines - 1) / n_words
+                    ELSE 0.0 END, 6) AS newline_word_ratio
+  FROM a)
+SELECT doc_id, n_lines, n_words, line_punct_ratio, short_line_frac,
+       dup_line_char_frac, newline_word_ratio,
+       (line_punct_ratio >= {FW_LINE_PUNCT_MIN}
+        AND short_line_frac <= {FW_SHORT_LINE_MAX}
+        AND dup_line_char_frac <= {FW_DUP_CHAR_MAX}
+        AND newline_word_ratio <= {FW_NEWLINE_WORD_MAX}) AS fineweb_keep
+FROM r ORDER BY doc_id
+"""
+
+
+def _q_refinedweb_lines(spark, sf):
+    """RefinedWeb line-wise corrections (operators/web.py
+    refinedweb_lines, Penedo et al. 2023 App. G.2): drop
+    mainly-uppercase / numeric-only / counter / single-word lines,
+    drop the doc when >5% of chars were removed. Map-side only."""
+    from document_ai_spark.operators.web import refinedweb_lines
+
+    return refinedweb_lines(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+def _sql_refinedweb_lines() -> str:
+    from document_ai_spark.operators.web import (
+        RW_COUNTER_RE,
+        RW_MAX_REMOVED_FRAC,
+    )
+    t = _dtrim("l")
+    drop = (f"(len(regexp_replace({t}, '[^A-Za-z]', '', 'g')) > 0"
+            f" AND 2 * len(regexp_replace({t}, '[^A-Z]', '', 'g'))"
+            f" > len(regexp_replace({t}, '[^A-Za-z]', '', 'g')))"
+            f" OR regexp_matches({t}, '^[0-9]+$')"
+            f" OR regexp_matches(lower({t}), '{RW_COUNTER_RE}')"
+            f" OR ({t} <> '' AND NOT regexp_matches({t},"
+            f" '[{WS_RANGES}]'))")
+    return f"""
+WITH staged AS (
+  SELECT doc_id, str_split(text, chr(10)) AS ls FROM documents),
+k AS (
+  SELECT doc_id, ls,
+         list_filter(ls, l -> NOT ({drop})) AS kept
+  FROM staged),
+s AS (
+  SELECT doc_id, ls, kept,
+         CAST(COALESCE(list_sum(list_transform(ls, l -> len(l))), 0)
+              AS BIGINT) AS tot_chars,
+         CAST(COALESCE(list_sum(list_transform(kept, l -> len(l))), 0)
+              AS BIGINT) AS kept_chars
+  FROM k)
+SELECT doc_id,
+       COALESCE(array_to_string(kept, chr(10)), '') AS text_clean,
+       len(ls) AS n_lines,
+       len(ls) - len(kept) AS n_removed_lines,
+       tot_chars,
+       ROUND(CASE WHEN tot_chars > 0
+                  THEN (tot_chars - kept_chars) / tot_chars
+                  ELSE 0.0 END, 6) AS removed_char_frac,
+       (ROUND(CASE WHEN tot_chars > 0
+                   THEN (tot_chars - kept_chars) / tot_chars
+                   ELSE 0.0 END, 6) <= {RW_MAX_REMOVED_FRAC}) AS rw_keep
+FROM s ORDER BY doc_id
+"""
+
+
+def _q_url_block(spark, sf):
+    """URL blocklist filtering (operators/web.py url_block — the
+    FineWeb/RefinedWeb UT1-style stage). The documents table has no
+    URL column, so each doc gets a deterministic synthetic URL (its
+    first in-text https host, else an md5-derived host — docs whose
+    md5 starts with 'a' get a banned-word host so the soft-word path
+    is exercised), and the blocklist is the md5-first-hex-in-0..3
+    quarter of the observed domains. Both derivations are mirrored
+    verbatim in the oracle. The only join is the broadcast dim."""
+    return _url_block_from_docs(_t(spark, sf, "documents"))
+
+
+def _url_block_from_docs(docs: DataFrame) -> DataFrame:
+    from document_ai_spark.operators.web import (
+        DOMAIN_PATTERN,
+        HOST_RE,
+        URL_PATTERN,
+        url_block,
+    )
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    th = F.regexp_extract("text", URL_PATTERN, 1)
+    host = F.when(th != "", th).otherwise(F.concat(
+        F.when(F.substring(h, 1, 1) == "a", F.lit("xxx-casino-"))
+         .otherwise(F.lit("site-")),
+        F.substring(h, 1, 6), F.lit(".ex-"), F.substring(h, 1, 2),
+        F.lit(".com")))
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    dom = F.regexp_extract(
+        F.regexp_replace(F.regexp_extract(F.lower("url"), HOST_RE, 1),
+                         r"^www\.", ""), DOMAIN_PATTERN, 1)
+    bl = (urls.select(dom.alias("domain")).distinct()
+          .where(F.substring(F.md5("domain"), 1, 1).isin(*"0123")))
+    return url_block(urls, bl).orderBy("doc_id")
+
+
+def _sql_url_block() -> str:
+    from document_ai_spark.operators.web import (
+        BANNED_URL_WORDS,
+        URL_SOFT_MAX,
+    )
+    words = ", ".join(f"'{w}'" for w in BANNED_URL_WORDS)
+    return f"""
+WITH synth AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         regexp_extract(text, 'https?://([A-Za-z0-9.-]+)/', 1) AS th
+  FROM documents),
+urls AS (
+  SELECT doc_id,
+         concat('https://',
+                CASE WHEN th <> '' THEN th
+                     ELSE concat(CASE WHEN substring(h, 1, 1) = 'a'
+                                      THEN 'xxx-casino-'
+                                      ELSE 'site-' END,
+                                 substring(h, 1, 6), '.ex-',
+                                 substring(h, 1, 2), '.com') END,
+                '/p/', CAST(doc_id AS VARCHAR)) AS url
+  FROM synth),
+parsed AS (
+  SELECT doc_id, url,
+         regexp_extract(
+           regexp_replace(
+             regexp_extract(lower(url),
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+             '^www\\.', ''),
+           '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$', 1) AS domain,
+         CAST(len(list_filter([{words}],
+              w -> contains(lower(url), w))) AS BIGINT) AS soft_hits
+  FROM urls),
+bl AS (
+  SELECT DISTINCT domain FROM parsed
+  WHERE substring(md5(domain), 1, 1) IN ('0', '1', '2', '3'))
+SELECT p.doc_id, p.url, p.domain, p.soft_hits,
+       (b.domain IS NOT NULL) AS domain_blocked,
+       (b.domain IS NULL AND p.soft_hits < {URL_SOFT_MAX}) AS url_keep
+FROM parsed p LEFT JOIN bl b ON p.domain = b.domain
+ORDER BY p.doc_id
 """
 
 
@@ -3520,6 +3740,9 @@ _REGISTRY: dict[str, tuple] = {
     "dsir_sample": (_q_dsir_sample, _SQL_DSIR_SAMPLE),
     "ngram_repetition": (_q_ngram_repetition, _sql_ngram_repetition()),
     "c4_clean": (_q_c4_clean, _sql_c4_clean()),
+    "fineweb_filters": (_q_fineweb_filters, _sql_fineweb_filters()),
+    "refinedweb_lines": (_q_refinedweb_lines, _sql_refinedweb_lines()),
+    "url_block": (_q_url_block, _sql_url_block()),
 }
 
 

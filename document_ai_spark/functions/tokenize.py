@@ -64,6 +64,30 @@ from pyspark.sql import Column, functions as F
 # U+3000 (or any no-space-script char) to the full regex.
 WS_RANGES = r" \x{0009}-\x{000D}\x{3000}"
 
+# Engine-parity trim. Spark's trim() strips only U+0020 while DuckDB's
+# strips the full Unicode Zs category (incl. NBSP and U+3000) — a real
+# verdict-level divergence found by the published-rules fuzz test
+# (a U+3000-indented single-word line was "one word" to DuckDB but not
+# to Spark). Every shared rule that trims a line before judging it
+# must therefore spell the trim explicitly over WS_RANGES: Spark via
+# ws_trim() below, DuckDB via regexp_replace(x, WS_STRIP_RE, '', 'g').
+WS_STRIP_RE = rf"^[{WS_RANGES}]+|[{WS_RANGES}]+$"
+
+
+def ws_trim(col) -> "Column":
+    """Strip leading/trailing WS_RANGES chars — the engine-parity trim
+    (Spark regexp_replace is global, so one alternation pass does both
+    ends)."""
+    return F.regexp_replace(col, WS_STRIP_RE, "")
+
+
+def ws_trim_sql(col: str) -> str:
+    """The ws_trim() expression as Spark SQL text (for F.expr bodies;
+    Spark SQL literals process backslash escapes, so the pattern is
+    double-escaped here)."""
+    return (f"regexp_replace({col}, "
+            f"'{WS_STRIP_RE.replace(chr(92), chr(92) * 2)}', '')")
+
 # BMP CJK ranges, single-backslash (raw-regex) spelling:
 #   3040-30FF  Hiragana + Katakana
 #   31F0-31FF  Katakana Phonetic Extensions (Ainu small kana)

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.tokenize import ws_trim, ws_trim_sql
+
 from .dedup import banded_near_dup_pairs, duplicate_clusters
 from .textquality import (
     repetition_stats,
@@ -216,7 +218,7 @@ def line_frequencies(docs: DataFrame) -> DataFrame:
     32-byte keys is the only aggregate; also the accretion unit of the
     incremental LineIndex (operators/line_index.py)."""
     return (_doc_lines(docs).withColumn("lk", F.md5("line"))
-            .where(F.trim(F.col("line")) != "")
+            .where(ws_trim(F.col("line")) != "")
             .groupBy("lk")
             .agg(F.count_distinct("doc_id").alias("n_docs"),
                  F.min("doc_id").alias("keep_doc_id")))
@@ -287,7 +289,7 @@ def strip_repeated_lines(docs: DataFrame) -> DataFrame:
     s = F.expr(
         "element_at(transform(array(split(coalesce(text, ''), '\\n')), "
         "ls -> named_struct("
-        "  'kept', filter(ls, (l, i) -> trim(l) = '' "
+        f"  'kept', filter(ls, (l, i) -> {ws_trim_sql('l')} = '' "
         "                 OR array_position(ls, l) = i + 1), "
         "  'n', size(ls))), 1)")
     # long, not int: strip_hot_lines emits count()-typed longs for the

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions.tokenize import ALPHA_RANGES, tokens_sql
+from ..functions.tokenize import ALPHA_RANGES, tokens_sql, ws_trim_sql
 from .textquality import with_unigram_logprob
 
 # Gopher App. A required stop words: a document must contain >= 2.
@@ -91,7 +91,7 @@ def gopher_rules(docs: DataFrame,
         "named_struct("
         "  'nl', size(ls), "
         "  'nb', size(filter(ls, l -> "
-        "             trim(l) rlike '^[-*\\\\x{2022}]')), "
+        f"             {ws_trim_sql('l')} rlike '^[-*\\\\x{{2022}}]')), "
         "  'ne', size(filter(ls, l -> "
         "             l rlike '(\\\\.\\\\.\\\\.|\\\\x{2026}) *$')))), 1)")
     n_hash = F.length("text") - F.length(F.replace(F.col("text"),

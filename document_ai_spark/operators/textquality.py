@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..constants import STOPWORDS
 from ..functions.tokenize import (
+    ws_trim,
     ALPHA_RANGES,
     CJK_RANGES,
     WS_RANGES,
@@ -255,7 +256,7 @@ def repetition_stats(df: DataFrame) -> DataFrame:
     )
     lines = (df.select("doc_id",
                        F.explode(F.split("text", "\n")).alias("line"))
-             .select("doc_id", F.trim("line").alias("line"))
+             .select("doc_id", ws_trim(F.col("line")).alias("line"))
              .where(F.col("line") != ""))
     line_stats = (lines.groupBy("doc_id", "line")
                   .agg(F.count("*").alias("c"))

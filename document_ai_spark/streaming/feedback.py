@@ -134,7 +134,8 @@ def stream_curate(spark: SparkSession, in_dir: str, index_root: str,
                   out_dir: str, checkpoint_dir: str,
                   quality_min: float = 0.8, jaccard_min: float = 0.5,
                   c4: bool = False, gopher: bool = False,
-                  gopher_min_words: int = 50, gopher_min_stops: int = 2):
+                  gopher_min_words: int = 50, gopher_min_stops: int = 2,
+                  rw_lines: bool = False, fineweb: bool = False):
     """Streaming training-data curation: per micro-batch, quality-gate ->
     near-dup against the PERSISTED sketch index -> append survivors.
 
@@ -178,6 +179,16 @@ def stream_curate(spark: SparkSession, in_dir: str, index_root: str,
                          .select("doc_id",
                                  F.col("text_clean").alias("text")),
                          "doc_id"))
+        if rw_lines:
+            # Stateless like c4 — the RefinedWeb line corrections feed
+            # the gates and the persisted index with corrected text.
+            from ..operators.web import refinedweb_lines
+            rw = refinedweb_lines(src.select("doc_id", "text"))
+            src = (src.drop("text")
+                   .join(rw.where("rw_keep")
+                         .select("doc_id",
+                                 F.col("text_clean").alias("text")),
+                         "doc_id"))
         gated = (with_quality_score(src)
                  .where(F.col("quality_score") >= quality_min)
                  .select("doc_id", "text", "lang", "source"))
@@ -188,6 +199,11 @@ def stream_curate(spark: SparkSession, in_dir: str, index_root: str,
                              min_stop_hits=gopher_min_stops)
             gated = gated.join(
                 g.where("gopher_keep").select("doc_id"), "doc_id")
+        if fineweb:
+            from ..operators.web import fineweb_filters
+            fw = fineweb_filters(gated.select("doc_id", "text"))
+            gated = gated.join(
+                fw.where("fineweb_keep").select("doc_id"), "doc_id")
         pairs = idx.append_and_find(
             spark, gated.select("doc_id", "text"),
             batch_id=f"curate-{batch_id}", jaccard_min=jaccard_min)

@@ -176,6 +176,19 @@ def main() -> None:
                          "boilerplate, drop brace/lorem-ipsum pages "
                          "and pages with < 3 surviving lines; gates "
                          "and dedup then see the CLEANED text")
+    ap.add_argument("--rw-lines", action="store_true",
+                    help="apply the RefinedWeb line-wise corrections "
+                         "(Penedo et al. 2023 App. G.2) AFTER --c4: "
+                         "drop mainly-uppercase / numeric-only / "
+                         "social-counter / single-word lines, and drop "
+                         "docs losing > 5% of their chars; gates and "
+                         "dedup see the corrected text")
+    ap.add_argument("--fineweb", action="store_true",
+                    help="apply the FineWeb custom filters (Penedo et "
+                         "al. 2024 \u00a73.4: punct-line ratio, short-"
+                         "line ratio, duplicated-line char fraction, "
+                         "newline/word ratio) as an extra doc gate; "
+                         "ratio columns ride the audit output")
     ap.add_argument("--rep-ngrams", action="store_true",
                     help="apply Gopher's n-gram repetition rules "
                          "(top-{2,3,4}-gram / dup-{5..10}-gram char "
@@ -358,6 +371,18 @@ def main() -> None:
                                  (F.col("n_lines") - F.col("n_kept_lines"))
                                  .alias("n_c4_lines_removed")),
                          "doc_id"))
+        if args.rw_lines:
+            # RefinedWeb line-wise corrections ride after C4: same
+            # contract (cleaned text feeds gates, sketches, index).
+            from document_ai_spark.operators.web import refinedweb_lines
+            r = refinedweb_lines(sub.select("doc_id", "text"))
+            sub = (sub.drop("text")
+                   .join(r.where("rw_keep")
+                         .select("doc_id",
+                                 F.col("text_clean").alias("text"),
+                                 F.col("n_removed_lines")
+                                 .alias("n_rw_lines_removed")),
+                         "doc_id"))
         gated = quality_gates(
             sub, quality_min=args.quality_min,
             dup_line_max=args.dup_line_max,
@@ -366,7 +391,8 @@ def main() -> None:
         carry = ["doc_id", "text", "lang", "source"] + (
             ["n_boiler_lines_removed"] if hot is not None else []) + (
             ["n_intra_lines_removed"] if args.intra_line_dedup else []) + (
-            ["n_c4_lines_removed"] if args.c4 else [])
+            ["n_c4_lines_removed"] if args.c4 else []) + (
+            ["n_rw_lines_removed"] if args.rw_lines else [])
         kept = (sub.select(*carry)
                 .join(gated, "doc_id")
                 .where("keep")
@@ -398,6 +424,16 @@ def main() -> None:
                     .join(rep, "doc_id", "left")
                     .where(F.coalesce("rep_keep", F.lit(True)))
                     .drop("rep_keep"))
+        if args.fineweb:
+            from document_ai_spark.operators.web import fineweb_filters
+            fw = fineweb_filters(kept.select("doc_id", "text"))
+            kept = (kept
+                    .join(fw.select("doc_id", "line_punct_ratio",
+                                    "short_line_frac",
+                                    "dup_line_char_frac",
+                                    "newline_word_ratio",
+                                    "fineweb_keep"), "doc_id")
+                    .where("fineweb_keep").drop("fineweb_keep"))
         if ppl_map is not None:
             # Join against the persisted corpus-level bucket map; the
             # ppl_bucket label rides the audit output. Zero-token docs

@@ -34,8 +34,14 @@ WORDS = ["the", "quick", "brown", "fox", "data", "spark", "lorem",
          "javascripting", "nojavascript", "cookies", "uses", "privacy",
          "policy", "of", "use", "terms", "#tag", "...", "a{b", "词汇",
          "漢字文字", "east", "…", "x"]
-ENDINGS = [".", "!", "?", '"', "", "...", "…", " .", ". "]
-STARTS = ["", "- ", "* ", "• ", "  - ", "　"]
+# Line edges deliberately include U+3000 / NBSP / tab AFTER punctuation
+# and bullets BEHIND U+3000 — the exact shapes where Spark trim (U+0020
+# only) and DuckDB trim (Unicode Zs) disagree; the ws_trim sweep makes
+# both engines strip the same WS_RANGES class (NBSP stays, by design).
+ENDINGS = [".", "!", "?", '"', "", "...", "…", " .", ". ", ".　", "! ",
+           "?\t", "　", ". "]
+STARTS = ["", "- ", "* ", "• ", "  - ", "　", "　- ", " ", "\t* ",
+          " 12 likes"]
 
 
 @pytest.fixture(scope="module")
@@ -77,7 +83,8 @@ def fuzz_sdf(spark, fuzz_docs):
 
 
 @pytest.mark.parametrize("op", ["c4_clean", "gopher_rules",
-                                "ngram_repetition"])
+                                "ngram_repetition", "fineweb_filters",
+                                "refinedweb_lines", "url_block"])
 def test_published_rules_cross_engine_fuzz(op, fuzz_sdf, fuzz_ddb):
     if op == "c4_clean":
         from document_ai_spark.operators.web import c4_clean as fn
@@ -85,6 +92,12 @@ def test_published_rules_cross_engine_fuzz(op, fuzz_sdf, fuzz_ddb):
         from document_ai_spark.operators.selection import (
             gopher_rules as fn,
         )
+    elif op == "fineweb_filters":
+        from document_ai_spark.operators.web import fineweb_filters as fn
+    elif op == "refinedweb_lines":
+        from document_ai_spark.operators.web import refinedweb_lines as fn
+    elif op == "url_block":
+        fn = E._url_block_from_docs
     else:
         from document_ai_spark.operators.textquality import (
             ngram_repetition as fn,

@@ -443,3 +443,61 @@ def test_spark_submit_run_curate_c4_and_rep(tmp_path):
         f"FROM '{out}/data/bucket=*/*.parquet'").fetchone()[0]
     assert n_c4 >= 1
     assert len(ids) >= 20
+
+
+def test_spark_submit_run_curate_rw_fineweb(tmp_path):
+    """--rw-lines strips RefinedWeb-dropped lines before the gates
+    (audit column n_rw_lines_removed rides the output); --fineweb adds
+    the FineWeb ratio gate with its ratio columns on the audit rows."""
+    zip_path = tmp_path / "document_ai_spark.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for f in sorted((REPO / "document_ai_spark").rglob("*.py")):
+            z.write(f, f.relative_to(REPO))
+
+    import duckdb
+    good = ("This is a good long sentence that ends well and keeps "
+            "the stopword rate in a natural band for the gate.\n"
+            "Another full sentence with plenty of words is here and "
+            "it also reads like ordinary prose text.\n"
+            "And a third complete sentence closes the page with more "
+            "of the usual words to be sure.")
+    src = tmp_path / "rwdocs.parquet"
+    con = duckdb.connect()
+    con.execute(f"""
+      COPY (
+        SELECT i AS doc_id,
+               CASE
+                 WHEN i = 97 THEN '{good}' || chr(10) || 'SHOUT AB.'
+                 WHEN i = 98 THEN repeat('no punct line' || chr(10), 9)
+                      || 'no punct line'
+                 ELSE '{good}' || ' Extra words vary with seed '
+                      || CAST(i AS VARCHAR) || ' to dodge the near-dup '
+                      || 'index while staying natural prose here with '
+                      || 'more filler number ' || CAST(i * 7 AS VARCHAR)
+                      || ' still ending properly.'
+               END AS text,
+               'en' AS lang, 'web' AS source
+        FROM range(100) t(i)
+      ) TO '{src}' (FORMAT PARQUET)""")
+
+    out = tmp_path / "curate_out"
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--py-files", str(zip_path),
+           str(REPO / "scripts" / "run_curate.py"),
+           "--input", str(src),
+           "--output", str(out), "--buckets", "2", "--run-id", "t-rw",
+           "--rw-lines", "--fineweb", "--jaccard-min", "0.95"]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    assert p.returncode == 0, p.stderr[-2000:]
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, n_rw_lines_removed, line_punct_ratio "
+        f"FROM '{out}/data/bucket=*/*.parquet'").fetchall()
+    ids = {r[0] for r in rows}
+    assert 98 not in ids                      # punctless page: fineweb
+    by_id = {r[0]: r for r in rows}
+    if 97 in ids:
+        assert "SHOUT" not in by_id[97][1]    # line-wise correction
+        assert by_id[97][2] == 1              # audit counter
+    # every surviving row carries the FineWeb audit ratio
+    assert all(r[3] >= 0.12 for r in rows)

@@ -110,3 +110,37 @@ def test_stream_curate_published_gates(spark, tmp_path):
             for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert set(rows) == {"good"}
     assert "cookies" not in rows["good"]   # line stripped by c4
+
+
+def test_stream_curate_rw_fineweb_gates(spark, tmp_path):
+    """rw_lines=True strips RefinedWeb-dropped lines (and keys the index
+    on the corrected text); fineweb=True drops docs violating the
+    FineWeb ratios — both stateless maps, exactly-once untouched."""
+    in_dir = str(tmp_path / "in")
+    good_page = (
+        "This is a good long sentence that ends well today.\n"
+        "Another full sentence with plenty of words is here.\n"
+        "And a third complete sentence closes the page now.\n"
+        "A fourth line keeps the ratios in the natural band.")
+    other_page = (
+        "Entirely different prose occupies this second page.\n"
+        "It discusses completely unrelated matters at length.\n"
+        "Nothing here overlaps the first page vocabulary much.\n"
+        "So the near-dup index keeps both pages alive today.")
+    shouty = other_page + "\nSHOUT AB."          # small mainly-upper line
+    no_punct = "\n".join(["just some short words"] * 8)
+    _write_batch(spark, in_dir, [
+        ("good", good_page, "en", "s1"),
+        ("shout", shouty, "en", "s1"),
+        ("nopunct", no_punct, "en", "s1"),
+    ])
+    q = stream_curate(spark, in_dir, str(tmp_path / "idx"),
+                      str(tmp_path / "out"), str(tmp_path / "ckpt"),
+                      quality_min=0.2, jaccard_min=0.9,
+                      rw_lines=True, fineweb=True)
+    q.awaitTermination()
+    rows = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert set(rows) == {"good", "shout"}
+    assert "SHOUT" not in rows["shout"]          # line-wise correction
+    assert rows["good"] == good_page             # untouched page intact
