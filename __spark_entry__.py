@@ -1210,15 +1210,16 @@ def _q_embed_ivf_topk(spark, sf):
     return S.ivf_topk(_t(spark, sf, "embeddings"), probe_ids=[0, 1, 2], k=5)
 
 
-def _sql_embed_ivf_topk():
-    """Mirrors similarity.kmeans_codebook + ivf_topk: first-k init, then
-    IVF_ITERS Lloyd iterations over the vec_id%MOD training sample
-    (assign -> elementwise mean rounded to 6), then full-corpus assignment
-    and cluster-restricted probe scoring."""
+def _ivf_codebook_ctes(e_body: str) -> tuple:
+    """The seeded-Lloyd codebook as DuckDB CTE text (mirrors
+    similarity.kmeans_codebook: first-k init, IVF_ITERS iterations over
+    the vec_id%MOD training sample, assign -> elementwise mean rounded
+    to 6). ``e_body`` is the SELECT for the input CTE ``e``; returns
+    (cte_list, final_codebook_cte_name) so semdedup and ivf_topk share
+    one training mirror."""
     cos_assign = _cos_sql("d.emb", "c.cent")
-    cos_q = _cos_sql("d.emb", "p.emb")
     parts = [
-        f"e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"e AS ({e_body})",
         f"train AS (SELECT * FROM e WHERE vec_id % {S.IVF_SAMPLE_MOD} = 0)",
         f"c0 AS (SELECT vec_id AS centroid_id, emb AS cent FROM e "
         f"WHERE vec_id < {S.IVF_K})",
@@ -1243,6 +1244,17 @@ def _sql_embed_ivf_topk():
   SELECT p.centroid_id, COALESCE(m.new_cent, p.cent) AS cent
   FROM {prev} p LEFT JOIN m{t} m ON p.centroid_id = m.centroid_id)""")
         prev = f"c{t}"
+    return parts, prev
+
+
+def _sql_embed_ivf_topk():
+    """Mirrors similarity.kmeans_codebook + ivf_topk: shared codebook
+    CTEs (_ivf_codebook_ctes), then full-corpus assignment and
+    cluster-restricted probe scoring."""
+    cos_assign = _cos_sql("d.emb", "c.cent")
+    cos_q = _cos_sql("d.emb", "p.emb")
+    parts, prev = _ivf_codebook_ctes(
+        "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings")
     ctes = ",\n".join(parts)
     return f"""
 WITH {ctes},
@@ -3623,6 +3635,139 @@ ORDER BY p.doc_id
 """
 
 
+def _q_semdedup(spark, sf):
+    """SemDeDup (operators/similarity.py semdedup, Abbas et al. 2023):
+    IVF-cluster the embeddings, greedy intra-cluster drop of vectors
+    cosine-similar to an earlier keep-order item. Near-dups planted
+    exactly as embed_near_dups: a x2-scaled copy of every vector
+    (cosine exactly 1) at vec_id + 1000000 — the original (lower id,
+    same rounded cos-to-centroid) must win."""
+    emb = _t(spark, sf, "embeddings")
+    dup = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * F.lit(2.0).cast("float"))
+         .alias("embedding"),
+        F.col("label"))
+    return S.semdedup(emb.unionByName(dup), cos_min=0.95).orderBy("vec_id")
+
+
+def _sql_semdedup() -> str:
+    cos_assign = _cos_sql("d.emb", "c.cent")
+    cos_ab = _cos_sql("a.emb", "b.emb")
+    parts, prev = _ivf_codebook_ctes(
+        "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings "
+        "UNION ALL "
+        "SELECT vec_id + 1000000, "
+        "list_transform(embedding, "
+        "v -> CAST(v * CAST(2.0 AS FLOAT) AS FLOAT))::DOUBLE[] "
+        "FROM embeddings")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+assigned AS (
+  SELECT vec_id, emb, centroid_id, cos_c FROM (
+    SELECT d.vec_id, d.emb, c.centroid_id,
+           ROUND({cos_assign}, 6) AS cos_c,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                              ORDER BY ROUND({cos_assign}, 6) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM e d, {prev} c) WHERE rn = 1),
+ordered AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY centroid_id
+                               ORDER BY cos_c ASC, vec_id ASC) AS pos
+  FROM assigned),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM ordered a JOIN ordered b
+    ON a.centroid_id = b.centroid_id AND a.pos < b.pos
+  WHERE ROUND({cos_ab}, 6) >= 0.95)
+SELECT a.vec_id, a.centroid_id, a.cos_c,
+       (d.vec_id IS NULL) AS sem_keep
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+"""
+
+
+def _q_dedup_weights(spark, sf):
+    """SoftDeDup-style duplicate down-weighting (operators/dedup.py
+    dedup_weights): every doc of the dup-planted corpus keeps a row;
+    near-dup families (banded-LSH closure) get weight 1/|family|."""
+    docs = _dup_docs(spark, sf)
+    pairs = D.banded_near_dup_pairs(docs, jaccard_min=0.5)
+    return D.dedup_weights(docs, pairs).orderBy("doc_id")
+
+
+_SQL_DEDUP_WEIGHTS = f"""
+WITH RECURSIVE
+{_BANDED_PAIRS_CTE},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT DISTINCT u AS doc_id, u AS r FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.doc_id = e.v),
+cl AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id),
+sz AS (SELECT cluster, COUNT(*) AS n FROM cl GROUP BY cluster)
+SELECT b.doc_id,
+       COALESCE(cl.cluster, b.doc_id) AS cluster,
+       ROUND(COALESCE(1.0 / sz.n, 1.0), 6) AS weight
+FROM (SELECT doc_id FROM base) b
+LEFT JOIN cl ON b.doc_id = cl.doc_id
+LEFT JOIN sz ON cl.cluster = sz.cluster
+ORDER BY b.doc_id
+"""
+
+
+def _q_strip_dup_spans(spark, sf):
+    """ExactSubstr removal form (operators/curation.py strip_dup_spans,
+    Lee et al. 2022): cross-doc duplicated w-token spans removed from
+    every doc except the keeper (min doc_id); w=5 suits the small-vocab
+    corpus exactly as dup_span_frac."""
+    from document_ai_spark.operators.curation import strip_dup_spans
+
+    return (strip_dup_spans(_t(spark, sf, "documents"), w=_DUP_SPAN_W)
+            .orderBy("doc_id"))
+
+
+_SQL_STRIP_DUP_SPANS = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens, t,
+         CASE WHEN len(t) = 0 THEN []
+              ELSE list_transform(
+                  generate_series(1, greatest(len(t) - {_DUP_SPAN_W - 1}, 1)),
+                  i -> md5(array_to_string(
+                           list_slice(t, i, i + {_DUP_SPAN_W - 1}), ' ')))
+         END AS fps
+  FROM toks),
+win AS (
+  SELECT doc_id, n_tokens,
+         unnest(generate_series(1, len(fps))) AS s,
+         unnest(fps) AS fp
+  FROM base WHERE len(fps) > 0),
+hot AS (SELECT fp, MIN(doc_id) AS keep_doc_id FROM win GROUP BY fp
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+dp AS (
+  SELECT doc_id, list(DISTINCT p) AS drop_idx
+  FROM (SELECT w.doc_id,
+               unnest(generate_series(w.s, least(w.s + {_DUP_SPAN_W - 1},
+                                                 w.n_tokens))) AS p
+        FROM win w JOIN hot h USING (fp)
+        WHERE w.doc_id <> h.keep_doc_id)
+  GROUP BY doc_id)
+SELECT b.doc_id,
+       COALESCE(array_to_string(list_filter(b.t, (x, i) ->
+           NOT list_contains(COALESCE(dp.drop_idx, []), i)), ' '), '')
+         AS text_dedup,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(COALESCE(dp.drop_idx, [])) AS BIGINT) AS n_removed_tokens,
+       ROUND(len(COALESCE(dp.drop_idx, [])) / greatest(b.n_tokens, 1), 6)
+         AS removed_frac
+FROM base b LEFT JOIN dp USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple] = {
@@ -3743,6 +3888,9 @@ _REGISTRY: dict[str, tuple] = {
     "fineweb_filters": (_q_fineweb_filters, _sql_fineweb_filters()),
     "refinedweb_lines": (_q_refinedweb_lines, _sql_refinedweb_lines()),
     "url_block": (_q_url_block, _sql_url_block()),
+    "semdedup": (_q_semdedup, _sql_semdedup()),
+    "dedup_weights": (_q_dedup_weights, _SQL_DEDUP_WEIGHTS),
+    "strip_dup_spans": (_q_strip_dup_spans, _SQL_STRIP_DUP_SPANS),
 }
 
 

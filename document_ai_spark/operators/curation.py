@@ -873,3 +873,68 @@ def budget_sample(docs: DataFrame, max_tokens: int,
     return (docs.join(F.broadcast(fr), cond)
             .where(keep)
             .select(*docs.columns, "slice_tokens", "keep_frac"))
+
+
+def strip_dup_spans(docs: DataFrame, w: int = 50, min_docs: int = 2
+                    ) -> DataFrame:
+    """ExactSubstr in its REMOVAL form (Lee et al. 2022): delete every
+    cross-document duplicated w-token span from every holder EXCEPT
+    the keeper (min doc_id among the span's documents); the keeper
+    keeps all its occurrences (within-doc repetition stays
+    repetition_stats' scope, matching dup_span_stats). Output:
+    (doc_id, text_dedup, n_tokens, n_removed_tokens, removed_frac),
+    one row per input doc.
+
+    Reconstruction is tokenizer-level: surviving tokens re-join with
+    single spaces (documented whitespace normalization — the reference
+    ExactSubstr removes byte ranges via a corpus-wide suffix array,
+    which does not distribute; hot-fingerprint windows are the
+    standard map-reduce form and the removal is exact at token
+    granularity under window overlap, since positions union before
+    filtering).
+
+    Scale shape (the dup_span_stats discipline): windows shuffle as
+    32-byte fingerprints; the hot table is (fp, keep_doc_id) from one
+    exact-distinct aggregate; covered positions expand map-side
+    (<= w ints per hot window) into a per-doc position set; ONE
+    tokenize pass rebuilds the text map-side with an indexed filter —
+    the text itself never shuffles."""
+    from ..functions.tokenize import tokens_sql
+
+    win = _span_windows(docs, w)
+    hotk = (win.where(F.col("fp").isNotNull())
+            .groupBy("fp")
+            .agg(F.count_distinct("doc_id").alias("_nd"),
+                 F.min("doc_id").alias("_keep"))
+            .where(F.col("_nd") >= min_docs)
+            .select("fp", "_keep"))
+    drop = (win.join(hotk, "fp")
+            .where(F.col("doc_id") != F.col("_keep"))
+            .select("doc_id",
+                    F.explode(F.sequence(
+                        F.col("s"),
+                        F.least(F.col("s") + F.lit(w - 1),
+                                F.col("n_tokens")))).alias("p"))
+            .groupBy("doc_id")
+            .agg(F.collect_set("p").alias("drop_idx")))
+    toks = tokens_sql("coalesce(text, '')")
+    # Single tokenize eval (array+transform idiom); filter index i is
+    # 0-based while window positions are 1-based — hence i + 1.
+    rebuilt = F.expr(
+        f"element_at(transform(array({toks}), tk -> named_struct("
+        "'clean', array_join(filter(tk, (x, i) -> "
+        "  NOT array_contains(drop_idx, i + 1)), ' '), "
+        "'n', size(tk))), 1)")
+    return (docs.join(drop, "doc_id", "left")
+            .withColumn("drop_idx",
+                        F.coalesce("drop_idx",
+                                   F.expr("cast(array() as array<int>)")))
+            .withColumn("_r", rebuilt)
+            .select("doc_id",
+                    F.col("_r.clean").alias("text_dedup"),
+                    F.col("_r.n").cast("long").alias("n_tokens"),
+                    F.size("drop_idx").cast("long")
+                    .alias("n_removed_tokens"),
+                    F.round(F.size("drop_idx")
+                            / F.greatest(F.col("_r.n"), F.lit(1)), 6)
+                    .alias("removed_frac")))

@@ -753,3 +753,34 @@ def novel_docs(docs_a: DataFrame, docs_b: DataFrame,
     hits = corpus_overlap(docs_a, docs_b, jaccard_min=jaccard_min,
                           bands=bands, rows=rows, max_bucket=max_bucket)
     return docs_a.join(hits.select("doc_id"), "doc_id", "left_anti")
+
+
+def dedup_weights(docs: DataFrame, pairs: DataFrame,
+                  max_iter: int = 30) -> DataFrame:
+    """Soft deduplication (SoftDeDup, She et al. 2024: reweight, don't
+    delete): every document survives, but each near-dup family of size
+    n contributes weight 1/n per member — a family sums to one
+    document's worth of expected sampling mass, singletons keep 1.0.
+
+    `pairs` is any canonical (doc_a < doc_b) near-dup pair stream
+    (banded LSH, sketch index, embedding LSH); the transitive closure
+    comes from duplicate_clusters_star (O(log^2 n) rounds, any family
+    diameter). Output: (doc_id, cluster, weight) for EVERY input doc.
+
+    Scale shape: the closure's own exchanges (audited at
+    dup_clusters_star) plus one count per cluster id (map-side
+    partials), one join of (cluster, n) onto the closure rows — all
+    keyed on ids, never text — and one left join onto the doc_id
+    projection of the corpus. Downstream samplers multiply this weight
+    into their existing md5-uniform draw (stratified_sample /
+    budget_sample), so "soft" costs no extra corpus pass."""
+    clusters = duplicate_clusters_star(pairs, max_iter=max_iter)
+    sizes = clusters.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
+    weighted = (clusters.join(sizes, "cluster")
+                .select("doc_id", "cluster",
+                        F.round(F.lit(1.0) / F.col("_n"), 6)
+                        .alias("weight")))
+    return (docs.select("doc_id").join(weighted, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+                    F.coalesce("weight", F.lit(1.0)).alias("weight")))

@@ -321,3 +321,87 @@ def embedding_near_dups(emb: DataFrame, cos_min: float = 0.95,
         .where(F.col("cos_sim") >= cos_min)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-based semantic deduplication
+# ---------------------------------------------------------------------------
+
+SEM_MAX_CLUSTER = 4096   # per-cluster item cap (observed drops, as LSH)
+
+
+def semdedup(emb: DataFrame, cos_min: float = 0.95,
+             k: int = IVF_K, iters: int = IVF_ITERS,
+             codebook: DataFrame = None,
+             max_cluster: int = SEM_MAX_CLUSTER) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means-cluster the
+    embeddings, then inside each cluster drop every vector that is
+    cosine-similar (>= cos_min) to a vector EARLIER in the cluster's
+    keep order. Keep order is (cos-to-centroid ASC, vec_id ASC) — the
+    paper keeps the example with the LOWEST similarity to the
+    centroid, and the public reference code applies exactly this
+    greedy upper-triangular rule (earlier items win regardless of
+    their own verdict), so no connected-components pass exists in the
+    published method either.
+
+    Output: one row per vector — (vec_id, centroid_id, cos_c,
+    sem_keep). Downstream joins `WHERE sem_keep` to materialize the
+    deduplicated corpus.
+
+    Scale shape: the codebook broadcasts (train once via
+    kmeans_codebook / vector_index.CodebookIndex, pass it in);
+    assignment is one broadcast cross join + a vec_id window (ONE hash
+    exchange of (vec_id, emb)); then ONE exchange groups each cluster
+    and the O(n_c^2) cosine sweep runs LOCALLY per cluster via an
+    indexed HOF — no pair explosion ever shuffles, the verdict comes
+    out of the same task that holds the cluster. Per-task work is
+    bounded by `max_cluster` (deterministic array_sort truncation with
+    the observed lsh_cap drop metric — at production k ~ corpus/5k the
+    cap never engages on natural clusters). That is the paper's own
+    cost profile: SemDeDup is O(N^2/k) cosine work, paid map-side."""
+    cents = codebook if codebook is not None \
+        else kmeans_codebook(emb, k, iters)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
+        "cos_c", F.round(_cosine("emb", "cent"), 6))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("centroid_id"))
+    assigned = (scored.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("vec_id", "emb", "centroid_id", "cos_c"))
+    # array_sort on struct(c, v, e) orders lexicographically by
+    # (cos_c ASC, vec_id ASC); vec_id is unique so the array field is
+    # never compared. The sorted prefix IS the keep order.
+    grouped = (assigned.groupBy("centroid_id")
+               .agg(F.array_sort(F.collect_list(F.struct(
+                   F.col("cos_c").alias("c"),
+                   F.col("vec_id").alias("v"),
+                   F.col("emb").alias("e")))).alias("items")))
+    grouped = _cap_bucket_items(grouped, max_cluster)
+    # Per item y at 0-based position j: dropped iff ANY of the j
+    # earlier items is >= cos_min similar. exists() short-circuits;
+    # the first item of every cluster is always kept (empty slice).
+    verdicts = F.expr(
+        "transform(items, (y, j) -> struct("
+        "  y.v AS vec_id, "
+        "  exists(slice(items, 1, j), x -> "
+        "    round(aggregate(zip_with(x.e, y.e, (a, b) -> a * b), "
+        "                    cast(0.0 as double), (acc, p) -> acc + p) "
+        "          / (sqrt(aggregate(x.e, cast(0.0 as double), "
+        "                            (acc, p) -> acc + p * p)) "
+        "           * sqrt(aggregate(y.e, cast(0.0 as double), "
+        "                            (acc, p) -> acc + p * p))), 6) "
+        f"    >= {cos_min}) AS dropped))")
+    judged = (grouped.select(F.explode(verdicts).alias("r"))
+              .select(F.col("r.vec_id").alias("vec_id"),
+                      (~F.col("r.dropped")).alias("_sk")))
+    # Row-completeness under the cap: a truncated item vanishes from
+    # `items`, so its verdict must not vanish with it — every assigned
+    # vector gets a row, beyond-cap items default to KEPT (uncompared;
+    # the truncation is observed via the lsh_cap metric, never silent).
+    return (assigned.select("vec_id", "centroid_id", "cos_c")
+            .join(judged, "vec_id", "left")
+            .withColumn("sem_keep", F.coalesce("_sk", F.lit(True)))
+            .drop("_sk"))
