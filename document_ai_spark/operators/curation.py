@@ -875,15 +875,33 @@ def budget_sample(docs: DataFrame, max_tokens: int,
             .select(*docs.columns, "slice_tokens", "keep_frac"))
 
 
-def strip_dup_spans(docs: DataFrame, w: int = 50, min_docs: int = 2
-                    ) -> DataFrame:
+def hot_span_keepers(docs: DataFrame, w: int = 50, min_docs: int = 2
+                     ) -> DataFrame:
+    """The (fp, keep_doc_id) table behind strip_dup_spans: every
+    w-token window fingerprint held by >= min_docs distinct docs, with
+    the min doc_id as keeper. Computed ONCE per corpus and persistable
+    (the _hot_spans discipline) so per-bucket strips stay exact."""
+    return (_span_windows(docs, w)
+            .where(F.col("fp").isNotNull())
+            .groupBy("fp")
+            .agg(F.count_distinct("doc_id").alias("_nd"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .where(F.col("_nd") >= min_docs)
+            .select("fp", "keep_doc_id"))
+
+
+def strip_dup_spans(docs: DataFrame, w: int = 50, min_docs: int = 2,
+                    hot: DataFrame = None) -> DataFrame:
     """ExactSubstr in its REMOVAL form (Lee et al. 2022): delete every
     cross-document duplicated w-token span from every holder EXCEPT
     the keeper (min doc_id among the span's documents); the keeper
     keeps all its occurrences (within-doc repetition stays
     repetition_stats' scope, matching dup_span_stats). Output:
     (doc_id, text_dedup, n_tokens, n_removed_tokens, removed_frac),
-    one row per input doc.
+    one row per input doc. ``hot``: a precomputed/persisted
+    hot_span_keepers table — scoring a corpus SUBSET against the full
+    corpus's keepers stays exact (per-doc semantics), which is what
+    lets the curation CLI strip per bucket.
 
     Reconstruction is tokenizer-level: surviving tokens re-join with
     single spaces (documented whitespace normalization — the reference
@@ -902,12 +920,9 @@ def strip_dup_spans(docs: DataFrame, w: int = 50, min_docs: int = 2
     from ..functions.tokenize import tokens_sql
 
     win = _span_windows(docs, w)
-    hotk = (win.where(F.col("fp").isNotNull())
-            .groupBy("fp")
-            .agg(F.count_distinct("doc_id").alias("_nd"),
-                 F.min("doc_id").alias("_keep"))
-            .where(F.col("_nd") >= min_docs)
-            .select("fp", "_keep"))
+    hotk = (hot if hot is not None
+            else hot_span_keepers(docs, w, min_docs)) \
+        .select("fp", F.col("keep_doc_id").alias("_keep"))
     drop = (win.join(hotk, "fp")
             .where(F.col("doc_id") != F.col("_keep"))
             .select("doc_id",

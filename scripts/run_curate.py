@@ -21,8 +21,14 @@ cap/gate metrics land in <output>/_manifests/):
      drop docs whose token coverage by corpus-duplicated w-token
      windows exceeds the threshold; hot-window table persisted under
      <output>/_hot_spans, the _hot_lines discipline),
+  1b'. optional ExactSubstr REMOVAL (--strip-dup-spans: delete
+     cross-doc duplicated w-token spans from all but the keeper doc;
+     keeper table persisted under <output>/_hot_span_keepers),
   1c. optional C4 cleaning (--c4: Raffel et al. 2020 line/page rules
      applied before the gates — gates and dedup see the cleaned text),
+     RefinedWeb line-wise corrections (--rw-lines, after --c4),
+     FineWeb ratio gate (--fineweb: punct/short/dup-line/newline
+     ratios at the published thresholds, ratio columns on the audit),
      Gopher rule set (--gopher: the published Rae et al.
      2021 App. A flags, knobs --gopher-min-words/--gopher-min-stops),
      Gopher n-gram repetition rules (--rep-ngrams: top-{2,3,4} /
@@ -49,7 +55,10 @@ cap/gate metrics land in <output>/_manifests/):
      <output>/data_budgeted/;
   8. optional --dsir-top K resamples the committed survivors by DSIR
      hashed-n-gram importance weight (Gumbel top-K; target = --dsir-ref
-     parquet or the --dsir-target predicate) into <output>/data_dsir/.
+     parquet or the --dsir-target predicate) into <output>/data_dsir/;
+  9. optional --soft-dedup writes SoftDeDup 1/|family| weights for the
+     committed survivors into <output>/doc_weights (pair with
+     --jaccard-min > 1 to downweight families instead of dropping).
 
 The gate signal columns ride along, so the output doubles as a
 per-document quality audit table. A final token_budget rollup over all
@@ -108,6 +117,22 @@ def main() -> None:
                          "dedup is the sketch index's job)")
     ap.add_argument("--dup-span-w", type=int, default=50)
     ap.add_argument("--dup-span-min-docs", type=int, default=2)
+    ap.add_argument("--strip-dup-spans", action="store_true",
+                    help="ExactSubstr REMOVAL form (Lee et al. 2022): "
+                         "delete cross-doc duplicated --dup-span-w-token "
+                         "spans from every doc except the keeper (min "
+                         "doc_id) BEFORE the gates; the (fp, keeper) "
+                         "table comes once from the ORIGINAL corpus "
+                         "(<output>/_hot_span_keepers, reused on "
+                         "resume). Complements --dup-span-max, which "
+                         "drops whole docs instead")
+    ap.add_argument("--soft-dedup", action="store_true",
+                    help="post-pass: SoftDeDup 1/|family| weights over "
+                         "the COMMITTED survivors (banded-LSH closure) "
+                         "into <output>/doc_weights; pair with "
+                         "--jaccard-min above 1.0 to keep families "
+                         "intact and let the sampler downweight them "
+                         "instead of the index dropping them")
     ap.add_argument("--eval", default=None,
                     help="benchmark docs parquet; survivors sharing a "
                          "word --eval-ngram-gram with it are dropped")
@@ -341,6 +366,17 @@ def main() -> None:
                 .write.mode("overwrite").parquet(hs_path)
         hot_spans = spark.read.parquet(hs_path)
 
+    span_keepers = None
+    if args.strip_dup_spans:
+        import os
+        from document_ai_spark.operators.curation import hot_span_keepers
+        sk_path = f"{args.output}/_hot_span_keepers"
+        if not os.path.exists(os.path.join(sk_path, "_SUCCESS")):
+            hot_span_keepers(docs, w=args.dup_span_w,
+                             min_docs=args.dup_span_min_docs) \
+                .write.mode("overwrite").parquet(sk_path)
+        span_keepers = spark.read.parquet(sk_path)
+
     def curate_bucket(sub, _payloads, bucket):
         if hot is not None:
             stripped = strip_hot_lines(sub, hot).select(
@@ -383,6 +419,22 @@ def main() -> None:
                                  F.col("n_removed_lines")
                                  .alias("n_rw_lines_removed")),
                          "doc_id"))
+        if span_keepers is not None:
+            # Removal belongs with the other text-rewrite passes: the
+            # gates, sketches, and persisted index key on the stripped
+            # text (per-doc semantics, exact per bucket vs the corpus
+            # keeper table).
+            from document_ai_spark.operators.curation import (
+                strip_dup_spans,
+            )
+            sd = strip_dup_spans(sub.select("doc_id", "text"),
+                                 w=args.dup_span_w, hot=span_keepers)
+            sub = (sub.drop("text")
+                   .join(sd.select("doc_id",
+                                   F.col("text_dedup").alias("text"),
+                                   F.col("n_removed_tokens")
+                                   .alias("n_span_tokens_removed")),
+                         "doc_id"))
         gated = quality_gates(
             sub, quality_min=args.quality_min,
             dup_line_max=args.dup_line_max,
@@ -392,7 +444,8 @@ def main() -> None:
             ["n_boiler_lines_removed"] if hot is not None else []) + (
             ["n_intra_lines_removed"] if args.intra_line_dedup else []) + (
             ["n_c4_lines_removed"] if args.c4 else []) + (
-            ["n_rw_lines_removed"] if args.rw_lines else [])
+            ["n_rw_lines_removed"] if args.rw_lines else []) + (
+            ["n_span_tokens_removed"] if args.strip_dup_spans else [])
         kept = (sub.select(*carry)
                 .join(gated, "doc_id")
                 .where("keep")
@@ -564,6 +617,21 @@ def main() -> None:
         n_d = picked.count()
         print(f"dsir top-{args.dsir_top}: {n_out} -> {n_d} docs -> "
               f"{args.output}/data_dsir")
+    if args.soft_dedup:
+        # Weights over the COMMITTED survivors: deterministic from the
+        # committed set, so re-running overwrites byte-identically.
+        from document_ai_spark.operators.dedup import (
+            banded_near_dup_pairs,
+            dedup_weights,
+        )
+        surv = survivors.select("doc_id", "text")
+        wts = dedup_weights(surv, banded_near_dup_pairs(
+            surv, jaccard_min=args.jaccard_min
+            if args.jaccard_min <= 1.0 else 0.5))
+        wts.write.mode("overwrite").parquet(f"{args.output}/doc_weights")
+        n_fam = wts.where("weight < 1.0").count()
+        print(f"soft-dedup: {n_fam} docs in families -> "
+              f"{args.output}/doc_weights")
     spark.stop()
 
 

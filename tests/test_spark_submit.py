@@ -501,3 +501,63 @@ def test_spark_submit_run_curate_rw_fineweb(tmp_path):
         assert by_id[97][2] == 1              # audit counter
     # every surviving row carries the FineWeb audit ratio
     assert all(r[3] >= 0.12 for r in rows)
+
+
+def test_spark_submit_run_curate_span_strip_and_soft_dedup(tmp_path):
+    """--strip-dup-spans removes cross-doc duplicated spans before the
+    gates (keeper doc intact, audit counter rides the output);
+    --soft-dedup writes 1/|family| weights for the committed corpus."""
+    zip_path = tmp_path / "document_ai_spark.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for f in sorted((REPO / "document_ai_spark").rglob("*.py")):
+            z.write(f, f.relative_to(REPO))
+
+    import duckdb
+    base = ("the quick brown fox jumps over the lazy dog while data "
+            "flows through the spark pipeline in a natural prose band "
+            "with enough ordinary words to pass every quality gate")
+    boiler = ("all rights reserved contact the webmaster for further "
+              "information about this website")
+    src = tmp_path / "spandocs.parquet"
+    con = duckdb.connect()
+    con.execute(f"""
+      COPY (
+        SELECT i AS doc_id,
+               CASE
+                 WHEN i = 97 THEN '{base} {boiler}'
+                 WHEN i = 98 THEN 'completely different text here {boiler}'
+                      || ' and plenty of other normal words follow along'
+                 ELSE '{base} variant ' || CAST(i AS VARCHAR)
+                      || ' filler ' || CAST(i * 13 AS VARCHAR)
+               END AS text,
+               'en' AS lang, 'web' AS source
+        FROM range(100) t(i)
+      ) TO '{src}' (FORMAT PARQUET)""")
+
+    out = tmp_path / "curate_out"
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--py-files", str(zip_path),
+           str(REPO / "scripts" / "run_curate.py"),
+           "--input", str(src),
+           "--output", str(out), "--buckets", "2", "--run-id", "t-span",
+           "--strip-dup-spans", "--dup-span-w", "8",
+           "--soft-dedup", "--jaccard-min", "1.01",
+           "--quality-min", "0.2"]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    assert p.returncode == 0, p.stderr[-2000:]
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, n_span_tokens_removed "
+        f"FROM '{out}/data/bucket=*/*.parquet'").fetchall()
+    by_id = {r[0]: r for r in rows}
+    # doc 97 keeps the boilerplate span (keeper: min doc_id holding it);
+    # doc 98 loses those tokens and the counter says so
+    if 97 in by_id and 98 in by_id:
+        assert "webmaster" in by_id[97][1]
+        assert "webmaster" not in by_id[98][1]
+        assert by_id[98][2] > 0
+    # soft-dedup artifact exists, weights bounded in (0, 1]
+    w = duckdb.sql(f"SELECT min(weight), max(weight), count(*) "
+                   f"FROM '{out}/doc_weights/*.parquet'").fetchone()
+    assert 0 < w[0] <= w[1] <= 1.0
+    assert w[2] == len(rows)
