@@ -3688,6 +3688,39 @@ ORDER BY a.vec_id
 """
 
 
+def _q_incremental_semdedup(spark, sf):
+    """Incremental SemDeDup via the persisted cluster-membership index
+    (operators/vector_index.py SemanticIndex): originals commit as
+    batch 1, the cos-1 scaled copies as batch 2, against ONE shared
+    codebook trained on the union (the production train-once path and
+    what the batch oracle mirrors). Arrival order refines the batch
+    keep order here (copies tie on cos_c and carry larger ids; the raw
+    table has no natural >= 0.95 pairs), so the union of incremental
+    verdicts equals the batch semdedup recompute — the oracle IS
+    _sql_semdedup, a green row proves incremental == batch."""
+    import shutil
+    import tempfile
+
+    from document_ai_spark.operators.vector_index import SemanticIndex
+
+    emb = _t(spark, sf, "embeddings")
+    dup = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda v: v * F.lit(2.0).cast("float"))
+         .alias("embedding"),
+        F.col("label"))
+    root = tempfile.mkdtemp(prefix="sem_idx_")
+    try:
+        idx = SemanticIndex(root, cos_min=0.95)
+        idx.codebook.ensure(spark, emb.unionByName(dup))
+        v1 = idx.append_and_find(spark, emb, "b1")
+        v2 = idx.append_and_find(spark, dup, "b2")
+        # localCheckpoint in append_and_find materialized both.
+        return v1.unionByName(v2).orderBy("vec_id").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_dedup_weights(spark, sf):
     """SoftDeDup-style duplicate down-weighting (operators/dedup.py
     dedup_weights): every doc of the dup-planted corpus keeps a row;
@@ -3889,6 +3922,7 @@ _REGISTRY: dict[str, tuple] = {
     "refinedweb_lines": (_q_refinedweb_lines, _sql_refinedweb_lines()),
     "url_block": (_q_url_block, _sql_url_block()),
     "semdedup": (_q_semdedup, _sql_semdedup()),
+    "incremental_semdedup": (_q_incremental_semdedup, _sql_semdedup()),
     "dedup_weights": (_q_dedup_weights, _SQL_DEDUP_WEIGHTS),
     "strip_dup_spans": (_q_strip_dup_spans, _SQL_STRIP_DUP_SPANS),
 }

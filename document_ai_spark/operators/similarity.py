@@ -330,6 +330,26 @@ def embedding_near_dups(emb: DataFrame, cos_min: float = 0.95,
 SEM_MAX_CLUSTER = 4096   # per-cluster item cap (observed drops, as LSH)
 
 
+def greedy_drop_expr(cos_min: float):
+    """The SemDeDup greedy verdict over a sorted `items`
+    array<struct<c,v,e>> column: per item y at 0-based position j,
+    dropped iff ANY of the j earlier items is >= cos_min
+    cosine-similar. exists() short-circuits; the first item of every
+    cluster is always kept (empty slice). Shared by semdedup and the
+    incremental SemanticIndex."""
+    return F.expr(
+        "transform(items, (y, j) -> struct("
+        "  y.v AS vec_id, "
+        "  exists(slice(items, 1, j), x -> "
+        "    round(aggregate(zip_with(x.e, y.e, (a, b) -> a * b), "
+        "                    cast(0.0 as double), (acc, p) -> acc + p) "
+        "          / (sqrt(aggregate(x.e, cast(0.0 as double), "
+        "                            (acc, p) -> acc + p * p)) "
+        "           * sqrt(aggregate(y.e, cast(0.0 as double), "
+        "                            (acc, p) -> acc + p * p))), 6) "
+        f"    >= {cos_min}) AS dropped))")
+
+
 def semdedup(emb: DataFrame, cos_min: float = 0.95,
              k: int = IVF_K, iters: int = IVF_ITERS,
              codebook: DataFrame = None,
@@ -380,21 +400,8 @@ def semdedup(emb: DataFrame, cos_min: float = 0.95,
                    F.col("vec_id").alias("v"),
                    F.col("emb").alias("e")))).alias("items")))
     grouped = _cap_bucket_items(grouped, max_cluster)
-    # Per item y at 0-based position j: dropped iff ANY of the j
-    # earlier items is >= cos_min similar. exists() short-circuits;
-    # the first item of every cluster is always kept (empty slice).
-    verdicts = F.expr(
-        "transform(items, (y, j) -> struct("
-        "  y.v AS vec_id, "
-        "  exists(slice(items, 1, j), x -> "
-        "    round(aggregate(zip_with(x.e, y.e, (a, b) -> a * b), "
-        "                    cast(0.0 as double), (acc, p) -> acc + p) "
-        "          / (sqrt(aggregate(x.e, cast(0.0 as double), "
-        "                            (acc, p) -> acc + p * p)) "
-        "           * sqrt(aggregate(y.e, cast(0.0 as double), "
-        "                            (acc, p) -> acc + p * p))), 6) "
-        f"    >= {cos_min}) AS dropped))")
-    judged = (grouped.select(F.explode(verdicts).alias("r"))
+    judged = (grouped.select(F.explode(greedy_drop_expr(cos_min))
+                             .alias("r"))
               .select(F.col("r.vec_id").alias("vec_id"),
                       (~F.col("r.dropped")).alias("_sk")))
     # Row-completeness under the cap: a truncated item vanishes from

@@ -198,3 +198,124 @@ class EmbeddingIndex(AtomicBatchIndex):
         if not replay:
             self._commit(stage, final)
         return pairs
+
+
+class SemanticIndex(AtomicBatchIndex):
+    """Incremental SemDeDup: persisted per-cluster membership + the
+    shared train-once codebook, so a stream of embedding batches is
+    semantically deduplicated without ever recomputing corpus-wide.
+
+    Keep rule (arrival-order greedy — the streaming form of the public
+    SemDeDup code's upper-triangular rule): a batch vector is dropped
+    iff it is >= cos_min similar to ANY already-indexed vector of its
+    cluster (earlier batches win, kept or dropped — exactly the
+    batch rule's "earlier item wins regardless of its own verdict"),
+    or to an earlier keep-order vector of its own batch
+    (cos-to-centroid ASC, vec_id ASC — the batch semdedup order).
+    Every batch vector is indexed (winners AND losers), so a future
+    vector chained to a dropped one is still caught. Identical to
+    batch semdedup whenever arrival order refines the batch keep
+    order (parity-tested with planted cos-1 copies arriving after
+    their originals); for families that SPAN batches in the other
+    direction the representative differs by first-seen-wins — the
+    same documented delta as stream_curate vs curate.
+
+    Scale shape: the codebook broadcasts; assignment is one window on
+    vec_id; intra-batch verdicts reuse the task-local greedy sweep;
+    the index is probed ONLY at clusters the batch touches (broadcast
+    semi-join on the batch's centroid ids) with a per-cluster cap —
+    never an index scan. Commits are atomic and replay-idempotent
+    (before_seq), the AtomicBatchIndex contract."""
+
+    FORMAT = 1
+    SCHEMA = ("vec_id bigint, emb array<double>, centroid_id bigint, "
+              "cos_c double")
+
+    def __init__(self, root: str, cos_min: float = 0.95,
+                 k: int = IVF_K, iters: int = IVF_ITERS,
+                 max_cluster: int = None):
+        from .similarity import SEM_MAX_CLUSTER
+        super().__init__(root, {"cos_min": cos_min, "k": k,
+                                "iters": iters})
+        self.cos_min, self.k, self.iters = cos_min, k, iters
+        self.max_cluster = max_cluster or SEM_MAX_CLUSTER
+        self.codebook = CodebookIndex(f"{root}/_codebook", k=k,
+                                      iters=iters)
+
+    def _assign(self, batch_emb: DataFrame, cents: DataFrame) -> DataFrame:
+        base = batch_emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"))
+        scored = base.crossJoin(F.broadcast(cents)).withColumn(
+            "cos_c", F.round(_cosine("emb", "cent"), 6))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cos_c"), F.asc("centroid_id"))
+        return (scored.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("vec_id", "emb", "centroid_id", "cos_c"))
+
+    def append_and_find(self, spark: SparkSession, batch_emb: DataFrame,
+                        batch_id: str) -> DataFrame:
+        """Verdicts (vec_id, centroid_id, cos_c, sem_keep) for the
+        batch, then commit its assigned rows. Replay returns the same
+        verdicts (probes the index state before its own seq)."""
+        from .similarity import greedy_drop_expr
+
+        stage, final = self._stage_paths(batch_id)
+        replay = self._is_committed(batch_id)
+        if replay:
+            src, seq = final, self._batch_seq(batch_id)
+        else:
+            cents = self.codebook.ensure(spark, batch_emb)
+            self._assign(batch_emb, cents) \
+                .write.mode("overwrite").parquet(stage)
+            src = stage
+            seq = self._next_seq()
+            self._stamp_seq(stage, seq)
+        new = spark.read.parquet(src)
+
+        # (a) intra-batch greedy verdicts (the batch semdedup sweep).
+        grouped = (new.groupBy("centroid_id")
+                   .agg(F.array_sort(F.collect_list(F.struct(
+                       F.col("cos_c").alias("c"),
+                       F.col("vec_id").alias("v"),
+                       F.col("emb").alias("e")))).alias("items")))
+        grouped = _cap_bucket_items(grouped, self.max_cluster)
+        intra = (grouped.select(F.explode(
+                    greedy_drop_expr(self.cos_min)).alias("r"))
+                 .select(F.col("r.vec_id").alias("vec_id"),
+                         F.col("r.dropped").alias("_di")))
+
+        # (b) batch-vs-index: touched clusters only, capped.
+        has_prior = any(self._batch_seq(d) < seq
+                        for d in self.committed_batches())
+        if has_prior:
+            keys = new.select("centroid_id").distinct()
+            idx = self.index_df(spark, before_seq=seq).join(
+                F.broadcast(keys), ["centroid_id"], "left_semi")
+            w = Window.partitionBy("centroid_id").orderBy("vec_id")
+            idx = (idx.withColumn("_rn", F.row_number().over(w))
+                   .where(F.col("_rn") <= self.max_cluster).drop("_rn"))
+            cross = (new.alias("n")
+                     .join(idx.alias("o"), ["centroid_id"])
+                     .where(F.round(_cosine(F.col("n.emb"),
+                                            F.col("o.emb")), 6)
+                            >= self.cos_min)
+                     .select(F.col("n.vec_id").alias("vec_id"))
+                     .distinct()
+                     .withColumn("_dc", F.lit(True)))
+        else:
+            cross = spark.createDataFrame([], "vec_id bigint, _dc boolean")
+
+        verdicts = (new.select("vec_id", "centroid_id", "cos_c")
+                    .join(intra, "vec_id", "left")
+                    .join(cross, "vec_id", "left")
+                    .withColumn(
+                        "sem_keep",
+                        ~(F.coalesce("_di", F.lit(False))
+                          | F.coalesce("_dc", F.lit(False))))
+                    .drop("_di", "_dc")
+                    .localCheckpoint())
+        if not replay:
+            self._commit(stage, final)
+        return verdicts

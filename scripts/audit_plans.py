@@ -26,7 +26,8 @@ SF_DIR = "/root/testdata/sf0.001"
 # from the static plan audit — their scale shape is documented in their
 # operator modules and covered by dedicated tests.
 SIDE_EFFECT = {"incremental_near_dup", "incremental_embed_near_dup",
-               "embed_ivf_persisted", "incremental_dup_span"}
+               "embed_ivf_persisted", "incremental_dup_span",
+               "incremental_semdedup"}
 
 
 def counts(df) -> dict:

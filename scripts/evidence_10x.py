@@ -104,6 +104,70 @@ def gen_text_corpus(spark, n):
     return base.unionByName(dups)
 
 
+def gen_web_corpus(spark, n):
+    """C4-shaped pages generated JVM-side: 3-6 lines of 12-20 vocab
+    words each ending '.', with planted cookie-boilerplate lines (5%),
+    shouting lines (~6%), and a brace page per 100 — so every
+    published gate has real work to do."""
+    # ~11% of token draws are Gopher stopwords (8 words x 7 slots of
+    # 500) so natural docs pass the required-stopword rule while the
+    # rest of the vocabulary stays synthetic.
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    words = [stops[i % 8] if i < 56 else f"w{i:03d}" for i in range(500)]
+    vocab = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+    line = (f"concat(array_join(transform("
+            f"sequence(1, 12 + cast(pmod(xxhash64(id * 131 + l), 9) as int)),"
+            f" i -> element_at({vocab}, 1 + cast(pmod(xxhash64("
+            f"id * 1000 + l * 37 + i), 500) as int))), ' '), '.')")
+    text = (f"array_join(transform(sequence(1, 3 + cast(pmod(id, 4) as int)),"
+            f" l -> {line}), chr(10))")
+    planted = ("CASE WHEN pmod(doc_id, 20) = 0 THEN concat(txt, chr(10), "
+               "'This site uses cookies to improve your experience.') "
+               "WHEN pmod(doc_id, 17) = 0 THEN concat(txt, chr(10), "
+               "'THIS ENTIRE LINE IS SHOUTING VERY LOUDLY.') "
+               "WHEN pmod(doc_id, 100) = 99 THEN concat(txt, ' { brace }') "
+               "ELSE txt END")
+    return (spark.range(n)
+            .select(F.col("id").alias("doc_id"),
+                    F.expr(text).alias("txt"))
+            .select("doc_id", F.expr(planted).alias("text")))
+
+
+def published_gate_battery(docs):
+    """The full published-rule battery as ONE composed DataFrame plan:
+    C4 clean -> RefinedWeb line corrections -> Gopher rule set ->
+    Gopher n-gram repetition -> FineWeb ratios. Returns the surviving
+    (doc_id, text) frame."""
+    from document_ai_spark.operators.selection import gopher_rules
+    from document_ai_spark.operators.textquality import ngram_repetition
+    from document_ai_spark.operators.web import (
+        c4_clean,
+        fineweb_filters,
+        refinedweb_lines,
+    )
+
+    c = (c4_clean(docs).where("c4_keep")
+         .select("doc_id", F.col("text_clean").alias("text")))
+    # Materialization boundary after the text-REWRITE stages — the CLI
+    # equivalent point is the per-bucket write of cleaned text. Without
+    # it, every downstream gate branch (gopher, ngram, fineweb, and
+    # each join-back) re-derives the full generator+c4+rw expression
+    # chain: HOF pipelines are outside codegen subexpression
+    # elimination, so the composed lazy plan re-cleans the corpus once
+    # PER BRANCH (measured 2x wall on the 50k smoke).
+    r = (refinedweb_lines(c).where("rw_keep")
+         .select("doc_id", F.col("text_clean").alias("text"))
+         .persist())
+    g = gopher_rules(r, min_words=20)
+    kept = r.join(g.where("gopher_keep").select("doc_id"), "doc_id")
+    rep_ = ngram_repetition(kept)
+    kept = (kept.join(rep_.select("doc_id", "rep_keep"), "doc_id", "left")
+            .where(F.coalesce("rep_keep", F.lit(True))).drop("rep_keep"))
+    fw = fineweb_filters(kept)
+    return (kept.join(fw.where("fineweb_keep").select("doc_id"), "doc_id"),
+            r)
+
+
 def main():
     from document_ai_spark.operators.curation import curate
     from document_ai_spark.operators.dedup import collect_cap_metrics
@@ -196,6 +260,29 @@ def main():
             "shuffle_bytes": _blockmgr_bytes() - spill0,
         }
         print(f"curate: {out['curate']}", flush=True)
+    finally:
+        s.stop()
+
+    # ---- full published-gate battery at half a million docs ------------
+    s = _session("evidence-gates", PEAK)
+    try:
+        docs = gen_web_corpus(s, N_CURATE)
+        small = gen_web_corpus(s, N_CURATE // 10)
+        bs, cs = published_gate_battery(small)
+        bl, cl = published_gate_battery(docs)
+        out["gates_exchanges"] = {
+            "small": _exchanges(bs), "large": _exchanges(bl)}
+        cs.unpersist()
+        t0 = time.monotonic()
+        n_keep = bl.count()
+        dt = time.monotonic() - t0
+        cl.unpersist()
+        out["published_gates"] = {
+            "n_docs": N_CURATE, "sec": round(dt, 1),
+            "docs_per_sec": round(N_CURATE / dt, 1),
+            "n_kept": int(n_keep),
+            "peak_jvm_rss_mb": _jvm_peak_rss_mb(s)}
+        print(f"published gates: {out['published_gates']}", flush=True)
     finally:
         s.stop()
 
