@@ -18,8 +18,12 @@ Exchange count at 60k vs 600k (same plan shape = no new exchanges).
 
 Writes EVIDENCE_10X.json; BENCH.md summarizes.
 
-Usage: python scripts/evidence_10x.py [--quick]   (--quick = 1/10 sizes
-for a smoke run of the harness itself)
+Usage: python scripts/evidence_10x.py [--quick] [--only S1,S2]
+(--quick = 1/10 sizes for a smoke run of the harness itself; --only
+limits the run to a comma list of sections from {shape, extract,
+curate, gates}). Results MERGE into an existing EVIDENCE_10X.json so
+a sectioned run never drops the other sections (including the resume
+legs evidence_resume.py merges in).
 """
 from __future__ import annotations
 
@@ -40,6 +44,23 @@ N_EXTRACT = 60_000 if QUICK else 600_000
 N_CURATE = 50_000 if QUICK else 500_000
 SCALE_LOW, SCALE_HIGH, PEAK = 2, 8, 32
 SHUFFLE = 16
+
+_ALL_SECTIONS = ("shape", "extract", "curate", "gates", "semdedup")
+
+
+def _sections() -> set[str]:
+    for i, a in enumerate(sys.argv):
+        if a == "--only":
+            picked = set(sys.argv[i + 1].split(","))
+        elif a.startswith("--only="):
+            picked = set(a.split("=", 1)[1].split(","))
+        else:
+            continue
+        bad = picked - set(_ALL_SECTIONS)
+        if bad:
+            raise SystemExit(f"unknown --only sections: {sorted(bad)}")
+        return picked
+    return set(_ALL_SECTIONS)
 
 
 def _jvm_peak_rss_mb(spark) -> float:
@@ -133,6 +154,26 @@ def gen_web_corpus(spark, n):
             .select("doc_id", F.expr(planted).alias("text")))
 
 
+def gen_embeddings(spark, n):
+    """(vec_id, embedding: array<double>[64]) generated JVM-side from
+    hash draws in [-1, 1], plus 10% planted scalar-multiple copies —
+    cosine-identical to their originals (cos is scale-invariant), so
+    each copy ties its original on cos-to-centroid and loses the
+    (cos_c ASC, vec_id ASC) keep order: SemDeDup must drop ~all of
+    them."""
+    base_n = int(n * 0.9)
+    emb = ("transform(sequence(1, 64), i -> "
+           "(cast(pmod(xxhash64(id * 131 + i), 2001) as double) - 1000.0)"
+           " / 1000.0)")
+    base = spark.range(base_n).select(
+        F.col("id").alias("vec_id"), F.expr(emb).alias("embedding"))
+    dups = (base.where(F.col("vec_id") < n - base_n)
+            .select((F.col("vec_id") + base_n).alias("vec_id"),
+                    F.expr("transform(embedding, x -> x * 2.0d)")
+                     .alias("embedding")))
+    return base.unionByName(dups)
+
+
 def published_gate_battery(docs):
     """The full published-rule battery as ONE composed DataFrame plan:
     C4 clean -> RefinedWeb line corrections -> Gopher rule set ->
@@ -175,32 +216,42 @@ def main():
     from document_ai_spark.sources.docgen import write_corpus
     from pyspark.sql import Observation
 
-    out = {"n_extract_docs": N_EXTRACT, "n_curate_docs": N_CURATE,
-           "quick": QUICK}
+    sections = _sections()
+    path = Path(__file__).resolve().parents[1] / "EVIDENCE_10X.json"
+    out = {}
+    if sections != set(_ALL_SECTIONS) and path.exists():
+        out = json.loads(path.read_text())
+    out.update({"n_extract_docs": N_EXTRACT, "n_curate_docs": N_CURATE,
+                "quick": QUICK})
     corpus = f"/tmp/evidence_corpus_{N_EXTRACT}"
 
     # ---- corpus generation at full parallelism -------------------------
-    s = _session("evidence-gen", PEAK)
-    if not os.path.exists(f"{corpus}/documents_interleaved.parquet"):
-        shutil.rmtree(corpus, ignore_errors=True)
-        t0 = time.monotonic()
-        write_corpus(s, corpus, n_docs=N_EXTRACT, seed=42, partitions=PEAK)
-        out["corpus_gen_sec"] = round(time.monotonic() - t0, 1)
+    if sections & {"shape", "extract"}:
+        s = _session("evidence-gen", PEAK)
+        if not os.path.exists(f"{corpus}/documents_interleaved.parquet"):
+            shutil.rmtree(corpus, ignore_errors=True)
+            t0 = time.monotonic()
+            write_corpus(s, corpus, n_docs=N_EXTRACT, seed=42,
+                         partitions=PEAK)
+            out["corpus_gen_sec"] = round(time.monotonic() - t0, 1)
 
-    # plan-shape check: Exchange count at the bench-scale corpus vs this
-    # one must match. NOT limit(n) — GlobalLimit adds its own exchange
-    # and would fake a difference; compare two real corpora.
-    small_corpus = f"/tmp/bench_corpus_{N_EXTRACT // 10}"
-    if not os.path.exists(f"{small_corpus}/documents_interleaved.parquet"):
-        write_corpus(s, small_corpus, n_docs=N_EXTRACT // 10, seed=42,
-                     partitions=PEAK)
-    for tag, c in (("small", small_corpus), ("large", corpus)):
-        d = s.read.parquet(f"{c}/documents_interleaved.parquet")
-        p = s.read.parquet(f"{c}/media_payloads.parquet")
-        out[f"extract_exchanges_{tag}"] = {
-            "n_docs": N_EXTRACT // 10 if tag == "small" else N_EXTRACT,
-            "exchanges": _exchanges(extract(d, p))}
-    s.stop()
+        # plan-shape check: Exchange count at the bench-scale corpus vs
+        # this one must match. NOT limit(n) — GlobalLimit adds its own
+        # exchange and would fake a difference; compare two real corpora.
+        small_corpus = f"/tmp/bench_corpus_{N_EXTRACT // 10}"
+        if not os.path.exists(
+                f"{small_corpus}/documents_interleaved.parquet"):
+            write_corpus(s, small_corpus, n_docs=N_EXTRACT // 10, seed=42,
+                         partitions=PEAK)
+        if "shape" in sections:
+            for tag, c in (("small", small_corpus), ("large", corpus)):
+                d = s.read.parquet(f"{c}/documents_interleaved.parquet")
+                p = s.read.parquet(f"{c}/media_payloads.parquet")
+                out[f"extract_exchanges_{tag}"] = {
+                    "n_docs":
+                        N_EXTRACT // 10 if tag == "small" else N_EXTRACT,
+                    "exchanges": _exchanges(extract(d, p))}
+        s.stop()
 
     # ---- extraction scaling pair at 10x --------------------------------
     def trial(threads):
@@ -227,66 +278,115 @@ def main():
         finally:
             s.stop()
 
-    legs = {}
-    for threads in (SCALE_LOW, SCALE_HIGH, PEAK):
-        trials = [trial(threads) for _ in range(2)]
-        best = min(trials, key=lambda t: t["sec"])
-        best["trials_sec"] = [t["sec"] for t in trials]
-        legs[f"t{threads}"] = best
-        print(f"extract {threads}t: {best}", flush=True)
-    eff = (legs[f"t{SCALE_HIGH}"]["docs_per_sec"]
-           / ((SCALE_HIGH / SCALE_LOW)
-              * legs[f"t{SCALE_LOW}"]["docs_per_sec"]))
-    out["extraction"] = {**legs, "scaling_efficiency": round(eff, 4),
-                         "scaling_rule":
-                             f"T({SCALE_HIGH})/(4*T({SCALE_LOW})) >= 0.8"}
+    if "extract" in sections:
+        legs = {}
+        for threads in (SCALE_LOW, SCALE_HIGH, PEAK):
+            trials = [trial(threads) for _ in range(2)]
+            best = min(trials, key=lambda t: t["sec"])
+            best["trials_sec"] = [t["sec"] for t in trials]
+            legs[f"t{threads}"] = best
+            print(f"extract {threads}t: {best}", flush=True)
+        eff = (legs[f"t{SCALE_HIGH}"]["docs_per_sec"]
+               / ((SCALE_HIGH / SCALE_LOW)
+                  * legs[f"t{SCALE_LOW}"]["docs_per_sec"]))
+        out["extraction"] = {**legs, "scaling_efficiency": round(eff, 4),
+                             "scaling_rule":
+                                 f"T({SCALE_HIGH})/(4*T({SCALE_LOW})) "
+                                 ">= 0.8"}
 
     # ---- curate() composition at half a million docs -------------------
-    s = _session("evidence-curate", PEAK)
-    try:
-        docs = gen_text_corpus(s, N_CURATE)
-        spill0 = _blockmgr_bytes()
-        with collect_cap_metrics() as caps:
-            t0 = time.monotonic()
-            budget = curate(docs).collect()
-            dt = time.monotonic() - t0
-        out["curate"] = {
-            "sec": round(dt, 1),
-            "docs_per_sec": round(N_CURATE / dt, 1),
-            "budget_rows": len(budget),
-            "total_tokens": int(sum(r["total_tokens"] for r in budget)),
-            **caps.summary(),
-            "peak_jvm_rss_mb": _jvm_peak_rss_mb(s),
-            "shuffle_bytes": _blockmgr_bytes() - spill0,
-        }
-        print(f"curate: {out['curate']}", flush=True)
-    finally:
-        s.stop()
+    if "curate" in sections:
+        s = _session("evidence-curate", PEAK)
+        try:
+            docs = gen_text_corpus(s, N_CURATE)
+            spill0 = _blockmgr_bytes()
+            with collect_cap_metrics() as caps:
+                t0 = time.monotonic()
+                budget = curate(docs).collect()
+                dt = time.monotonic() - t0
+            out["curate"] = {
+                "sec": round(dt, 1),
+                "docs_per_sec": round(N_CURATE / dt, 1),
+                "budget_rows": len(budget),
+                "total_tokens": int(
+                    sum(r["total_tokens"] for r in budget)),
+                **caps.summary(),
+                "peak_jvm_rss_mb": _jvm_peak_rss_mb(s),
+                "shuffle_bytes": _blockmgr_bytes() - spill0,
+            }
+            print(f"curate: {out['curate']}", flush=True)
+        finally:
+            s.stop()
 
     # ---- full published-gate battery at half a million docs ------------
-    s = _session("evidence-gates", PEAK)
-    try:
-        docs = gen_web_corpus(s, N_CURATE)
-        small = gen_web_corpus(s, N_CURATE // 10)
-        bs, cs = published_gate_battery(small)
-        bl, cl = published_gate_battery(docs)
-        out["gates_exchanges"] = {
-            "small": _exchanges(bs), "large": _exchanges(bl)}
-        cs.unpersist()
-        t0 = time.monotonic()
-        n_keep = bl.count()
-        dt = time.monotonic() - t0
-        cl.unpersist()
-        out["published_gates"] = {
-            "n_docs": N_CURATE, "sec": round(dt, 1),
-            "docs_per_sec": round(N_CURATE / dt, 1),
-            "n_kept": int(n_keep),
-            "peak_jvm_rss_mb": _jvm_peak_rss_mb(s)}
-        print(f"published gates: {out['published_gates']}", flush=True)
-    finally:
-        s.stop()
+    if "gates" in sections:
+        s = _session("evidence-gates", PEAK)
+        try:
+            docs = gen_web_corpus(s, N_CURATE)
+            small = gen_web_corpus(s, N_CURATE // 10)
+            bs, cs = published_gate_battery(small)
+            bl, cl = published_gate_battery(docs)
+            out["gates_exchanges"] = {
+                "small": _exchanges(bs), "large": _exchanges(bl)}
+            cs.unpersist()
+            t0 = time.monotonic()
+            n_keep = bl.count()
+            dt = time.monotonic() - t0
+            cl.unpersist()
+            out["published_gates"] = {
+                "n_docs": N_CURATE, "sec": round(dt, 1),
+                "docs_per_sec": round(N_CURATE / dt, 1),
+                "n_kept": int(n_keep),
+                "peak_jvm_rss_mb": _jvm_peak_rss_mb(s)}
+            print(f"published gates: {out['published_gates']}", flush=True)
+        finally:
+            s.stop()
 
-    path = Path(__file__).resolve().parents[1] / "EVIDENCE_10X.json"
+    # ---- SemDeDup at half a million vectors -----------------------------
+    # Evidences the SCALE.md story: the O(N^2/k) cosine sweep is paid
+    # task-locally (no pair shuffle), the codebook trains ONCE and
+    # broadcasts, and the plan's exchange count is input-invariant.
+    # k sizes clusters to ~2.5k (< SEM_MAX_CLUSTER) per the production
+    # rule k ~ N/5k — the cap must NOT engage on natural clusters.
+    if "semdedup" in sections:
+        from document_ai_spark.operators.similarity import (
+            kmeans_codebook,
+            semdedup,
+        )
+        k = max(8, N_CURATE // 2500)
+        s = _session("evidence-semdedup", PEAK)
+        try:
+            vecs = gen_embeddings(s, N_CURATE)
+            small = gen_embeddings(s, N_CURATE // 10)
+            t0 = time.monotonic()
+            cents = kmeans_codebook(vecs, k=k).localCheckpoint()
+            codebook_sec = time.monotonic() - t0
+            cents_small = kmeans_codebook(
+                small, k=max(8, k // 10)).localCheckpoint()
+            out["semdedup_exchanges"] = {
+                "small": _exchanges(semdedup(small, codebook=cents_small)),
+                "large": _exchanges(semdedup(vecs, codebook=cents))}
+            with collect_cap_metrics() as caps:
+                t0 = time.monotonic()
+                res = (semdedup(vecs, codebook=cents)
+                       .agg(F.count("*").alias("n"),
+                            F.sum(F.col("sem_keep").cast("long"))
+                            .alias("n_kept")).collect()[0])
+                dt = time.monotonic() - t0
+            out["semdedup"] = {
+                "n_vecs": N_CURATE, "k": k,
+                "codebook_sec": round(codebook_sec, 1),
+                "sec": round(dt, 1),
+                "vecs_per_sec": round(N_CURATE / dt, 1),
+                "n_kept": int(res["n_kept"]),
+                "n_dropped": int(res["n"] - res["n_kept"]),
+                "n_planted_dups": N_CURATE - int(N_CURATE * 0.9),
+                **caps.summary(),
+                "peak_jvm_rss_mb": _jvm_peak_rss_mb(s)}
+            print(f"semdedup: {out['semdedup']}", flush=True)
+        finally:
+            s.stop()
+
     path.write_text(json.dumps(out, indent=1) + "\n")
     print(f"wrote {path}")
 
