@@ -3801,6 +3801,44 @@ ORDER BY b.doc_id
 """
 
 
+def _q_bloom_decontam(spark, sf):
+    """Bloom-prefiltered exact decontamination (operators/curation.py
+    bloom_decontaminate): the eval-registry-scale complement of the
+    broadcast n-gram blocklist — the eval texts compress into a Bloom
+    bitmap that rides the plan as one array literal, membership is a
+    map-side expression (the corpus never shuffles), and an exact
+    text-confirm join on the Bloom-positive sliver makes the output
+    identical to a plain exact anti-join, which is what the oracle
+    computes. Corpus = documents + verbatim copies of every 25th doc
+    at shifted ids, so contamination hits both the eval originals and
+    their planted exact duplicates. m_bits=2^14 keeps the plan literal
+    at 256 longs for the sf test sizes."""
+    from document_ai_spark.operators.curation import bloom_decontaminate
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    copies = (docs.where(F.col("doc_id") % 25 == 0)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    evals = docs.where(F.col("doc_id") % 25 == 0).select("text")
+    return (bloom_decontaminate(docs.unionByName(copies), evals,
+                                m_bits=1 << 14)
+            .orderBy("doc_id"))
+
+
+_SQL_BLOOM_DECONTAM = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 25 = 0),
+ev AS (SELECT DISTINCT text FROM documents
+       WHERE doc_id % 25 = 0 AND text IS NOT NULL)
+SELECT c.doc_id,
+       NOT EXISTS (SELECT 1 FROM ev WHERE ev.text = c.text) AS keep
+FROM corpus c
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple] = {
@@ -3925,6 +3963,7 @@ _REGISTRY: dict[str, tuple] = {
     "incremental_semdedup": (_q_incremental_semdedup, _sql_semdedup()),
     "dedup_weights": (_q_dedup_weights, _SQL_DEDUP_WEIGHTS),
     "strip_dup_spans": (_q_strip_dup_spans, _SQL_STRIP_DUP_SPANS),
+    "bloom_decontam": (_q_bloom_decontam, _SQL_BLOOM_DECONTAM),
 }
 
 

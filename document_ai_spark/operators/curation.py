@@ -680,6 +680,147 @@ def decontaminate_fuzzy(docs: DataFrame, eval_docs: DataFrame,
     return docs.join(hits.select("doc_id"), "doc_id", "left_anti")
 
 
+BLOOM_M_BITS = 1 << 20   # default bitmap size: 2^20 bits = 16 Ki longs
+BLOOM_K = 4              # probes per key
+
+
+def _bloom_positions(key, m_bits: int, k: int):
+    """The k double-hash probe positions (Kirsch-Mitzenmacher 2006,
+    "Less hashing, same performance") of a key column, as an
+    array<bigint> of values in [0, m_bits).
+
+    Two full-text hashes total: h1 = xxhash64(key) and the stride
+    h2 = xxhash64(xxhash64(key)). Both ride into the probe loop through
+    the single-element-struct idiom — a lambda that referenced h1/h2
+    directly would re-inline (and re-hash the text) once PER PROBE,
+    because Spark HOF lambdas re-evaluate captured outer expressions at
+    every reference; lambda variables do not. Both hashes are reduced
+    mod m BEFORE the i*stride multiply so no intermediate exceeds k*m —
+    Spark 4 ANSI mode throws on bigint overflow, and correctness must
+    not lean on wraparound anyway. The stride is forced odd: m is a
+    power of two (asserted by callers), so an odd stride generates the
+    full cycle and the k probes are pairwise distinct."""
+    h1 = F.pmod(F.xxhash64(key), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(F.xxhash64(key)), F.lit(m_bits)) \
+          .bitwiseOR(F.lit(1))
+    return F.flatten(F.transform(
+        F.array(F.struct(h1.alias("h1"), h2.alias("h2"))),
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.pmod(
+                s["h1"] + i.cast("bigint") * s["h2"], F.lit(m_bits)))))
+
+
+def bloom_bitmap(keys: DataFrame, key_col: str = "text",
+                 m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> list:
+    """Dense Bloom bitmap (a Python list of m_bits/64 longs) over the
+    non-null values of ``keys[key_col]``.
+
+    Built relationally — explode the probe positions map-side, distinct
+    them, bit_or per 64-bit word — so the eval set itself is never
+    driver-materialized; the ONE driver collect is of at most m_bits/64
+    (word, bits) rows, control-plane sized like the store's manifest
+    reads. m_bits is the standard Bloom dial: ~16 bits/key gives ~0.2%
+    false positives at k=4 (false positives only cost confirm-join
+    traffic here — never a wrong answer, see bloom_decontaminate)."""
+    assert m_bits >= 64 and m_bits & (m_bits - 1) == 0, \
+        "m_bits must be a power of two >= 64"
+    pos = (keys.where(F.col(key_col).isNotNull())
+           .select(F.explode(
+               _bloom_positions(F.col(key_col), m_bits, k)).alias("p"))
+           .distinct())
+    rows = (pos.select(F.shiftright("p", 6).alias("w"),
+                       F.pmod("p", F.lit(64)).alias("b"))
+            .groupBy("w")
+            .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), "
+                        "cast(b as int)))").alias("bits"))
+            .collect())
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_hit(key, words: list, k: int = BLOOM_K):
+    """Boolean column: all k probe positions of ``key`` are set in the
+    bitmap. The bitmap ships as ONE array<bigint> literal inside the
+    plan (the task binary), so membership is a pure map-side expression
+    — zero joins, zero shuffles, zero per-row Python."""
+    m_bits = len(words) * 64
+    bm = F.lit(words)
+    return F.forall(
+        _bloom_positions(key, m_bits, k),
+        # call_function: the F.shiftright wrapper only takes a Python
+        # int shift amount; the SQL function takes a column.
+        lambda p: F.call_function(
+            "shiftright",
+            F.element_at(bm, F.shiftright(p, 6).cast("int") + F.lit(1)),
+            F.pmod(p, F.lit(64)).cast("int"))
+        .bitwiseAND(F.lit(1)) == F.lit(1))
+
+
+def bloom_decontaminate(docs: DataFrame, eval_docs: DataFrame,
+                        text_col: str = "text",
+                        m_bits: int = BLOOM_M_BITS,
+                        k: int = BLOOM_K) -> DataFrame:
+    """Exact whole-text decontamination when the eval set is too big to
+    broadcast: (doc_id, keep) with keep = false iff the document's text
+    appears verbatim in ``eval_docs``.
+
+    `contamination`/`decontaminate` broadcast the eval n-gram set —
+    right for 10^3-10^5 eval docs, impossible for held-out-set
+    registries in the 10^8 range (3+ GB of broadcast n-grams). This is
+    the production alternative: a Bloom filter over the eval texts.
+
+    Scale shape, in order:
+      1. bitmap build — one pass over the eval side, one control-plane
+         collect of <= m_bits/64 longs (128 KiB at the 2^20 default);
+      2. candidate filter — the CORPUS NEVER SHUFFLES: the bitmap rides
+         the plan as a literal and the membership test is a map-side
+         integer expression (one xxhash64 of the text + k probe ops);
+      3. exact confirm — only Bloom-POSITIVE rows (true hits + the ~fp
+         fraction) join the eval texts on the 8-byte hash key with a
+         text-equality filter behind it, so a 64-bit collision can
+         never condemn an innocent document and Bloom false positives
+         cost shuffle bytes, never correctness: output == plain exact
+         anti-join, which is exactly what the DuckDB oracle computes;
+      4. verdict — the confirmed-contaminated doc_id list (tiny: true
+         leakage is rare by construction) broadcasts back over the
+         corpus for the keep column.
+    Null-text documents cannot match anything and keep=true.
+
+    The fuzzy complement is `sketch_contamination` (paraphrase-level);
+    this op is the exact-verbatim tier of the same decontamination
+    battery, GPT-3 appendix-C style but at registry scale."""
+    ev = (eval_docs.where(F.col(text_col).isNotNull())
+          .select(F.col(text_col).alias("_etext")).distinct())
+    words = bloom_bitmap(ev, "_etext", m_bits=m_bits, k=k)
+    contaminated = bloom_contaminated(docs, ev, words,
+                                      text_col=text_col, k=k)
+    return (docs.join(F.broadcast(contaminated.withColumn(
+                "_hit", F.lit(True))), "doc_id", "left")
+            .select("doc_id", F.col("_hit").isNull().alias("keep")))
+
+
+def bloom_contaminated(docs: DataFrame, eval_texts: DataFrame,
+                       words: list, text_col: str = "text",
+                       k: int = BLOOM_K) -> DataFrame:
+    """The reusable core of bloom_decontaminate: distinct doc_ids whose
+    text appears verbatim in ``eval_texts`` (one `_etext` column),
+    using a PREBUILT bitmap — for callers that amortize the bitmap
+    across buckets/batches (the curation CLI builds it once per run).
+    Bloom-positive rows join on the 8-byte text hash with a
+    text-equality filter behind it, so the result is exact."""
+    cand = (docs.where(F.col(text_col).isNotNull()
+                       & bloom_hit(F.col(text_col), words, k=k))
+            .select("doc_id", F.col(text_col).alias("_ctext")))
+    return (cand.alias("c")
+            .join(eval_texts.alias("e"),
+                  F.xxhash64("c._ctext") == F.xxhash64("e._etext"))
+            .where(F.col("c._ctext") == F.col("e._etext"))
+            .select("doc_id").distinct())
+
+
 def canonical_docs(docs: DataFrame, jaccard_min: float = 0.5) -> DataFrame:
     """Best-copy selection inside each near-dup cluster: instead of
     curate()'s "keep the minimum doc_id", keep the member with the

@@ -368,13 +368,19 @@ def stream_span_filter(spark: SparkSession, in_dir: str, index_root: str,
 def stream_decontaminate(spark: SparkSession, in_dir: str, eval_path: str,
                          out_dir: str, checkpoint_dir: str,
                          ngram: int = 3, fuzzy_jaccard: float = None,
-                         bands: int = 4, rows: int = 2):
+                         bands: int = 4, rows: int = 2,
+                         bloom: bool = False, bloom_m: int = 1 << 20):
     """Streaming benchmark decontamination: every micro-batch of
     incoming documents is filtered against a STATIC eval/benchmark set
     — the exact word-n-gram blocklist, plus (with ``fuzzy_jaccard``
     set) the paraphrase-robust MinHash-LSH pass
-    (operators/curation.py sketch_contamination). The ingestion-side
-    twin of run_curate's --eval/--eval-fuzzy.
+    (operators/curation.py sketch_contamination), plus (with
+    ``bloom=True``) the whole-text Bloom exact tier for eval sets too
+    big to broadcast as n-grams (bloom_decontaminate's filter: the
+    bitmap builds ONCE at stream setup and rides every micro-batch
+    plan as a literal, the confirm join touches Bloom-positive rows
+    only). The ingestion-side twin of run_curate's
+    --eval/--eval-fuzzy/--eval-bloom.
 
     Unlike the dedup twins there is NOTHING TO INDEX: decontamination
     is memoryless (the eval set is fixed), so each batch is a pure
@@ -384,11 +390,21 @@ def stream_decontaminate(spark: SparkSession, in_dir: str, eval_path: str,
     simple way: per-batch output dirs are overwritten on replay.
     Survivors land under ``out_dir/batch=<id>/``. Returns the
     StreamingQuery."""
-    from ..operators.curation import eval_ngrams, sketch_contamination
+    from ..operators.curation import (
+        bloom_bitmap,
+        bloom_contaminated,
+        eval_ngrams,
+        sketch_contamination,
+    )
     from ..operators.dedup import _word_shingles
 
     eval_docs = spark.read.parquet(eval_path)
     block = F.broadcast(eval_ngrams(eval_docs, n=ngram))
+    bloom_words = bloom_texts = None
+    if bloom:
+        bloom_texts = (eval_docs.where(F.col("text").isNotNull())
+                       .select(F.col("text").alias("_etext")).distinct())
+        bloom_words = bloom_bitmap(bloom_texts, "_etext", m_bits=bloom_m)
 
     stream = (
         spark.readStream.schema("doc_id string, text string")
@@ -403,6 +419,10 @@ def stream_decontaminate(spark: SparkSession, in_dir: str, eval_path: str,
             "doc_id", F.explode(_word_shingles(ngram)).alias("ngram"))
             .join(block, "ngram").select("doc_id").distinct())
         kept = batch_df.join(hits, "doc_id", "left_anti")
+        if bloom_words is not None:
+            bhits = bloom_contaminated(kept.select("doc_id", "text"),
+                                       bloom_texts, bloom_words)
+            kept = kept.join(bhits, "doc_id", "left_anti")
         if fuzzy_jaccard is not None:
             fh = sketch_contamination(
                 kept.select("doc_id", "text"), eval_docs,

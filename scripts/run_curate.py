@@ -150,6 +150,17 @@ def main() -> None:
                          "pass misses); requires --eval")
     ap.add_argument("--eval-fuzzy-bands", type=int, default=4)
     ap.add_argument("--eval-fuzzy-rows", type=int, default=2)
+    ap.add_argument("--eval-bloom", action="store_true",
+                    help="ALSO drop survivors whose WHOLE text appears "
+                         "verbatim in --eval, via a Bloom bitmap built "
+                         "once per run — the registry-scale exact tier "
+                         "(the n-gram blocklist broadcasts the eval "
+                         "set; this ships ~m/8 bytes per task instead)")
+    ap.add_argument("--eval-bloom-m", type=int, default=1 << 20,
+                    metavar="M_BITS",
+                    help="Bloom bitmap bits (power of two; ~16 bits "
+                         "per eval doc keeps confirm-join traffic at "
+                         "~0.2%% of the corpus)")
     ap.add_argument("--nb-ref", default=None, metavar="PARQUET",
                     help="reference 'good' corpus (doc_id, text): train "
                          "a Naive Bayes classifier (ref = positive, a "
@@ -272,6 +283,8 @@ def main() -> None:
 
     if args.eval_fuzzy is not None and not args.eval:
         ap.error("--eval-fuzzy requires --eval")
+    if args.eval_bloom and not args.eval:
+        ap.error("--eval-bloom requires --eval")
     split_weights = None
     if args.split:
         try:
@@ -286,10 +299,24 @@ def main() -> None:
     idx = SketchIndex(f"{args.output}/_sketch_index")
     block = None
     eval_docs = None
+    bloom_words = None
+    bloom_eval_texts = None
     if args.eval:
         eval_docs = spark.read.parquet(args.eval)
         block = F.broadcast(
             eval_ngrams(eval_docs, n=args.eval_ngram)).cache()
+        if args.eval_bloom:
+            # Bitmap built ONCE per run (deterministic from the eval
+            # set, so resume sees the identical filter); per-bucket
+            # cost is a map-side membership test + an exact confirm
+            # join over the Bloom-positive sliver.
+            from document_ai_spark.operators.curation import bloom_bitmap
+            bloom_eval_texts = (eval_docs
+                                .where(F.col("text").isNotNull())
+                                .select(F.col("text").alias("_etext"))
+                                .distinct().cache())
+            bloom_words = bloom_bitmap(bloom_eval_texts, "_etext",
+                                       m_bits=args.eval_bloom_m)
 
     hot = None
     if args.line_dedup:
@@ -522,6 +549,13 @@ def main() -> None:
                 F.explode(_word_shingles(args.eval_ngram)).alias("ngram"))
                 .join(block, "ngram").select("doc_id").distinct())
             kept = kept.join(hits, "doc_id", "left_anti")
+        if bloom_words is not None:
+            from document_ai_spark.operators.curation import (
+                bloom_contaminated,
+            )
+            bhits = bloom_contaminated(kept.select("doc_id", "text"),
+                                       bloom_eval_texts, bloom_words)
+            kept = kept.join(bhits, "doc_id", "left_anti")
         if args.eval_fuzzy is not None:
             from document_ai_spark.operators.curation import (
                 sketch_contamination,

@@ -561,3 +561,55 @@ def test_spark_submit_run_curate_span_strip_and_soft_dedup(tmp_path):
                    f"FROM '{out}/doc_weights/*.parquet'").fetchone()
     assert 0 < w[0] <= w[1] <= 1.0
     assert w[2] == len(rows)
+
+
+@pytest.mark.skipif(not Path(SPARK_SUBMIT).exists(),
+                    reason="spark-submit not on this host")
+def test_spark_submit_run_curate_eval_bloom(tmp_path):
+    """--eval-bloom: the whole-text Bloom tier drops the VERBATIM eval
+    copy only — a one-character edit survives it (exact tier by
+    design; the fuzzy pass is the paraphrase tier) — and clean docs
+    are untouched. Runs with a deliberately tiny bitmap (--eval-bloom-m
+    256) so Bloom false positives are likely and the exact confirm
+    join is what keeps the output right."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    eval_text = ("the quick onyx goblin jumps over the lazy dwarf while "
+                 "seven wizards brew azure potions behind the old mill")
+    near_copy = eval_text.replace("goblin", "goblins")
+    body = ("alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i} "
+            "eta{i} theta{i} iota{i} kappa{i}")
+    docs = pa.table({
+        "doc_id": [1, 2] + list(range(3, 13)),
+        "text": [eval_text, near_copy]
+                + [body.format(i=i) for i in range(3, 13)],
+        "lang": ["en"] * 12,
+        "source": ["web"] * 12,
+    })
+    inp = tmp_path / "docs.parquet"
+    pq.write_table(docs, inp)
+    ev = tmp_path / "eval.parquet"
+    pq.write_table(pa.table({"doc_id": [100], "text": [eval_text]}), ev)
+
+    zip_path = tmp_path / "document_ai_spark.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for f in sorted((REPO / "document_ai_spark").rglob("*.py")):
+            z.write(f, f.relative_to(REPO))
+
+    out = tmp_path / "out"
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--py-files", str(zip_path),
+           str(REPO / "scripts" / "run_curate.py"),
+           "--input", str(inp), "--output", str(out),
+           "--buckets", "2", "--run-id", "eb1",
+           "--eval", str(ev), "--eval-ngram", "30",
+           "--eval-bloom", "--eval-bloom-m", "256"]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    assert p.returncode == 0, p.stderr[-2000:]
+    ids = {r[0] for r in duckdb.connect().execute(
+        f"SELECT doc_id FROM '{out}/data/**/*.parquet'").fetchall()}
+    assert 1 not in ids                  # verbatim copy: Bloom tier
+    assert 2 in ids                      # one-word edit: exact tier passes
+    assert ids == {2} | set(range(3, 13))

@@ -66,3 +66,24 @@ def test_stream_decontaminate_exact_only(spark, tmp_path):
     kept = {r["doc_id"]
             for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert kept == {"para"}
+
+
+def test_stream_decontaminate_bloom_tier(spark, tmp_path):
+    """bloom=True: the whole-text Bloom tier drops the verbatim copy
+    even when the n-gram blocklist is inert (ngram longer than the
+    eval text), while a one-word edit and clean docs pass — and a tiny
+    bitmap (bloom_m=64, saturated) still yields the exact verdict."""
+    ev = str(tmp_path / "eval.parquet")
+    pq.write_table(pa.table({"doc_id": [100], "text": [_EVAL]}), ev)
+    near = _EVAL.replace("moons", "moon")
+
+    in_dir = str(tmp_path / "in")
+    _write_batch(spark, in_dir, [("verbatim", _EVAL), ("near", near),
+                                 ("clean1", _CLEAN)])
+    q = stream_decontaminate(spark, in_dir, ev, str(tmp_path / "out"),
+                             str(tmp_path / "ckpt"),
+                             ngram=50, bloom=True, bloom_m=64)
+    q.awaitTermination()
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert kept == {"near", "clean1"}
