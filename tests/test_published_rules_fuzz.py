@@ -112,3 +112,25 @@ def test_published_rules_cross_engine_fuzz(op, fuzz_sdf, fuzz_ddb):
         only_d = list((d - s).keys())[:3]
         raise AssertionError(
             f"{op} diverged:\n spark-only={only_s}\n duck-only={only_d}")
+
+
+def test_bloom_decontam_cross_engine_fuzz(spark, fuzz_sdf, fuzz_ddb):
+    """bloom_decontam over the adversarial corpus (empty texts, CJK,
+    U+3000 edges, duplicate texts across docs): the Bloom+confirm path
+    must equal DuckDB's NOT EXISTS text equality byte-for-byte. A
+    small bitmap (2^10) raises the false-positive rate on purpose."""
+    from pyspark.sql import functions as F
+
+    from document_ai_spark.operators.curation import bloom_decontaminate
+
+    docs = fuzz_sdf.select("doc_id", "text")
+    copies = (docs.where(F.col("doc_id") % 25 == 0)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    evals = docs.where(F.col("doc_id") % 25 == 0).select("text")
+    sdf = (bloom_decontaminate(docs.unionByName(copies), evals,
+                               m_bits=1 << 10)
+           .orderBy("doc_id"))
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    duck_rows = fuzz_ddb.execute(E.oracle_sql()["bloom_decontam"]).fetchall()
+    assert len(spark_rows) == len(duck_rows)
+    assert _rowset(spark_rows) == _rowset(duck_rows)
