@@ -3839,6 +3839,69 @@ ORDER BY doc_id
 """
 
 
+def _q_pack_interleaved(spark, sf):
+    """Multimodal training-sequence packing (operators/curation.py
+    pack_interleaved) over an interleaved span table synthesized
+    deterministically from documents — every 3rd doc gains a media
+    span plus a 1-token trailing text span, every 7th (non-3rd) doc is
+    media-ONLY (zero text tokens); each media span costs a fixed
+    16-token placeholder budget at this test scale (production: 576 =
+    a 24x24 vision-patch grid). The oracle mirrors the span-sum token
+    totals and the prefix-sum chunk math with one SUM() OVER in
+    DuckDB."""
+    from document_ai_spark.operators.curation import pack_interleaved
+
+    spans = F.expr(
+        "CASE WHEN pmod(doc_id, 3) = 0 THEN array("
+        " named_struct('kind','text','text',text,'media_ref','',"
+        "              'offset',0),"
+        " named_struct('kind','media','text','','media_ref',"
+        "              concat('m', doc_id),'offset',1),"
+        " named_struct('kind','text','text',upper(lang),'media_ref','',"
+        "              'offset',2)) "
+        "WHEN pmod(doc_id, 7) = 0 THEN array("
+        " named_struct('kind','media','text',cast(null as string),"
+        "              'media_ref',concat('m', doc_id),'offset',0)) "
+        "ELSE array(named_struct('kind','text','text',text,"
+        "           'media_ref','','offset',0)) END")
+    inter = (_t(spark, sf, "documents")
+             .select("doc_id", spans.alias("spans")))
+    return (pack_interleaved(inter, seq_len=128, media_tokens=16)
+            .orderBy("doc_id"))
+
+
+_SQL_PACK_INTERLEAVED = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(CASE
+              WHEN doc_id % 3 = 0 THEN
+                len({duck_tokens_sql("coalesce(text, '')")})
+                + len({duck_tokens_sql("upper(lang)")})
+              WHEN doc_id % 7 = 0 THEN 0
+              ELSE len({duck_tokens_sql("coalesce(text, '')")})
+              END AS BIGINT) AS n_text_tokens,
+         CAST(CASE WHEN doc_id % 3 = 0 OR doc_id % 7 = 0
+              THEN 1 ELSE 0 END AS BIGINT) AS n_media
+  FROM documents),
+tot AS (SELECT doc_id, n_text_tokens, n_media,
+               CAST(n_text_tokens + 16 * n_media AS BIGINT) AS n_tokens
+        FROM base),
+off AS (
+  SELECT doc_id, n_text_tokens, n_media, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_offset
+  FROM tot)
+SELECT doc_id, n_text_tokens, n_media, n_tokens, start_offset,
+       start_offset // 128 AS chunk_id,
+       start_offset % 128 AS chunk_pos,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE (start_offset % 128 + n_tokens - 1) // 128 + 1 END
+            AS BIGINT) AS n_chunks
+FROM off ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple] = {
@@ -3964,6 +4027,7 @@ _REGISTRY: dict[str, tuple] = {
     "dedup_weights": (_q_dedup_weights, _SQL_DEDUP_WEIGHTS),
     "strip_dup_spans": (_q_strip_dup_spans, _SQL_STRIP_DUP_SPANS),
     "bloom_decontam": (_q_bloom_decontam, _SQL_BLOOM_DECONTAM),
+    "pack_interleaved": (_q_pack_interleaved, _SQL_PACK_INTERLEAVED),
 }
 
 

@@ -550,17 +550,23 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     64-bit: counts are integers, no floating point anywhere. Oracle:
     the `pack_sequences` row mirrors it with one SUM() OVER (ORDER BY
     doc_id) in DuckDB — same math, single-node shape."""
-    from pyspark.sql import Window
     from ..functions.tokenize import tokens_sql
     toks = tokens_sql("coalesce(text, '')")
+    cols = ["doc_id"] + ([order_col] if order_col != "doc_id" else [])
     base = docs.select(
-        "doc_id", order_col,
-        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
-        F.floor(F.col(order_col) / F.lit(bucket_width)).alias("_bk"),
-    ) if order_col != "doc_id" else docs.select(
-        "doc_id",
-        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
-        F.floor(F.col(order_col) / F.lit(bucket_width)).alias("_bk"))
+        *cols, F.expr(f"size({toks})").cast("long").alias("n_tokens"))
+    return _pack_stream(base, seq_len, bucket_width, order_col)
+
+
+def _pack_stream(base: DataFrame, seq_len: int, bucket_width: int,
+                 order_col: str, extra_cols: tuple = ()) -> DataFrame:
+    """The shared packing core: given (doc_id[, order_col], n_tokens
+    [, extra_cols...]), add the distributed two-pass prefix sum and the
+    chunk math (see pack_sequences for the full scale story).
+    ``extra_cols`` are carried through to the output unchanged."""
+    from pyspark.sql import Window
+    base = base.withColumn(
+        "_bk", F.floor(F.col(order_col) / F.lit(bucket_width)))
     totals = base.groupBy("_bk").agg(F.sum("n_tokens").alias("_bk_total"))
     carry = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
@@ -571,19 +577,67 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     start = (F.coalesce(F.sum("n_tokens").over(within), F.lit(0))
              + F.col("_bk_offset"))
     out = (base.join(F.broadcast(offsets), "_bk")
-           .select("doc_id", "n_tokens", start.alias("start_offset")))
+           .select("doc_id", *extra_cols, "n_tokens",
+                   start.alias("start_offset")))
     # integer `div`, not floor(/): the double division inside floor()
     # loses exactness past 2^53 stream tokens (a 10^12-doc corpus is
     # within an order of magnitude of that)
     pos = F.expr(f"start_offset % {seq_len}")
     return out.select(
-        "doc_id", "n_tokens", "start_offset",
+        "doc_id", *extra_cols, "n_tokens", "start_offset",
         F.expr(f"start_offset div {seq_len}").alias("chunk_id"),
         pos.alias("chunk_pos"),
         F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
          .otherwise(F.expr(
              f"(start_offset % {seq_len} + n_tokens - 1) div {seq_len}") + 1)
          .cast("long").alias("n_chunks"))
+
+
+def pack_interleaved(docs: DataFrame, seq_len: int = 2048,
+                     media_tokens: int = 576,
+                     bucket_width: int = 100_000,
+                     order_col: str = "doc_id") -> DataFrame:
+    """Multimodal training-sequence packing over the INTERLEAVED span
+    table (doc_id, spans: array<struct<kind,text,media_ref,offset>>) —
+    the bridge between the extraction side (ordered text+media span
+    sequences) and the training-layout side (pack_sequences).
+
+    A multimodal LM consumes each media span as a FIXED placeholder
+    budget (``media_tokens``; e.g. 576 = a 24x24 vision-patch grid),
+    so a document's stream length is
+
+        sum(tokens(text spans)) + media_tokens * n_media_spans
+
+    and the packing math is pack_sequences' exactly, over that total.
+    Text spans tokenize INDEPENDENTLY (the model inserts media
+    boundaries between spans, so no cross-span token merging — also
+    what keeps the count distributable: one aggregate() HOF per row,
+    never a concat of the whole document).
+
+    Output adds (n_text_tokens, n_media) next to the pack_sequences
+    columns. Scale shape: the span aggregate is map-side (spans are
+    already per-row); then the shared distributed two-pass prefix sum
+    (see pack_sequences — bucket totals, tiny carry window, bounded
+    within-bucket sort). Zero-span and all-media docs pack like any
+    other; a doc with 0 total tokens occupies no stream space
+    (n_chunks = 0, the pack_sequences contract)."""
+    from ..functions.tokenize import tokens_sql
+    span_toks = tokens_sql("coalesce(s.text, '')")
+    cols = ["doc_id"] + ([order_col] if order_col != "doc_id" else [])
+    base = docs.select(
+        *cols,
+        F.coalesce(
+            F.expr(f"aggregate(filter(spans, s -> s.kind = 'text'), 0L, "
+                   f"(acc, s) -> acc + size({span_toks}))"),
+            F.lit(0)).cast("long").alias("n_text_tokens"),       # NULL spans
+        F.coalesce(
+            F.expr("size(filter(spans, s -> s.kind <> 'text'))"),
+            F.lit(0)).cast("long").alias("n_media"))
+    base = base.withColumn(
+        "n_tokens",
+        F.col("n_text_tokens") + F.lit(media_tokens) * F.col("n_media"))
+    return _pack_stream(base, seq_len, bucket_width, order_col,
+                        extra_cols=("n_text_tokens", "n_media"))
 
 
 def epoch_shuffle(docs: DataFrame, seed: int = 0,

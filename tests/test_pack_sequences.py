@@ -118,3 +118,70 @@ def test_pack_in_shuffled_epoch_order(spark):
         assert r["start_offset"] == pos
         pos += r["n_tokens"]
     assert pos == sum(i % 6 for i in range(60))
+
+
+# --- pack_interleaved: the multimodal variant over span tables --------------
+
+_SPAN_SCHEMA = ("doc_id long, spans array<struct<kind:string,text:string,"
+                "media_ref:string,offset:int>>")
+
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(rows, _SPAN_SCHEMA)
+
+
+def test_pack_interleaved_known_values(spark):
+    from document_ai_spark.operators.curation import pack_interleaved
+    rows = [
+        # 3 text tokens + 1 media @4 -> 7 total
+        (0, [("text", "a b c", "", 0), ("media", "", "m0", 1)]),
+        # media-only: 0 text, 2 media -> 8 total
+        (1, [("media", None, "m1", 0), ("media", "", "m2", 1)]),
+        # two text spans tokenize INDEPENDENTLY: 2 + 1 = 3
+        (2, [("text", "d e", "", 0), ("text", "f", "", 1)]),
+        # zero-span / NULL-span docs occupy no stream space
+        (3, []),
+        (4, None),
+    ]
+    out = {r["doc_id"]: r.asDict()
+           for r in pack_interleaved(_span_docs(spark, rows), seq_len=8,
+                                     media_tokens=4).collect()}
+    assert out[0] == {"doc_id": 0, "n_text_tokens": 3, "n_media": 1,
+                      "n_tokens": 7, "start_offset": 0, "chunk_id": 0,
+                      "chunk_pos": 0, "n_chunks": 1}
+    assert out[1] == {"doc_id": 1, "n_text_tokens": 0, "n_media": 2,
+                      "n_tokens": 8, "start_offset": 7, "chunk_id": 0,
+                      "chunk_pos": 7, "n_chunks": 2}
+    assert out[2] == {"doc_id": 2, "n_text_tokens": 3, "n_media": 0,
+                      "n_tokens": 3, "start_offset": 15, "chunk_id": 1,
+                      "chunk_pos": 7, "n_chunks": 2}
+    for d in (3, 4):
+        assert out[d]["n_tokens"] == 0 and out[d]["n_chunks"] == 0
+        assert out[d]["start_offset"] == 18
+
+
+def test_pack_interleaved_matches_pack_sequences_on_text_only(spark):
+    """With no media spans and one text span per doc, the multimodal
+    packer must reduce exactly to pack_sequences."""
+    from document_ai_spark.operators.curation import pack_interleaved
+    texts = [(i, f"{'tok ' * (i % 6)}") for i in range(30)]
+    flat = pack_sequences(_docs(spark, texts), seq_len=8, bucket_width=7)
+    spans = _span_docs(
+        spark, [(i, [("text", t, "", 0)]) for i, t in texts])
+    multi = (pack_interleaved(spans, seq_len=8, bucket_width=7)
+             .drop("n_text_tokens", "n_media"))
+    assert (sorted(map(tuple, flat.collect()))
+            == sorted(map(tuple, multi.collect())))
+
+
+def test_pack_interleaved_bucket_width_invariance(spark):
+    from document_ai_spark.operators.curation import pack_interleaved
+    rows = [(i * 3, [("text", "w " * (i % 4), "", 0)]
+             + ([("media", "", f"m{i}", 1)] if i % 2 else []))
+            for i in range(30)]
+    docs = _span_docs(spark, rows)
+    wide = pack_interleaved(docs, seq_len=8, media_tokens=5,
+                            bucket_width=10**9).collect()
+    narrow = pack_interleaved(docs, seq_len=8, media_tokens=5,
+                              bucket_width=4).collect()
+    assert sorted(map(tuple, wide)) == sorted(map(tuple, narrow))
