@@ -45,7 +45,8 @@ N_CURATE = 50_000 if QUICK else 500_000
 SCALE_LOW, SCALE_HIGH, PEAK = 2, 8, 32
 SHUFFLE = 16
 
-_ALL_SECTIONS = ("shape", "extract", "curate", "gates", "semdedup")
+_ALL_SECTIONS = ("shape", "extract", "curate", "gates", "semdedup",
+                 "pack")
 
 
 def _sections() -> set[str]:
@@ -172,6 +173,22 @@ def gen_embeddings(spark, n):
                     F.expr("transform(embedding, x -> x * 2.0d)")
                      .alias("embedding")))
     return base.unionByName(dups)
+
+
+def gen_interleaved(spark, n):
+    """Interleaved span table (the north-rule input shape) over the
+    text-corpus generator: every 3rd doc carries a media span after its
+    text span."""
+    spans = F.expr(
+        "CASE WHEN pmod(doc_id, 3) = 0 THEN array("
+        " named_struct('kind','text','text',text,'media_ref','',"
+        "              'offset',0),"
+        " named_struct('kind','media','text','','media_ref',"
+        "              concat('m', doc_id),'offset',1)) "
+        "ELSE array(named_struct('kind','text','text',text,"
+        "           'media_ref','','offset',0)) END")
+    return (gen_text_corpus(spark, n)
+            .select("doc_id", spans.alias("spans")))
 
 
 def published_gate_battery(docs):
@@ -384,6 +401,43 @@ def main():
                 **caps.summary(),
                 "peak_jvm_rss_mb": _jvm_peak_rss_mb(s)}
             print(f"semdedup: {out['semdedup']}", flush=True)
+        finally:
+            s.stop()
+
+    # ---- multimodal packing at half a million interleaved docs ---------
+    # The two-pass prefix sum's exchange count must not grow with input
+    # (2 hash exchanges of (doc_id, three longs) rows), and the layout
+    # invariant — last doc's start_offset + n_tokens == sum(n_tokens) —
+    # must hold exactly in 64-bit at full size.
+    if "pack" in sections:
+        from document_ai_spark.operators.curation import pack_interleaved
+        s = _session("evidence-pack", PEAK)
+        try:
+            big = gen_interleaved(s, N_CURATE)
+            small = gen_interleaved(s, N_CURATE // 10)
+            out["pack_exchanges"] = {
+                "small": _exchanges(pack_interleaved(small, seq_len=2048)),
+                "large": _exchanges(pack_interleaved(big, seq_len=2048))}
+            t0 = time.monotonic()
+            r = (pack_interleaved(big, seq_len=2048)
+                 .agg(F.count("*").alias("n"),
+                      F.sum("n_tokens").alias("total_tokens"),
+                      F.sum("n_media").alias("total_media"),
+                      F.max(F.col("start_offset") + F.col("n_tokens"))
+                       .alias("stream_end"),
+                      F.max("chunk_id").alias("max_chunk"))
+                 .collect()[0])
+            dt = time.monotonic() - t0
+            out["pack"] = {
+                "n_docs": N_CURATE, "sec": round(dt, 1),
+                "docs_per_sec": round(N_CURATE / dt, 1),
+                "total_tokens": int(r["total_tokens"]),
+                "total_media_spans": int(r["total_media"]),
+                "stream_contiguous":
+                    bool(r["stream_end"] == r["total_tokens"]),
+                "n_sequences": int(r["max_chunk"]) + 1,
+                "peak_jvm_rss_mb": _jvm_peak_rss_mb(s)}
+            print(f"pack: {out['pack']}", flush=True)
         finally:
             s.stop()
 
