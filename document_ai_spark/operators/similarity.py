@@ -377,9 +377,12 @@ def semdedup(emb: DataFrame, cos_min: float = 0.95,
     indexed HOF — no pair explosion ever shuffles, the verdict comes
     out of the same task that holds the cluster. Per-task work is
     bounded by `max_cluster` (deterministic array_sort truncation with
-    the observed lsh_cap drop metric — at production k ~ corpus/5k the
-    cap never engages on natural clusters). That is the paper's own
-    cost profile: SemDeDup is O(N^2/k) cosine work, paid map-side."""
+    the observed lsh_cap drop metric — size k so the MEAN cluster sits
+    well under the cap, k ~ corpus/2500 with the 4096 default: the 10x
+    evidence run at 500k/k=200 measured max natural cluster 2780 with
+    zero drops; k ~ corpus/5000 would put the mean itself above the
+    cap and truncate most clusters). That is the paper's own cost
+    profile: SemDeDup is O(N^2/k) cosine work, paid map-side."""
     cents = codebook if codebook is not None \
         else kmeans_codebook(emb, k, iters)
     base = emb.select(
