@@ -3876,7 +3876,7 @@ WITH base AS (
          CAST(CASE
               WHEN doc_id % 3 = 0 THEN
                 len({duck_tokens_sql("coalesce(text, '')")})
-                + len({duck_tokens_sql("upper(lang)")})
+                + len({duck_tokens_sql("coalesce(upper(lang), '')")})
               WHEN doc_id % 7 = 0 THEN 0
               ELSE len({duck_tokens_sql("coalesce(text, '')")})
               END AS BIGINT) AS n_text_tokens,

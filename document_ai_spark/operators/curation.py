@@ -795,6 +795,16 @@ def bloom_bitmap(keys: DataFrame, key_col: str = "text",
     return words
 
 
+def bloom_eval_texts(eval_docs: DataFrame,
+                     text_col: str = "text") -> DataFrame:
+    """The canonical eval-text frame every bloom caller shares: the
+    distinct non-null texts as one `_etext` column. Centralized so the
+    library op, the curation CLI, and the streaming twin can never
+    diverge on null/normalization semantics."""
+    return (eval_docs.where(F.col(text_col).isNotNull())
+            .select(F.col(text_col).alias("_etext")).distinct())
+
+
 def bloom_hit(key, words: list, k: int = BLOOM_K):
     """Boolean column: all k probe positions of ``key`` are set in the
     bitmap. The bitmap ships as ONE array<bigint> literal inside the
@@ -846,8 +856,7 @@ def bloom_decontaminate(docs: DataFrame, eval_docs: DataFrame,
     The fuzzy complement is `sketch_contamination` (paraphrase-level);
     this op is the exact-verbatim tier of the same decontamination
     battery, GPT-3 appendix-C style but at registry scale."""
-    ev = (eval_docs.where(F.col(text_col).isNotNull())
-          .select(F.col(text_col).alias("_etext")).distinct())
+    ev = bloom_eval_texts(eval_docs, text_col)
     words = bloom_bitmap(ev, "_etext", m_bits=m_bits, k=k)
     contaminated = bloom_contaminated(docs, ev, words,
                                       text_col=text_col, k=k)

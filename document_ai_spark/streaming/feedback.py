@@ -393,6 +393,7 @@ def stream_decontaminate(spark: SparkSession, in_dir: str, eval_path: str,
     from ..operators.curation import (
         bloom_bitmap,
         bloom_contaminated,
+        bloom_eval_texts,
         eval_ngrams,
         sketch_contamination,
     )
@@ -402,8 +403,10 @@ def stream_decontaminate(spark: SparkSession, in_dir: str, eval_path: str,
     block = F.broadcast(eval_ngrams(eval_docs, n=ngram))
     bloom_words = bloom_texts = None
     if bloom:
-        bloom_texts = (eval_docs.where(F.col("text").isNotNull())
-                       .select(F.col("text").alias("_etext")).distinct())
+        # cache: every micro-batch's confirm join reuses this frame —
+        # without it each batch re-scans the eval parquet and re-runs
+        # the distinct shuffle (prohibitive at registry-scale eval sets)
+        bloom_texts = bloom_eval_texts(eval_docs).cache()
         bloom_words = bloom_bitmap(bloom_texts, "_etext", m_bits=bloom_m)
 
     stream = (

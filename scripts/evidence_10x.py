@@ -21,9 +21,12 @@ Writes EVIDENCE_10X.json; BENCH.md summarizes.
 Usage: python scripts/evidence_10x.py [--quick] [--only S1,S2]
 (--quick = 1/10 sizes for a smoke run of the harness itself; --only
 limits the run to a comma list of sections from {shape, extract,
-curate, gates}). Results MERGE into an existing EVIDENCE_10X.json so
-a sectioned run never drops the other sections (including the resume
-legs evidence_resume.py merges in).
+curate, gates, semdedup, pack}). Results MERGE into an existing
+EVIDENCE_10X.json so a sectioned run never drops the other sections
+(including the resume legs evidence_resume.py merges in); the
+top-level size/quick metadata is rewritten only by a full run, so a
+sectioned --quick refresh cannot mislabel previously recorded
+full-scale sections.
 """
 from __future__ import annotations
 
@@ -52,6 +55,9 @@ _ALL_SECTIONS = ("shape", "extract", "curate", "gates", "semdedup",
 def _sections() -> set[str]:
     for i, a in enumerate(sys.argv):
         if a == "--only":
+            if i + 1 >= len(sys.argv):
+                raise SystemExit(
+                    f"--only needs a comma list from {_ALL_SECTIONS}")
             picked = set(sys.argv[i + 1].split(","))
         elif a.startswith("--only="):
             picked = set(a.split("=", 1)[1].split(","))
@@ -238,8 +244,10 @@ def main():
     out = {}
     if sections != set(_ALL_SECTIONS) and path.exists():
         out = json.loads(path.read_text())
-    out.update({"n_extract_docs": N_EXTRACT, "n_curate_docs": N_CURATE,
-                "quick": QUICK})
+    else:
+        # full run: the top-level metadata describes every section
+        out.update({"n_extract_docs": N_EXTRACT,
+                    "n_curate_docs": N_CURATE, "quick": QUICK})
     corpus = f"/tmp/evidence_corpus_{N_EXTRACT}"
 
     # ---- corpus generation at full parallelism -------------------------
@@ -255,12 +263,12 @@ def main():
         # plan-shape check: Exchange count at the bench-scale corpus vs
         # this one must match. NOT limit(n) — GlobalLimit adds its own
         # exchange and would fake a difference; compare two real corpora.
-        small_corpus = f"/tmp/bench_corpus_{N_EXTRACT // 10}"
-        if not os.path.exists(
-                f"{small_corpus}/documents_interleaved.parquet"):
-            write_corpus(s, small_corpus, n_docs=N_EXTRACT // 10, seed=42,
-                         partitions=PEAK)
         if "shape" in sections:
+            small_corpus = f"/tmp/bench_corpus_{N_EXTRACT // 10}"
+            if not os.path.exists(
+                    f"{small_corpus}/documents_interleaved.parquet"):
+                write_corpus(s, small_corpus, n_docs=N_EXTRACT // 10,
+                             seed=42, partitions=PEAK)
             for tag, c in (("small", small_corpus), ("large", corpus)):
                 d = s.read.parquet(f"{c}/documents_interleaved.parquet")
                 p = s.read.parquet(f"{c}/media_payloads.parquet")
@@ -306,7 +314,8 @@ def main():
         eff = (legs[f"t{SCALE_HIGH}"]["docs_per_sec"]
                / ((SCALE_HIGH / SCALE_LOW)
                   * legs[f"t{SCALE_LOW}"]["docs_per_sec"]))
-        out["extraction"] = {**legs, "scaling_efficiency": round(eff, 4),
+        out["extraction"] = {"n_docs": N_EXTRACT, **legs,
+                             "scaling_efficiency": round(eff, 4),
                              "scaling_rule":
                                  f"T({SCALE_HIGH})/(4*T({SCALE_LOW})) "
                                  ">= 0.8"}
@@ -322,6 +331,7 @@ def main():
                 budget = curate(docs).collect()
                 dt = time.monotonic() - t0
             out["curate"] = {
+                "n_docs": N_CURATE,
                 "sec": round(dt, 1),
                 "docs_per_sec": round(N_CURATE / dt, 1),
                 "budget_rows": len(budget),
@@ -364,7 +374,8 @@ def main():
     # task-locally (no pair shuffle), the codebook trains ONCE and
     # broadcasts, and the plan's exchange count is input-invariant.
     # k sizes clusters to ~2.5k (< SEM_MAX_CLUSTER) per the production
-    # rule k ~ N/5k — the cap must NOT engage on natural clusters.
+    # rule k ~ N/2500 (the mean must sit under the cap) — the cap must
+    # NOT engage on natural clusters.
     if "semdedup" in sections:
         from document_ai_spark.operators.similarity import (
             kmeans_codebook,

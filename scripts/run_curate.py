@@ -300,7 +300,7 @@ def main() -> None:
     block = None
     eval_docs = None
     bloom_words = None
-    bloom_eval_texts = None
+    bloom_ev = None
     if args.eval:
         eval_docs = spark.read.parquet(args.eval)
         block = F.broadcast(
@@ -310,12 +310,12 @@ def main() -> None:
             # set, so resume sees the identical filter); per-bucket
             # cost is a map-side membership test + an exact confirm
             # join over the Bloom-positive sliver.
-            from document_ai_spark.operators.curation import bloom_bitmap
-            bloom_eval_texts = (eval_docs
-                                .where(F.col("text").isNotNull())
-                                .select(F.col("text").alias("_etext"))
-                                .distinct().cache())
-            bloom_words = bloom_bitmap(bloom_eval_texts, "_etext",
+            from document_ai_spark.operators.curation import (
+                bloom_bitmap,
+                bloom_eval_texts,
+            )
+            bloom_ev = bloom_eval_texts(eval_docs).cache()
+            bloom_words = bloom_bitmap(bloom_ev, "_etext",
                                        m_bits=args.eval_bloom_m)
 
     hot = None
@@ -554,7 +554,7 @@ def main() -> None:
                 bloom_contaminated,
             )
             bhits = bloom_contaminated(kept.select("doc_id", "text"),
-                                       bloom_eval_texts, bloom_words)
+                                       bloom_ev, bloom_words)
             kept = kept.join(bhits, "doc_id", "left_anti")
         if args.eval_fuzzy is not None:
             from document_ai_spark.operators.curation import (
