@@ -2543,7 +2543,7 @@ SELECT CAST(band AS INTEGER) AS band,
        CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_colliding_buckets,
        CAST(MAX(n) AS BIGINT) AS max_bucket,
-       CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+       SUM(CAST(n AS DOUBLE) * (n - 1) / 2) AS candidate_pairs
 FROM buckets GROUP BY band ORDER BY band
 """
 
@@ -3648,7 +3648,11 @@ def _q_semdedup(spark, sf):
         F.transform("embedding", lambda v: v * F.lit(2.0).cast("float"))
          .alias("embedding"),
         F.col("label"))
-    return S.semdedup(emb.unionByName(dup), cos_min=0.95).orderBy("vec_id")
+    # k pinned: the oracle's codebook CTEs are built for IVF_K, and the
+    # library's auto-k (corpus/2500) is SF-dependent — the contract
+    # must hold at every test scale.
+    return (S.semdedup(emb.unionByName(dup), cos_min=0.95, k=S.IVF_K)
+            .orderBy("vec_id"))
 
 
 def _sql_semdedup() -> str:

@@ -109,9 +109,19 @@ CJK_RANGES = (r"\x{3040}-\x{30FF}\x{31F0}-\x{31FF}\x{3400}-\x{4DBF}"
 SEA_BLOCKS = (r"\x{0E00}-\x{0E7F}\x{0E80}-\x{0EFF}"
               r"\x{1000}-\x{109F}\x{1780}-\x{17FF}")
 _THAI_GRAPHEME = (r"[\x{0E40}-\x{0E44}]?[\x{0E01}-\x{0E2E}]"
-                  r"[\x{0E30}-\x{0E3A}\x{0E45}-\x{0E4E}]*")
+                  r"[\x{0E30}-\x{0E3A}\x{0E45}-\x{0E4E}]*"
+                  # isolated leading vowel (no base follows — e.g. the
+                  # common 'เเ' digraph spelling of แ, or vowel before
+                  # punctuation): its own token rather than silently
+                  # DROPPED from the extract_all — a dropped char would
+                  # vanish from n_tokens/shingles AND from
+                  # strip_dup_spans' token-rejoin rebuild. Ordered
+                  # after the vowel+base branch (both engines are
+                  # leftmost-first), so full clusters still win.
+                  r"|[\x{0E40}-\x{0E44}]")
 _LAO_GRAPHEME = (r"[\x{0EC0}-\x{0EC4}]?[\x{0E81}-\x{0EAE}]"
-                 r"[\x{0EB0}-\x{0EBD}\x{0EC6}\x{0EC8}-\x{0ECD}]*")
+                 r"[\x{0EB0}-\x{0EBD}\x{0EC6}\x{0EC8}-\x{0ECD}]*"
+                 r"|[\x{0EC0}-\x{0EC4}]")
 _KHMER_GRAPHEME = r"[\x{1780}-\x{17B3}][\x{17B4}-\x{17D3}]*"
 _MYANMAR_GRAPHEME = r"[\x{1000}-\x{102A}\x{103F}][\x{102B}-\x{103E}]*"
 # Block chars that no grapheme branch can start at -> single-char tokens.
@@ -121,10 +131,14 @@ _SEA_SINGLETON = (r"[\x{0E00}\x{0E2F}-\x{0E3F}\x{0E45}-\x{0E7F}"
                   r"\x{17B4}-\x{17FF}]")
 
 # A maximal run of non-space/non-CJK/non-SEA chars, OR one CJK char, OR
-# one SEA grapheme cluster, OR one SEA singleton. Branches match
-# disjoint first-characters (see module docstring), so alternation
-# order cannot change the result — but run-first is measurably faster
+# one SEA grapheme cluster, OR one SEA singleton. TOP-LEVEL branches
+# match disjoint first-characters (see module docstring), so their
+# order cannot change the result — run-first is just measurably faster
 # (~2x on Latin corpora: the common case matches on the first branch).
+# The ONE order-sensitive spot is inside the Thai/Lao branches: the
+# isolated-leading-vowel fallback shares its first char with the
+# vowel+base cluster and must come second; Java regex and RE2 are both
+# leftmost-FIRST, so the two engines agree (and the fuzz tests pin it).
 TOKEN_PATTERN = (
     f"[^{WS_RANGES}{CJK_RANGES}{SEA_BLOCKS}]+|[{CJK_RANGES}]"
     f"|{_THAI_GRAPHEME}|{_LAO_GRAPHEME}"

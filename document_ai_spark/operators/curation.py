@@ -734,8 +734,22 @@ def decontaminate_fuzzy(docs: DataFrame, eval_docs: DataFrame,
     return docs.join(hits.select("doc_id"), "doc_id", "left_anti")
 
 
-BLOOM_M_BITS = 1 << 20   # default bitmap size: 2^20 bits = 16 Ki longs
+BLOOM_M_BITS = 1 << 20   # bitmap-size FLOOR: 2^20 bits = 16 Ki longs
 BLOOM_K = 4              # probes per key
+BLOOM_BITS_PER_KEY = 16  # sizing rule: ~0.2% fp at k=4
+
+
+def bloom_size(n_keys: int) -> int:
+    """Bitmap bits for ``n_keys``: the next power of two covering
+    BLOOM_BITS_PER_KEY x n_keys, floored at BLOOM_M_BITS. A fixed 2^20
+    against a 10^8-key eval registry would saturate — every corpus row
+    Bloom-positive, the confirm join degraded to the full anti-join
+    the operator exists to avoid (output stays exact either way; this
+    is the performance dial)."""
+    m = BLOOM_M_BITS
+    while m < BLOOM_BITS_PER_KEY * max(n_keys, 1):
+        m <<= 1
+    return m
 
 
 def _bloom_positions(key, m_bits: int, k: int):
@@ -825,7 +839,7 @@ def bloom_hit(key, words: list, k: int = BLOOM_K):
 
 def bloom_decontaminate(docs: DataFrame, eval_docs: DataFrame,
                         text_col: str = "text",
-                        m_bits: int = BLOOM_M_BITS,
+                        m_bits: int = None,
                         k: int = BLOOM_K) -> DataFrame:
     """Exact whole-text decontamination when the eval set is too big to
     broadcast: (doc_id, keep) with keep = false iff the document's text
@@ -838,7 +852,10 @@ def bloom_decontaminate(docs: DataFrame, eval_docs: DataFrame,
 
     Scale shape, in order:
       1. bitmap build — one pass over the eval side, one control-plane
-         collect of <= m_bits/64 longs (128 KiB at the 2^20 default);
+         collect of <= m_bits/64 longs; with ``m_bits=None`` (default)
+         the size derives from the eval count via bloom_size() —
+         ~16 bits/key, so 128 KiB for 10^5 eval docs and 200 MB for
+         10^8 (shipped once per executor inside the plan);
       2. candidate filter — the CORPUS NEVER SHUFFLES: the bitmap rides
          the plan as a literal and the membership test is a map-side
          integer expression (one xxhash64 of the text + k probe ops);
@@ -857,6 +874,8 @@ def bloom_decontaminate(docs: DataFrame, eval_docs: DataFrame,
     this op is the exact-verbatim tier of the same decontamination
     battery, GPT-3 appendix-C style but at registry scale."""
     ev = bloom_eval_texts(eval_docs, text_col)
+    if m_bits is None:
+        m_bits = bloom_size(ev.count())
     words = bloom_bitmap(ev, "_etext", m_bits=m_bits, k=k)
     contaminated = bloom_contaminated(docs, ev, words,
                                       text_col=text_col, k=k)

@@ -132,6 +132,21 @@ def _cap_bucket_items(grouped: DataFrame, max_bucket: int) -> DataFrame:
     is attached to the plan and surfaces through QueryExecution listeners
     and the UI on every run.
 
+    Memory honesty: the cap bounds the PAIR EXPANSION and everything
+    downstream, not the collect_list buffer itself — the aggregation
+    still materializes each bucket's full item array in one group
+    buffer before the slice (ObjectHashAggregate's sort-based fallback
+    spills BETWEEN groups, not inside one). A degenerate single bucket
+    in the 10^8-row class (a corpus-wide shared template) can OOM a
+    reducer before the cap runs. The designed defense is upstream:
+    band_bucket_stats / suggest_bucket_cap exist to detect exactly
+    that bucket in a cheap keys-only pre-flight (no item payloads, no
+    collect) before any dedup query runs; at scale, pathological keys
+    it reports get filtered or salted first. The windowed alternative
+    (row_number pre-filter, then collect) bounds the buffer too but
+    pays a per-partition sort on EVERY run — wrong default for the
+    overwhelmingly common case the stats pass keeps us in.
+
     Interaction with first-collision-band pair dedup (banded_near_dup_pairs,
     similarity.embedding_near_dups, sketch_index cross pairs): when a
     pair's FIRST colliding band is truncated away by the cap, the pair is
@@ -671,7 +686,13 @@ def band_bucket_stats(df: DataFrame, bands: int = LSH_BANDS,
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum((F.col("n") > 1).cast("long")).alias("n_colliding_buckets"),
         F.max("n").alias("max_bucket"),
-        F.sum(F.expr("n * (n - 1) div 2")).alias("candidate_pairs")))
+        # double, not bigint: a degenerate shared-template bucket past
+        # ~3e9 rows overflows n*(n-1) in int64 and ANSI mode would
+        # crash the budgeting query on exactly the corpus it is meant
+        # to budget. Exact below 2^53 pairs, approximate beyond — a
+        # sizing signal, not an invariant.
+        F.sum(F.expr("cast(n as double) * (n - 1) / 2"))
+         .alias("candidate_pairs")))
 
 
 def suggest_bucket_cap(df: DataFrame, bands: int = LSH_BANDS,

@@ -328,6 +328,7 @@ def embedding_near_dups(emb: DataFrame, cos_min: float = 0.95,
 # ---------------------------------------------------------------------------
 
 SEM_MAX_CLUSTER = 4096   # per-cluster item cap (observed drops, as LSH)
+SEM_MEAN_CLUSTER = 2500  # auto-k target mean (sits well under the cap)
 
 
 def greedy_drop_expr(cos_min: float):
@@ -351,7 +352,7 @@ def greedy_drop_expr(cos_min: float):
 
 
 def semdedup(emb: DataFrame, cos_min: float = 0.95,
-             k: int = IVF_K, iters: int = IVF_ITERS,
+             k: int = None, iters: int = IVF_ITERS,
              codebook: DataFrame = None,
              max_cluster: int = SEM_MAX_CLUSTER) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
@@ -381,10 +382,17 @@ def semdedup(emb: DataFrame, cos_min: float = 0.95,
     well under the cap, k ~ corpus/2500 with the 4096 default: the 10x
     evidence run at 500k/k=200 measured max natural cluster 2780 with
     zero drops; k ~ corpus/5000 would put the mean itself above the
-    cap and truncate most clusters). That is the paper's own cost
-    profile: SemDeDup is O(N^2/k) cosine work, paid map-side."""
+    cap and truncate most clusters). With ``k=None`` (the default) and
+    no prebuilt codebook, k derives from that rule via one count()
+    action at plan build — a fixed small k on a large corpus would
+    silently cap-truncate ~every cluster and pass ~everything as
+    sem_keep=true (the derive_salt_buckets precedent: data-sized, not
+    guessed). That is the paper's own cost profile: SemDeDup is
+    O(N^2/k) cosine work, paid map-side."""
+    if codebook is None and k is None:
+        k = max(IVF_K, emb.count() // SEM_MEAN_CLUSTER)
     cents = codebook if codebook is not None \
-        else kmeans_codebook(emb, k, iters)
+        else kmeans_codebook(emb, k if k is not None else IVF_K, iters)
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     scored = base.crossJoin(F.broadcast(cents)).withColumn(

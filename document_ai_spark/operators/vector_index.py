@@ -220,6 +220,13 @@ class SemanticIndex(AtomicBatchIndex):
     direction the representative differs by first-seen-wins — the
     same documented delta as stream_curate vs curate.
 
+    Size k for the EVENTUAL index, not the first batch: the rule is
+    k ~ expected_corpus/2500 so the mean cluster sits under
+    max_cluster (4096) — with the IVF_K=8 default a large index
+    cap-truncates ~every cluster probe and passes near-dups as
+    sem_keep=true (observed via the lsh_cap metric, never silent, but
+    a near-no-op; see semdedup's auto-k note).
+
     Scale shape: the codebook broadcasts; assignment is one window on
     vec_id; intra-batch verdicts reuse the task-local greedy sweep;
     the index is probed ONLY at clusters the batch touches (broadcast

@@ -230,14 +230,22 @@ def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
     URLs (canon_url NULL) are always their own keeper.
 
     Scale shape: canonicalization is map-side; the only exchange is the
-    window's hash partition on canon_url (URL-sized keys, no text).
-    Skew note: at web scale a single hot canonical URL (e.g. a crawl
-    artifact) concentrates one partition — the window computes only
-    min(doc_id) over it (no buffering of rows in memory beyond the
-    sort), so the worst case is one task sorting that key's rows."""
+    window's hash partition on the dedup key (URL-sized keys, no text).
+    NULL canon_urls do NOT share a window partition: real crawls carry
+    large unparseable fractions (relative links, mailto:, artifacts)
+    and window partitioning groups every NULL key into ONE task — so
+    the partition key falls back to a per-doc unique string for them
+    (each is its own singleton keeper anyway; the verdict is identical,
+    the straggler is gone). Skew note: a single hot canonical URL
+    (e.g. a crawl artifact) still concentrates one partition — the
+    window computes only min(doc_id) over it (no buffering of rows in
+    memory beyond the sort), so the worst case is one task sorting
+    that key's rows."""
     from pyspark.sql import Window
     out = docs.withColumn("canon_url", canonical_url(F.col(url_col)))
-    w = Window.partitionBy("canon_url")
+    # chr(0) prefix keeps the fallback keys disjoint from real URLs
+    w = Window.partitionBy(F.coalesce(
+        "canon_url", F.concat(F.lit("\x00"), F.col("doc_id"))))
     keep = (F.when(F.col("canon_url").isNull(), F.col("doc_id"))
              .otherwise(F.min("doc_id").over(w)))
     return out.withColumn("keep_doc_id", keep)

@@ -127,6 +127,21 @@ def run_checkpointed(
                                  "is required")
             ingest_bucketed(docs_df, docs_path, buckets)
 
+    # Default pipeline: derive the reassembly salt ONCE from the whole
+    # ingested corpus instead of letting extract() re-run its
+    # approxQuantile action on every bucket slice (one scan per bucket,
+    # and per-bucket quantiles are the wrong population anyway —
+    # SURVEY §7.4 sizes K from corpus span-count quantiles). The input
+    # is immutable after ingest, so a resume re-derives the same K;
+    # reassembly output is byte-identical for any K (pinned by
+    # test_skew), making this purely a cost change.
+    if extract_fn is default_extract:
+        from ..plans.pipeline import derive_salt_buckets
+        k_salt = derive_salt_buckets(spark.read.parquet(docs_path))
+
+        def extract_fn(d, p):                       # noqa: E731
+            return default_extract(d, p, salt_buckets=k_salt)
+
     done = store.committed_buckets()
     committed_this_run = 0
 

@@ -103,8 +103,12 @@ def stream_dedup(spark: SparkSession, in_dir: str, index_root: str,
 def stream_extract(spark: SparkSession, in_dir: str, out_dir: str,
                    checkpoint_dir: str, payloads_df: DataFrame):
     """Structured Streaming ingest: watch in_dir for new interleaved-doc
-    parquet files, run the SAME batch pipeline per micro-batch, append
-    results. Returns the StreamingQuery (caller awaits/stops)."""
+    parquet files, run the SAME batch pipeline per micro-batch. Output
+    lands under ``out_dir/batch=<id>/`` with per-batch OVERWRITE — a
+    foreachBatch replay after a crash (checkpoint not yet committed)
+    rewrites the same directory instead of appending duplicate rows,
+    the exactly-once discipline every streaming twin here follows.
+    Returns the StreamingQuery (caller awaits/stops)."""
     from ..plans.pipeline import extract
     from ..sources.docgen import interleaved_schema
 
@@ -117,9 +121,12 @@ def stream_extract(spark: SparkSession, in_dir: str, out_dir: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = extract(batch_df, payloads_df).withColumn(
+        # micro-batches are small (maxFilesPerTrigger) — pin the
+        # reassembly salt instead of paying derive_salt_buckets'
+        # approxQuantile action on every batch
+        out = extract(batch_df, payloads_df, salt_buckets=8).withColumn(
             "out_spans", F.to_json("out_spans"))
-        out.write.mode("append").parquet(out_dir)
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     return (
         stream.writeStream
@@ -369,7 +376,7 @@ def stream_decontaminate(spark: SparkSession, in_dir: str, eval_path: str,
                          out_dir: str, checkpoint_dir: str,
                          ngram: int = 3, fuzzy_jaccard: float = None,
                          bands: int = 4, rows: int = 2,
-                         bloom: bool = False, bloom_m: int = 1 << 20):
+                         bloom: bool = False, bloom_m: int = None):
     """Streaming benchmark decontamination: every micro-batch of
     incoming documents is filtered against a STATIC eval/benchmark set
     — the exact word-n-gram blocklist, plus (with ``fuzzy_jaccard``
@@ -406,8 +413,11 @@ def stream_decontaminate(spark: SparkSession, in_dir: str, eval_path: str,
         # cache: every micro-batch's confirm join reuses this frame —
         # without it each batch re-scans the eval parquet and re-runs
         # the distinct shuffle (prohibitive at registry-scale eval sets)
+        from ..operators.curation import bloom_size
         bloom_texts = bloom_eval_texts(eval_docs).cache()
-        bloom_words = bloom_bitmap(bloom_texts, "_etext", m_bits=bloom_m)
+        bloom_words = bloom_bitmap(
+            bloom_texts, "_etext",
+            m_bits=bloom_m or bloom_size(bloom_texts.count()))
 
     stream = (
         spark.readStream.schema("doc_id string, text string")

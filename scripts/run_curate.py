@@ -156,11 +156,11 @@ def main() -> None:
                          "once per run — the registry-scale exact tier "
                          "(the n-gram blocklist broadcasts the eval "
                          "set; this ships ~m/8 bytes per task instead)")
-    ap.add_argument("--eval-bloom-m", type=int, default=1 << 20,
+    ap.add_argument("--eval-bloom-m", type=int, default=0,
                     metavar="M_BITS",
-                    help="Bloom bitmap bits (power of two; ~16 bits "
-                         "per eval doc keeps confirm-join traffic at "
-                         "~0.2%% of the corpus)")
+                    help="Bloom bitmap bits (power of two); 0 = derive "
+                         "from the eval count (~16 bits/key keeps "
+                         "confirm-join traffic at ~0.2%% of the corpus)")
     ap.add_argument("--nb-ref", default=None, metavar="PARQUET",
                     help="reference 'good' corpus (doc_id, text): train "
                          "a Naive Bayes classifier (ref = positive, a "
@@ -314,9 +314,10 @@ def main() -> None:
                 bloom_bitmap,
                 bloom_eval_texts,
             )
+            from document_ai_spark.operators.curation import bloom_size
             bloom_ev = bloom_eval_texts(eval_docs).cache()
-            bloom_words = bloom_bitmap(bloom_ev, "_etext",
-                                       m_bits=args.eval_bloom_m)
+            m = args.eval_bloom_m or bloom_size(bloom_ev.count())
+            bloom_words = bloom_bitmap(bloom_ev, "_etext", m_bits=m)
 
     hot = None
     if args.line_dedup:

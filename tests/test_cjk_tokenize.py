@@ -338,3 +338,34 @@ def test_segmenter_seam_plugs_and_resets(spark):
         TK.reset_segmenter()
     assert df.select(tokens_col().alias("t")).first()["t"] == \
         ["hello", "world"]
+
+
+def test_isolated_leading_vowels_not_dropped(spark):
+    """A Thai/Lao leading vowel with no base following (the 'เเ'
+    digraph spelling of แ, or a vowel before punctuation) must
+    tokenize as its own token — previously regexp_extract_all skipped
+    the character entirely, so it vanished from n_tokens, shingles,
+    and strip_dup_spans' token-rejoin rebuild. Both engines must
+    agree (leftmost-first alternation puts vowel+base clusters ahead
+    of the lone-vowel fallback)."""
+    import duckdb
+
+    from document_ai_spark.functions.tokenize import (
+        duck_tokens_sql,
+        tokens_sql,
+    )
+
+    cases = ["เเตก", "เ", "เ.", "ແ ເກ", "abc เ def"]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [list(r["t"]) for r in
+           df.selectExpr(f"{tokens_sql('text')} as t").collect()]
+    assert got[0] == ["เ", "เต", "ก"]      # digraph: lone vowel survives
+    assert got[1] == ["เ"]
+    assert got[2] == ["เ", "."]
+    con = duckdb.connect()
+    for c, g in zip(cases, got):
+        d = con.execute("select " + duck_tokens_sql("t")
+                        + " from (select ? as t)", [c]).fetchone()[0]
+        assert list(d) == g, c
+    # every character of a pure-Thai string is covered by some token
+    assert sum(len(t) for t in got[0]) == len(cases[0])
