@@ -3906,6 +3906,113 @@ FROM off ORDER BY doc_id
 """
 
 
+def _q_heavy_ngrams(spark, sf):
+    """Exact frequent word 3-grams (operators/mining.py heavy_ngrams):
+    boilerplate discovery with a Misra-Gries-bounded shuffle. Pass 1
+    folds each partition's n-gram stream through a 4096-counter MG
+    summary inside ONE Arrow mapInPandas stage — the registry's single
+    deliberate Python stage, because a decrement-on-overflow sketch has
+    no relational form — so only O(partitions x capacity) candidate
+    rows shuffle instead of one row per distinct n-gram; pass 2 counts
+    the broadcast candidates exactly. The observed MG decrement total
+    (the tight under-count ceiling) is asserted < min_count inside the
+    plan, making the output exactly {ngram : count >= min_count}
+    independent of partitioning — which is what lets the naive
+    GROUP BY/HAVING oracle grade it."""
+    from document_ai_spark.operators.mining import heavy_ngrams
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    # capacity sits above the per-partition distinct-3-gram count at the
+    # test SFs (sf0.01 single-partition scan: ~26k distinct), so the
+    # summaries are decrement-free and the exactness guard passes; at
+    # production thresholds (min_count in the thousands) the default
+    # capacity suffices and the guard is the safety net.
+    return (heavy_ngrams(docs, n=3, min_count=3, capacity=1 << 17)
+            .orderBy("ngram"))
+
+
+_SQL_HEAVY_NGRAMS = f"""
+WITH toks AS (SELECT {_DUCK_TOKS} AS t FROM documents),
+grams AS (
+  SELECT unnest(list_transform(
+      generate_series(1, greatest(len(t) - 2, 1)),
+      i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS ngram
+  FROM toks WHERE len(t) > 0)
+SELECT ngram, COUNT(*) AS n_count
+FROM grams GROUP BY ngram HAVING COUNT(*) >= 3
+ORDER BY ngram
+"""
+
+
+def _q_winnow_fps(spark, sf):
+    """Winnowed (minimizer) span fingerprints at the module defaults
+    (operators/mining.py winnow_fps, Schleimer et al. 2003): the
+    ~2/(window+1)-density subset of the every-offset w-token window
+    index that still catches any cross-doc duplicated span of
+    >= w + window - 1 tokens. Selection is pure per-document array
+    expressions — zero exchanges before the final ORDER BY. The oracle
+    mirrors the identical rightmost-min key (fp || lpad(RADIX - s)) in
+    DuckDB list functions."""
+    from document_ai_spark.operators.mining import winnow_fps
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return winnow_fps(docs).orderBy("doc_id", "s")
+
+
+def _q_winnow_hot_spans(spark, sf):
+    """Cross-document hot minimizers (operators/mining.py
+    winnow_hot_spans): the winnowed replacement for the hot-span table —
+    selected fingerprints occurring in >= 2 distinct documents, built
+    from a ~(window+1)/2 x smaller aggregate input than the every-offset
+    hot_span_fps. w=10/window=6 so the sf-test near-dup families (whose
+    shared spans are shorter than the 20-token default) populate it."""
+    from document_ai_spark.operators.mining import winnow_hot_spans
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return winnow_hot_spans(docs, w=10, window=6, min_docs=2).orderBy("fp")
+
+
+def _sql_winnow(w: int, window: int) -> str:
+    """DuckDB twin of the winnowing selection at (w, window)."""
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+base AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN []
+              ELSE list_transform(
+                  generate_series(1, greatest(len(t) - {w - 1}, 1)),
+                  i -> md5(array_to_string(
+                           list_slice(t, i, i + {w - 1}), ' ')))
+         END AS fps
+  FROM toks),
+keys AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(fps)),
+             i -> fps[i] || lpad(CAST(1000000000 - i AS VARCHAR), 10, '0'))
+           AS ks
+  FROM base WHERE len(fps) > 0),
+sel AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(ks) - {window - 1}, 1)),
+      i -> list_min(list_slice(ks, i, i + {window - 1}))))) AS k
+  FROM keys)"""
+
+
+_SQL_WINNOW_FPS = _sql_winnow(20, 8) + """
+SELECT doc_id,
+       CAST(1000000000 - CAST(substring(k, 33, 10) AS INTEGER)
+            AS INTEGER) AS s,
+       substring(k, 1, 32) AS fp
+FROM sel ORDER BY doc_id, s
+"""
+
+_SQL_WINNOW_HOT_SPANS = _sql_winnow(10, 6) + """
+SELECT substring(k, 1, 32) AS fp
+FROM sel GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY fp
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple] = {
@@ -4032,6 +4139,9 @@ _REGISTRY: dict[str, tuple] = {
     "strip_dup_spans": (_q_strip_dup_spans, _SQL_STRIP_DUP_SPANS),
     "bloom_decontam": (_q_bloom_decontam, _SQL_BLOOM_DECONTAM),
     "pack_interleaved": (_q_pack_interleaved, _SQL_PACK_INTERLEAVED),
+    "heavy_ngrams": (_q_heavy_ngrams, _SQL_HEAVY_NGRAMS),
+    "winnow_fps": (_q_winnow_fps, _SQL_WINNOW_FPS),
+    "winnow_hot_spans": (_q_winnow_hot_spans, _SQL_WINNOW_HOT_SPANS),
 }
 
 

@@ -1,0 +1,221 @@
+"""Corpus-mining operators: exact frequent-n-gram discovery with a
+Misra-Gries-bounded shuffle, and winnowed (minimizer) span fingerprints.
+
+Both attack the same 100 TB problem from opposite ends: the full
+n-gram/window index is O(tokens) rows into a shuffle, which at corpus
+scale is the single largest intermediate any curation pass produces.
+
+  * heavy_ngrams — the EXACT set of word n-grams occurring >= min_count
+    times corpus-wide (boilerplate discovery: cookie banners, license
+    headers, nav chrome — the inputs to hot-line/hot-span stripping).
+    A naive groupBy(ngram) shuffles one row per DISTINCT n-gram
+    (~O(tokens) at web scale; the long tail is singletons). Here each
+    partition first folds its n-gram stream through a Misra-Gries
+    summary of ``capacity`` counters inside one Arrow-batched
+    ``mapInPandas`` pass, so only O(partitions x capacity) candidate
+    rows ever reach the driver-visible plan; a second scan then counts
+    ONLY the candidates (broadcast semi-join, map-side partial agg) and
+    filters to the threshold. Exactness: the merged summaries
+    under-count any item by at most the sum of the partitions' OBSERVED
+    decrement totals (worst case N/(capacity+1), and exactly 0 for any
+    partition whose distinct n-grams fit in ``capacity``), so every
+    n-gram with true count >= min_count survives pass 1 whenever that
+    observed sum < min_count; the job ASSERTS this inside the plan and
+    fails loudly instead of silently dropping a frequent n-gram —
+    raise ``capacity`` (or the threshold) and rerun. False positives
+    are eliminated by the exact second pass, so the output is exactly
+    {ngram : count(ngram) >= min_count}, independent of partitioning.
+    (Misra & Gries 1982; mergeable-summaries form per Agarwal et al.
+    2012.)
+
+  * winnow_fps — document fingerprinting by winnowing (Schleimer,
+    Wilkerson & Aiken 2003, the MOSS algorithm): from the per-position
+    w-token window fingerprints, select in every run of ``window``
+    consecutive positions the minimum fingerprint (rightmost-min on
+    ties). Guarantee: any duplicated token span of length
+    >= w + window - 1 shares at least one SELECTED fingerprint between
+    the two copies, because the shared run of >= ``window`` identical
+    consecutive fingerprints is a selection window in both documents
+    and its minimum is picked in both. Expected density is
+    ~2/(window+1), so the span index that dup_span/hot-span stripping
+    shuffles shrinks ~(window+1)/2 x versus the every-offset index
+    (curation._window_fp_sql) while keeping a hard detection floor.
+    Selection is entirely document-local — pure array expressions, NO
+    exchange; only the selected (doc_id, s, fp) rows ever shuffle.
+
+Engine parity: n-grams ride the shared script-aware tokenizer, all
+hashing is md5, and the winnowing argmin is computed as
+``array_min(fp || lpad(10^9 - s))`` — one lexicographic key that both
+Spark and DuckDB order identically, encoding rightmost-tie-break
+without engine-specific argmin.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _word_shingles
+
+# Misra-Gries counters per partition. 4096 counters x ~40-byte n-grams
+# is ~160 KB of task state; the guarantee bound N < min_count*(cap+1)
+# is asserted at run time, so this is a performance knob, not a
+# correctness one.
+MG_CAPACITY = 4096
+
+# Winnowing defaults: w-token fingerprints, selection window over
+# `window` consecutive positions -> detection floor w + window - 1
+# tokens, density ~2/(window+1).
+WINNOW_W = 20
+WINNOW_WINDOW = 8
+
+# Position encoding inside the winnowing key: positions are 1-based
+# token offsets, far below this radix for any real document.
+_POS_RADIX = 1_000_000_000
+
+
+def _mg_pass(capacity: int):
+    """mapInPandas body: fold this partition's n-gram stream through a
+    Misra-Gries summary of ``capacity`` counters; emit the surviving
+    (ngram, cnt) rows plus ONE sentinel row (ngram NULL, cnt = number
+    of n-grams seen) carrying the partition total for the global
+    exactness assertion."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        dec_total = 0
+        for pdf in batches:
+            vc = pdf["ngram"].value_counts()
+            for g, c in vc.items():
+                counters[g] = counters.get(g, 0) + int(c)
+            if len(counters) > capacity:
+                # Retire the k smallest counters (k = excess) by
+                # subtracting the k-th smallest value from ALL — the
+                # classic MG decrement, batched. dec_total accumulates
+                # the subtracted values: no item's partition count is
+                # under-counted by more than dec_total (worst case
+                # n_p/(capacity+1), but the OBSERVED sum is what the
+                # exactness guard asserts — a partition whose distinct
+                # n-grams fit in `capacity` contributes 0).
+                vals = sorted(counters.values())
+                m = vals[len(counters) - capacity - 1]
+                dec_total += m
+                counters = {g: c - m for g, c in counters.items()
+                            if c > m}
+        yield pd.DataFrame({
+            "ngram": list(counters.keys()) + [None],
+            "cnt": list(counters.values()) + [dec_total],
+        })
+
+    return run
+
+
+def heavy_ngrams(docs: DataFrame, n: int = 3, min_count: int = 5,
+                 capacity: int = MG_CAPACITY) -> DataFrame:
+    """Exact corpus-wide frequent word n-grams: (ngram, n_count) for
+    every n-gram occurring >= min_count times (multiplicity counted
+    within and across documents).
+
+    Two corpus scans — the unavoidable shape of EXACT heavy hitters in
+    one round trip (candidates, then verify) — but the shuffle after
+    each scan is bounded: O(partitions x capacity) summary rows after
+    scan 1, O(|candidates|) partially-aggregated count rows after scan
+    2. The every-distinct-n-gram shuffle of the naive groupBy never
+    happens. Raises (assert_true) if ``capacity`` is too small for the
+    observed corpus size at this threshold — never silently wrong."""
+    grams = docs.select(F.explode(_word_shingles(n)).alias("ngram"))
+    # Summary rows are consumed twice (candidates + the exactness
+    # assertion); localCheckpoint materializes the tiny summary once
+    # instead of re-running the MG scan.
+    summ = (grams.mapInPandas(_mg_pass(capacity), schema="ngram string, cnt long")
+            .localCheckpoint())
+    cands = summ.where(F.col("ngram").isNotNull()).select("ngram").distinct()
+    guard = (summ.where(F.col("ngram").isNull())
+             .agg(F.sum("cnt").alias("dec_total"))
+             .select(F.assert_true(
+                 F.col("dec_total") < min_count,
+                 F.concat(F.lit("heavy_ngrams: MG summaries decremented "),
+                          F.col("dec_total"),
+                          F.lit(f" — an n-gram with count >= {min_count} "
+                                f"could have been dropped; raise capacity "
+                                f"(currently {capacity}) above the "
+                                f"per-partition distinct-n-gram count"))
+             ).alias("ok")))
+    exact = (grams.join(F.broadcast(cands), "ngram")
+             .groupBy("ngram")
+             .agg(F.count(F.lit(1)).alias("n_count"))
+             .where(F.col("n_count") >= min_count))
+    # The assertion must ride a FILTER, not a dropped projection —
+    # Catalyst column-prunes an unused assert_true column clean out of
+    # the plan (observed), silently skipping the guarantee check.
+    # assert_true is NULL on success, so `ok IS NULL` keeps every row
+    # and forces the 1-row guard subtree to evaluate.
+    return (exact.crossJoin(guard)
+            .where(F.col("ok").isNull()).drop("ok"))
+
+
+def _winnow_sel_sql(w: int, window: int) -> str:
+    """Spark SQL text: array<string> of the winnow-selected keys
+    (fp || lpad(RADIX - s)) of ``text``. Single-eval nesting per the
+    dedup._word_shingles_sql discipline: the per-position fingerprint
+    array binds once, the key array binds once."""
+    from .curation import _window_fp_sql
+    return (
+        f"element_at(transform(array({_window_fp_sql(w)}), fps0 -> "
+        "  element_at(transform(array("
+        "    transform(filter(fps0, x -> x.fp is not null), "
+        f"      x -> concat(x.fp, lpad(cast({_POS_RADIX} - x.s as string), "
+        "                            10, '0')))"
+        "  ), ks -> CASE WHEN size(ks) = 0 THEN array() ELSE "
+        "    array_distinct(transform("
+        f"      sequence(1, greatest(size(ks) - {window - 1}, 1)), "
+        f"      i -> array_min(slice(ks, i, {window})))) END"
+        "  ), 1)"
+        "), 1)"
+    )
+
+
+def winnow_fps(docs: DataFrame, w: int = WINNOW_W,
+               window: int = WINNOW_WINDOW) -> DataFrame:
+    """Winnowed span fingerprints: (doc_id, s, fp) — the minimizer
+    subset of the every-offset w-token window index, ~2/(window+1) of
+    its rows, with the guarantee that any cross-document duplicated
+    span of >= w + window - 1 tokens still collides on >= 1 selected
+    fingerprint.
+
+    Classic full selection windows: starts 1 .. max(m - window + 1, 1)
+    over the m fingerprint positions, so density matches the published
+    ~2/(window+1) (tail-clipped suffix windows would densify short
+    documents without buying recall — the last full window already
+    covers the final positions as candidates). A document with fewer
+    than ``window`` fingerprints gets ONE window holding all of them
+    (its global min is selected; such a doc is shorter than the
+    w + window - 1 detection floor anyway, the fallback just keeps it
+    indexed). Zero-token documents yield no rows.
+
+    Entirely map-side: the selection happens inside per-document array
+    expressions, so the only rows that ever reach an exchange are the
+    selected minimizers themselves."""
+    sel = docs.select(
+        "doc_id", F.explode(F.expr(_winnow_sel_sql(w, window))).alias("k"))
+    return sel.select(
+        "doc_id",
+        (F.lit(_POS_RADIX)
+         - F.substring("k", 33, 10).cast("int")).alias("s"),
+        F.substring("k", 1, 32).alias("fp"))
+
+
+def winnow_hot_spans(docs: DataFrame, w: int = WINNOW_W,
+                     window: int = WINNOW_WINDOW,
+                     min_docs: int = 2) -> DataFrame:
+    """Winnowed replacement for curation.hot_span_fps: the (fp) table of
+    selected fingerprints occurring in >= min_docs distinct documents.
+    Same downstream contract (join docs' winnowed fps against it to
+    flag shared-span families); the aggregate's input is ~(window+1)/2 x
+    smaller than the every-offset hot-span build."""
+    return (winnow_fps(docs, w, window)
+            .groupBy("fp")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .where(F.col("nd") >= min_docs)
+            .select("fp"))
