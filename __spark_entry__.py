@@ -622,6 +622,48 @@ FROM (SELECT doc_id, {_DUCK_TOKS} AS toks
 """
 
 
+def _q_diversity_stats(spark, sf):
+    d = TQ.with_diversity_stats(_t(spark, sf, "documents"))
+    return d.select("doc_id", "n_types", "ttr",
+                    "token_entropy", "char_entropy").orderBy("doc_id")
+
+
+def _duck_entropy_terms(st: str, n: str) -> str:
+    """DuckDB twin of textquality._entropy_sql's fold: sum over runs of
+    -p*log2(p), run j's length derived from consecutive start positions.
+    Same ascending-run summation order as the Spark fold (both engines
+    sort strings by binary UTF-8), terms accumulate as 0.0 - p*log2(p)
+    so a single-run array sums to +0.0, never -0.0."""
+    run = f"((CASE WHEN j < len({st}) THEN {st}[j + 1] ELSE {n} + 1 END) - {st}[j])"
+    return (f"CASE WHEN {n} = 0 THEN 0.0 ELSE coalesce(list_sum("
+            f"list_transform(generate_series(1, len({st})), j -> "
+            f"0.0 - {run} / CAST({n} AS DOUBLE) "
+            f"* log2({run} / CAST({n} AS DOUBLE)))), 0.0) END")
+
+
+_SQL_DIVERSITY = f"""
+SELECT doc_id,
+       CAST(nt AS BIGINT) AS n_types,
+       ROUND(nt / greatest(n, 1), 6) AS ttr,
+       ROUND({_duck_entropy_terms('tst', 'n')}, 6) AS token_entropy,
+       ROUND({_duck_entropy_terms('cst', 'nc')}, 6) AS char_entropy
+FROM (
+  SELECT doc_id, n, nt, nc,
+         list_filter(generate_series(1, n), i ->
+           CASE WHEN i = 1 THEN true ELSE ts[i] != ts[i - 1] END) AS tst,
+         list_filter(generate_series(1, nc), i ->
+           CASE WHEN i = 1 THEN true ELSE cs[i] != cs[i - 1] END) AS cst
+  FROM (
+    SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nt,
+           list_sort(toks) AS ts, len(chars) AS nc, list_sort(chars) AS cs
+    FROM (SELECT doc_id, {{DUCK_TOKS}} AS toks,
+                 regexp_extract_all(text, '{{CHAR_PATTERN}}', 0) AS chars
+          FROM documents)))
+ORDER BY doc_id
+""".replace("{DUCK_TOKS}", _DUCK_TOKS).replace("{CHAR_PATTERN}",
+                                               TQ.CHAR_PATTERN)
+
+
 def _q_quality_score(spark, sf):
     d = TQ.with_quality_score(_t(spark, sf, "documents"))
     return d.select("doc_id", "quality_score").orderBy("doc_id")
@@ -4012,6 +4054,79 @@ FROM sel GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
 ORDER BY fp
 """
 
+_CONTAIN_PREFIX = "nav home about contact login "
+_CONTAIN_SUFFIX = (" copyright all rights reserved sitemap terms "
+                   "privacy help")
+
+
+def _q_containment_pairs(spark, sf):
+    """Subset-duplication pairs (operators/mining.py containment_pairs):
+    winnowed-fingerprint-set containment — catches a document embedded
+    inside a larger one, where jaccard ~ |A|/|B| is too small for the
+    MinHash band S-curve. Planted containers: for the deterministic
+    ~1/16 of docs with md5(doc_id) starting '0', a 'c-' copy wraps the
+    full text in nav/footer chrome; the original's interior spans all
+    survive in the container, so each (doc, c-doc) pair scores near 1.
+    Both engines build the identical planted union from the parquet."""
+    from document_ai_spark.operators.mining import containment_pairs
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    planted = (d.where(F.expr("substring(md5(doc_id), 1, 1) = '0'"))
+               .select(F.concat(F.lit("c-"), "doc_id").alias("doc_id"),
+                       F.concat(F.lit(_CONTAIN_PREFIX), "text",
+                                F.lit(_CONTAIN_SUFFIX)).alias("text")))
+    return (containment_pairs(d.unionByName(planted))
+            .orderBy("doc_a", "doc_b"))
+
+
+_SQL_CONTAINMENT = f"""
+WITH docs2 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT 'c-' || CAST(doc_id AS VARCHAR) AS doc_id,
+         '{_CONTAIN_PREFIX}' || text || '{_CONTAIN_SUFFIX}' AS text
+  FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+),
+toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM docs2),
+base AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN []
+              ELSE list_transform(
+                  generate_series(1, greatest(len(t) - 19, 1)),
+                  i -> md5(array_to_string(
+                           list_slice(t, i, i + 19), ' ')))
+         END AS fpl
+  FROM toks),
+keys AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(fpl)),
+             i -> fpl[i] || lpad(CAST(1000000000 - i AS VARCHAR), 10, '0'))
+           AS ks
+  FROM base WHERE len(fpl) > 0),
+selarr AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             list_distinct(list_transform(
+                 generate_series(1, greatest(len(ks) - 7, 1)),
+                 i -> list_min(list_slice(ks, i, i + 7)))),
+             k -> substring(k, 1, 32))) AS fps
+  FROM keys),
+fpr AS (SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS fp
+        FROM selarr WHERE len(fps) > 0),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_fp AS n_a, b.n_fp AS n_b, COUNT(*) AS shared
+  FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared_fps,
+       ROUND(shared / CAST(least(n_a, n_b) AS DOUBLE), 6) AS containment
+FROM pairs
+WHERE ROUND(shared / CAST(least(n_a, n_b) AS DOUBLE), 6) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
 
 # ---------------------------------------------------------------------------
 
@@ -4043,6 +4158,7 @@ _REGISTRY: dict[str, tuple] = {
     "cost_extract": (_q_cost_extract, _sql_cost_extract()),
     # text quality / fingerprinting
     "token_stats": (_q_token_stats, _SQL_TOKEN_STATS),
+    "diversity_stats": (_q_diversity_stats, _SQL_DIVERSITY),
     "quality_score": (_q_quality_score, _SQL_QUALITY),
     "lang_guess": (_q_lang_guess, _sql_lang_guess()),
     "fingerprint": (_q_fingerprint, _SQL_FINGERPRINT),
@@ -4142,6 +4258,7 @@ _REGISTRY: dict[str, tuple] = {
     "heavy_ngrams": (_q_heavy_ngrams, _SQL_HEAVY_NGRAMS),
     "winnow_fps": (_q_winnow_fps, _SQL_WINNOW_FPS),
     "winnow_hot_spans": (_q_winnow_hot_spans, _SQL_WINNOW_HOT_SPANS),
+    "containment_pairs": (_q_containment_pairs, _SQL_CONTAINMENT),
 }
 
 

@@ -206,6 +206,97 @@ def winnow_fps(docs: DataFrame, w: int = WINNOW_W,
         F.substring("k", 1, 32).alias("fp"))
 
 
+def winnow_fp_sets(docs: DataFrame, w: int = WINNOW_W,
+                   window: int = WINNOW_WINDOW) -> DataFrame:
+    """(doc_id, n_fp, fp): one row per DISTINCT winnowed fingerprint per
+    document, with the doc's distinct-fp count riding along. The set
+    form of winnow_fps — dedup of repeated fps happens map-side inside
+    the per-doc array (array_distinct over the 32-char fp prefixes), so
+    no exchange precedes the explode and n_fp needs no second pass."""
+    # No size(_fps) > 0 filter: explode() drops empty arrays for free,
+    # and a where() here would be predicate-pushed THROUGH the
+    # projection by alias substitution, re-deriving the whole winnow
+    # pipeline per row just for the predicate (the near_dup_pairs
+    # lesson). _fps is referenced twice below (size + explode), which
+    # CollapseProject's cost check keeps materialized once.
+    sel = docs.select(
+        "doc_id",
+        F.expr("array_distinct(transform(" + _winnow_sel_sql(w, window)
+               + ", k -> substring(k, 1, 32)))").alias("_fps"))
+    return sel.select(
+        "doc_id", F.size("_fps").alias("n_fp"),
+        F.explode("_fps").alias("fp"))
+
+
+def containment_pairs(docs: DataFrame, w: int = WINNOW_W,
+                      window: int = WINNOW_WINDOW,
+                      containment_min: float = 0.5,
+                      min_shared: int = 1,
+                      max_bucket: int = None) -> DataFrame:
+    """Subset-duplication detection: pairs where one document's span
+    content is largely CONTAINED in the other's — the republished-
+    article / quote-farm / doc-embedded-in-template case that the
+    jaccard near-dup family structurally misses (a short doc inside a
+    long one has jaccard ~ |A|/|B| -> tiny, so MinHash bands rarely
+    collide; its containment |A∩B|/|A| is ~1). Dolma/FineWeb-class
+    pipelines treat containment as its own dedup axis for exactly this
+    reason.
+
+    Candidates come from WINNOWED span fingerprints, not MinHash bands:
+    a contained copy shares whole token spans with its container, and
+    winnowing guarantees any shared span of >= w + window - 1 tokens
+    collides on a selected fingerprint — the right recall floor for
+    containment, independent of the jaccard S-curve. Score = shared
+    distinct fps / min(|fps(A)|, |fps(B)|) = max of the two direction-
+    al containments; deterministic given the data (both engines compute
+    the identical value — oracle row `containment_pairs`).
+
+    Scale shape: the fp-set build is map-side (winnow selection +
+    array_distinct inside per-doc arrays); ONE hash exchange groups
+    (doc_id, n_fp) rows into fp buckets, capped by _cap_bucket_items
+    (a hot fp = corpus boilerplate span; the cap observes drops, and
+    hot spans belong to winnow_hot_spans/strip, not pair expansion);
+    then ONE pair aggregation counts shared fps per (doc_a, doc_b).
+    Unlike the near-dup family's first-collision-band trick, the pair
+    exchange here is REQUIRED — containment needs the shared-fp COUNT,
+    not mere existence — but it carries only (id, id, 3 ints) rows
+    whose volume is cap-bounded per bucket, never sketches or text.
+
+    Returns (doc_a, doc_b, shared_fps, containment), doc_a < doc_b,
+    filtered to containment >= containment_min AND shared_fps >=
+    min_shared. A doc shorter than the w + window - 1 detection floor
+    carries ONE fallback fingerprint, so any collision scores
+    containment 1.0 on one fp of evidence — raise ``min_shared`` (or
+    length-gate upstream) when such docs survive into the input; the
+    default keeps every collision visible."""
+    from .dedup import MAX_BUCKET as _MB, _cap_bucket_items
+    if max_bucket is None:
+        max_bucket = _MB
+    fps = winnow_fp_sets(docs, w, window)
+    grouped = (fps.groupBy("fp")
+               .agg(F.collect_list(F.struct("doc_id", "n_fp"))
+                    .alias("items"))
+               .where(F.size("items") > 1))
+    grouped = _cap_bucket_items(grouped, max_bucket)
+    # items are array_sort'ed by _cap_bucket_items -> ascending doc_id,
+    # so x precedes y positionally and doc_a < doc_b by construction.
+    pairs = grouped.select(F.explode(F.expr(
+        "flatten(transform(items, (x, i) -> "
+        "  transform(slice(items, i + 2, size(items)), y -> "
+        "    struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "           x.n_fp AS n_a, y.n_fp AS n_b))))"
+    )).alias("p")).select("p.*")
+    agg = (pairs.groupBy("doc_a", "doc_b", "n_a", "n_b")
+           .agg(F.count(F.lit(1)).alias("shared_fps")))
+    return (agg.withColumn(
+                "containment",
+                F.round(F.col("shared_fps")
+                        / F.least("n_a", "n_b").cast("double"), 6))
+            .where((F.col("containment") >= containment_min)
+                   & (F.col("shared_fps") >= min_shared))
+            .select("doc_a", "doc_b", "shared_fps", "containment"))
+
+
 def winnow_hot_spans(docs: DataFrame, w: int = WINNOW_W,
                      window: int = WINNOW_WINDOW,
                      min_docs: int = 2) -> DataFrame:

@@ -17,6 +17,7 @@ from ..functions.tokenize import (
     ALPHA_RANGES,
     CJK_RANGES,
     WS_RANGES,
+    _sql_quote,
     tokens_col,
     tokens_sql,
 )
@@ -85,6 +86,89 @@ def with_quality_score(df: DataFrame) -> DataFrame:
     )
     return df.withColumn(
         "quality_score", F.round(len_score * 0.6 + stop_score * 0.4, 6))
+
+
+def _entropy_sql(arr_sql: str) -> str:
+    """Spark SQL text: Shannon entropy (bits) of the multiset in
+    ``arr_sql`` (an array<string> expression), via run-lengths over the
+    sorted array — O(n log n) per row, entirely map-side, whole-stage
+    codegen, zero exchanges.
+
+    Engine-parity notes (the DuckDB twin lives in __spark_entry__):
+      * run GROUPING only needs equality, but run ORDER fixes the
+        floating-point summation order — array_sort (Spark) and
+        list_sort (DuckDB) both compare strings by binary UTF-8, so
+        both engines fold the identical term sequence; log2 may differ
+        by an ulp between Java and libm, absorbed by the consumers'
+        round(…, 6) (same discipline as unigram_logprob's ln).
+      * terms accumulate as ``a - p*log2(p)``: an all-one-run array
+        sums to +0.0, never IEEE -0.0 (which would break the driver's
+        bit-level value hash against an engine emitting +0.0).
+      * the i=1 boundary rides a CASE, not a bare OR — element_at(xs, 0)
+        raises under ANSI mode and Or's short-circuit is not a
+        guaranteed error barrier.
+      * empty arrays short-circuit to 0.0 before any sequence() call:
+        Spark's sequence(1, 0) is a DESCENDING [1, 0], not empty."""
+    return (
+        f"element_at(transform(array(array_sort({arr_sql})), xs -> "
+        "CASE WHEN size(xs) = 0 THEN cast(0.0 as double) ELSE "
+        "element_at(transform(array(filter(sequence(1, size(xs)), i -> "
+        "    CASE WHEN i = 1 THEN true "
+        "         ELSE element_at(xs, i) != element_at(xs, i - 1) END)), "
+        "  st -> aggregate(sequence(1, size(st)), cast(0.0 as double), "
+        "    (a, j) -> a - ((CASE WHEN j < size(st) "
+        "                         THEN element_at(st, j + 1) "
+        "                         ELSE size(xs) + 1 END) - element_at(st, j))"
+        "             / cast(size(xs) as double) "
+        "             * log2(((CASE WHEN j < size(st) "
+        "                          THEN element_at(st, j + 1) "
+        "                          ELSE size(xs) + 1 END) - element_at(st, j))"
+        "                    / cast(size(xs) as double)))), 1) END), 1)"
+    )
+
+
+# Every non-whitespace character — the char-entropy alphabet.
+CHAR_PATTERN = f"[^{WS_RANGES}]"
+
+
+def with_diversity_stats(df: DataFrame) -> DataFrame:
+    """Per-document lexical/character diversity: the gate-battery
+    signals that catch what token COUNTS cannot.
+
+      * n_types / ttr — distinct tokens and type-token ratio: repeated-
+        word spam scores near 0 while natural text sits ~0.4-0.9;
+      * token_entropy — Shannon entropy (bits) of the token multiset:
+        like ttr but weighs the skew, so "spam spam spam ham" and a
+        4-word natural sentence separate;
+      * char_entropy — entropy of the non-whitespace character multiset:
+        the classic compression-ratio proxy that catches NON-LINGUISTIC
+        noise tokens miss entirely — a base64/hex blob is ONE high-
+        "quality" token to every token-level gate but shows ~4.5-6 bits
+        of character entropy with zero token entropy, and single-char
+        runs ("aaaa…") pin both to 0.
+
+    Single-pass discipline: n, n_types, and token entropy come out of
+    ONE struct over ONE tokenizer evaluation; char entropy is a second
+    regexp scan of the raw text. Everything is map-side HOF expressions
+    (no exchange, no Python) and deterministic — DuckDB computes the
+    identical rounded values (oracle row diversity_stats)."""
+    toks = tokens_sql()
+    ds = F.expr(
+        f"element_at(transform(array({toks}), tk -> named_struct("
+        "  'n', size(tk), "
+        "  'nt', size(array_distinct(tk)), "
+        f" 'te', {_entropy_sql('tk')})), 1)")
+    char_arr = f"regexp_extract_all(text, '{_sql_quote(CHAR_PATTERN)}', 0)"
+    return (df.withColumn("_ds", ds)
+            .select("*",
+                    F.col("_ds.nt").cast("long").alias("n_types"),
+                    F.round(F.col("_ds.nt")
+                            / F.greatest(F.col("_ds.n"), F.lit(1)), 6)
+                    .alias("ttr"),
+                    F.round(F.col("_ds.te"), 6).alias("token_entropy"),
+                    F.round(F.expr(_entropy_sql(char_arr)), 6)
+                    .alias("char_entropy"))
+            .drop("_ds"))
 
 
 def with_lang_guess(df: DataFrame) -> DataFrame:

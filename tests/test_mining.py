@@ -116,3 +116,60 @@ def test_winnow_hot_spans_planted_pair(spark):
                          for i in range(6)])
     hot = winnow_hot_spans(docs, w=w, window=window, min_docs=2)
     assert hot.count() >= 1
+
+
+def test_containment_planted_container(spark):
+    """A doc fully embedded in a larger doc scores containment ~1 even
+    though its jaccard vs the container is far below any near-dup
+    threshold — the case the op exists for."""
+    from document_ai_spark.operators.mining import containment_pairs
+
+    w, window = 5, 4
+    inner = " ".join(f"w{i}" for i in range(40))          # 40 tokens
+    chrome = " ".join(f"c{i}" for i in range(120))        # 3x the chrome
+    docs = _docs(spark, [
+        inner,                                  # 0: the contained doc
+        chrome[: len(chrome) // 2] + " " + inner + " " + chrome,  # 1
+        " ".join(f"u{i}" for i in range(60)),   # 2: unrelated
+    ])
+    out = {(r["doc_a"], r["doc_b"]): r
+           for r in containment_pairs(docs, w=w, window=window,
+                                      containment_min=0.5).collect()}
+    assert (0, 1) in out
+    assert out[(0, 1)]["containment"] >= 0.8
+    assert not any(2 in k for k in out)
+    # sanity: sketch jaccard of the pair is tiny (this is NOT a
+    # near-dup-reachable pair), |A|/|B| ~ 40/220.
+    assert 40 / 220 < 0.25
+
+
+def test_containment_min_shared_floor(spark):
+    """Two short docs sharing their single fallback fingerprint score
+    1.0 on one fp of evidence; min_shared=2 suppresses them."""
+    from document_ai_spark.operators.mining import containment_pairs
+
+    w, window = 5, 4
+    tiny = "t0 t1 t2 t3 t4 t5"                 # < w + window - 1 tokens
+    docs = _docs(spark, [tiny, tiny + "", "other words entirely here"])
+    loose = containment_pairs(docs, w=w, window=window).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in loose} == {(0, 1)}
+    strict = containment_pairs(docs, w=w, window=window,
+                               min_shared=2).collect()
+    assert strict == []
+
+
+def test_containment_direction_symmetric_score(spark):
+    """containment = shared / min(|A|,|B|): the max directional
+    containment, invariant to which side is bigger."""
+    from document_ai_spark.operators.mining import containment_pairs
+
+    w, window = 5, 4
+    inner = " ".join(f"s{i}" for i in range(30))
+    big = inner + " " + " ".join(f"p{i}" for i in range(90))
+    a = containment_pairs(_docs(spark, [inner, big]),
+                          w=w, window=window).collect()
+    b = containment_pairs(_docs(spark, [big, inner]),
+                          w=w, window=window).collect()
+    assert len(a) == len(b) == 1
+    assert a[0]["containment"] == b[0]["containment"]
+    assert a[0]["shared_fps"] == b[0]["shared_fps"]
