@@ -134,3 +134,79 @@ def test_bloom_decontam_cross_engine_fuzz(spark, fuzz_sdf, fuzz_ddb):
     duck_rows = fuzz_ddb.execute(E.oracle_sql()["bloom_decontam"]).fetchall()
     assert len(spark_rows) == len(duck_rows)
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+def test_diversity_stats_cross_engine_fuzz(fuzz_sdf, fuzz_ddb):
+    """diversity_stats over the adversarial corpus plus supplementary-
+    plane chars (emoji, CJK ext-B): the run-length entropy fold must
+    produce the identical rounded doubles on both engines — same sorted
+    fold order (binary UTF-8 on both: Spark UTF8String compares bytes,
+    DuckDB default collation is binary), log2 ulp drift absorbed by
+    round(6). Char-class single-char matches must treat a surrogate
+    pair as ONE code point in both Java regex and RE2."""
+    from pyspark.sql import functions as F
+
+    from document_ai_spark.operators.textquality import (
+        with_diversity_stats,
+    )
+
+    cols = ["doc_id", "n_types", "ttr", "token_entropy", "char_entropy"]
+    extra = [(9001, "emoji \U0001F600\U0001F600\U0001F601 mix \U00020000"
+                    "\U00020000 east 词 � tail"),
+             (9002, "\U0001F600" * 7),
+             (9003, "plain words only plain words")]
+    sdf = fuzz_sdf.select("doc_id", "text").unionByName(
+        fuzz_sdf.sparkSession.createDataFrame(
+            extra, "doc_id bigint, text string"))
+    spark_rows = [tuple(r) for r in
+                  with_diversity_stats(sdf).select(*cols)
+                  .orderBy("doc_id").collect()]
+    fuzz_ddb.execute(
+        "CREATE OR REPLACE TABLE _extra (doc_id BIGINT, text VARCHAR)")
+    fuzz_ddb.executemany("INSERT INTO _extra VALUES (?, ?)", extra)
+    sql = E.oracle_sql()["diversity_stats"].replace(
+        "FROM documents",
+        "FROM (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id, text FROM _extra)")
+    duck_rows = fuzz_ddb.execute(sql).fetchall()
+    assert len(spark_rows) == len(duck_rows)
+    s, d = _rowset(spark_rows), _rowset(duck_rows)
+    if s != d:
+        only_s = list((s - d).keys())[:3]
+        only_d = list((d - s).keys())[:3]
+        raise AssertionError(
+            f"diversity_stats diverged:\n spark-only={only_s}"
+            f"\n duck-only={only_d}")
+
+
+def test_containment_cross_engine_fuzz(fuzz_sdf, fuzz_ddb):
+    """containment_pairs over the adversarial corpus with planted
+    chrome-wrapped containers (the registry construction, but against
+    fuzz text rather than the synthetic corpus): the winnow selection,
+    fp-set dedup order, and pair arithmetic must agree exactly."""
+    duck_rows = fuzz_ddb.execute(
+        E.oracle_sql()["containment_pairs"]).fetchall()
+    # Spark side: replicate _q_containment_pairs' planted union over
+    # the SAME fuzz rows (the registry fn reads parquet, so inline it).
+    from pyspark.sql import functions as F
+
+    from document_ai_spark.operators.mining import containment_pairs
+
+    d = fuzz_sdf.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    planted = (d.where(F.expr("substring(md5(doc_id), 1, 1) = '0'"))
+               .select(F.concat(F.lit(E._CONTAIN_PREFIX), "text",
+                                F.lit(E._CONTAIN_SUFFIX)).alias("text"),
+                       F.concat(F.lit("c-"), "doc_id").alias("doc_id"))
+               .select("doc_id", "text"))
+    sdf = containment_pairs(d.unionByName(planted)) \
+        .orderBy("doc_a", "doc_b")
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    assert len(spark_rows) == len(duck_rows)
+    s, dd = _rowset(spark_rows), _rowset(duck_rows)
+    if s != dd:
+        only_s = list((s - dd).keys())[:3]
+        only_d = list((dd - s).keys())[:3]
+        raise AssertionError(
+            f"containment_pairs diverged:\n spark-only={only_s}"
+            f"\n duck-only={only_d}")
