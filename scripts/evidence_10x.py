@@ -49,7 +49,7 @@ SCALE_LOW, SCALE_HIGH, PEAK = 2, 8, 32
 SHUFFLE = 16
 
 _ALL_SECTIONS = ("shape", "extract", "curate", "gates", "semdedup",
-                 "pack")
+                 "pack", "containment")
 
 
 def _sections() -> set[str]:
@@ -159,6 +159,28 @@ def gen_web_corpus(spark, n):
             .select(F.col("id").alias("doc_id"),
                     F.expr(text).alias("txt"))
             .select("doc_id", F.expr(planted).alias("text")))
+
+
+def gen_containment_corpus(spark, n):
+    """90% base docs (30-59 vocab-hash tokens, all above the winnow
+    detection floor w + window - 1 = 27) + 10% planted CONTAINERS: 40
+    chrome tokens wrapped around each side of a full base doc's text —
+    subset-duplication at jaccard ~ |A|/|B| ~ 0.3, the regime MinHash
+    banding structurally misses."""
+    base_n = int(n * 0.9)
+    vocab = "array(" + ", ".join(f"'w{i:03d}'" for i in range(500)) + ")"
+    text = (f"array_join(transform(sequence(1, 30 + pmod(id, 30)), i -> "
+            f"element_at({vocab}, 1 + cast(pmod(xxhash64(id * 1000 + i), "
+            f"500) as int))), ' ')")
+    base = spark.range(base_n).select(
+        F.col("id").alias("doc_id"), F.expr(text).alias("text"))
+    chrome_pre = " ".join(f"nav{i}" for i in range(40))
+    chrome_suf = " ".join(f"foot{i}" for i in range(40))
+    containers = (base.where(F.col("doc_id") < n - base_n)
+                  .select((F.col("doc_id") + base_n).alias("doc_id"),
+                          F.concat(F.lit(chrome_pre + " "), "text",
+                                   F.lit(" " + chrome_suf)).alias("text")))
+    return base.unionByName(containers)
 
 
 def gen_embeddings(spark, n):
@@ -449,6 +471,45 @@ def main():
                 "n_sequences": int(r["max_chunk"]) + 1,
                 "peak_jvm_rss_mb": _jvm_peak_rss_mb(s)}
             print(f"pack: {out['pack']}", flush=True)
+        finally:
+            s.stop()
+
+    # ---- containment dedup at half a million docs -----------------------
+    # Evidences the containment_pairs scale story: TWO exchanges total
+    # (fp buckets + pair-count agg), input-invariant, only id/int rows
+    # shuffled; planted containers (chrome-wrapped full copies at
+    # jaccard ~ |A|/|B|, unreachable for MinHash bands) must ALL be
+    # found at containment 1.0.
+    if "containment" in sections:
+        from document_ai_spark.operators.mining import containment_pairs
+        s = _session("evidence-containment", PEAK)
+        try:
+            big = gen_containment_corpus(s, N_CURATE)
+            small = gen_containment_corpus(s, N_CURATE // 10)
+            out["containment_exchanges"] = {
+                "small": _exchanges(containment_pairs(small)),
+                "large": _exchanges(containment_pairs(big))}
+            base_n = int(N_CURATE * 0.9)
+            t0 = time.monotonic()
+            r = (containment_pairs(big)
+                 .agg(F.count("*").alias("n_pairs"),
+                      F.sum(((F.col("doc_b") >= base_n)
+                             & (F.col("doc_a")
+                                == F.col("doc_b") - base_n)
+                             & (F.col("containment") == 1.0))
+                            .cast("long")).alias("n_planted_found"))
+                 .collect()[0])
+            dt = time.monotonic() - t0
+            out["containment"] = {
+                "n_docs": N_CURATE, "sec": round(dt, 1),
+                "docs_per_sec": round(N_CURATE / dt, 1),
+                "n_pairs": int(r["n_pairs"]),
+                "n_planted": N_CURATE - base_n,
+                "n_planted_found_at_1": int(r["n_planted_found"]),
+                "planted_recall": round(
+                    r["n_planted_found"] / (N_CURATE - base_n), 4),
+                "peak_jvm_rss_mb": _jvm_peak_rss_mb(s)}
+            print(f"containment: {out['containment']}", flush=True)
         finally:
             s.stop()
 

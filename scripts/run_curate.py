@@ -225,6 +225,22 @@ def main() -> None:
                          "line ratio, duplicated-line char fraction, "
                          "newline/word ratio) as an extra doc gate; "
                          "ratio columns ride the audit output")
+    ap.add_argument("--diversity", action="store_true",
+                    help="apply the lexical-diversity gate "
+                         "(diversity_stats): drop docs below "
+                         "--char-entropy-min bits of character entropy "
+                         "or below --ttr-min type-token ratio — the "
+                         "compression-proxy filter for base64/hex "
+                         "blobs, single-char runs, and repeated-token "
+                         "spam that token-level gates can't see; the "
+                         "ttr/entropy columns ride the audit output")
+    ap.add_argument("--char-entropy-min", type=float, default=2.0,
+                    help="character-entropy floor in bits (natural "
+                         "prose sits ~4.1-4.3; the default 2.0 only "
+                         "drops extreme low-diversity junk)")
+    ap.add_argument("--ttr-min", type=float, default=0.1,
+                    help="type-token-ratio floor (natural text sits "
+                         "~0.4-0.9; repeated-token spam -> ~0)")
     ap.add_argument("--rep-ngrams", action="store_true",
                     help="apply Gopher's n-gram repetition rules "
                          "(top-{2,3,4}-gram / dup-{5..10}-gram char "
@@ -515,6 +531,20 @@ def main() -> None:
                                     "newline_word_ratio",
                                     "fineweb_keep"), "doc_id")
                     .where("fineweb_keep").drop("fineweb_keep"))
+        if args.diversity:
+            # Map-side per-row folds (zero exchanges) on the same
+            # post-line-dedup text the other gates see; the diversity
+            # columns ride the audit output so a drop is attributable.
+            from document_ai_spark.operators.textquality import (
+                with_diversity_stats,
+            )
+            dv = with_diversity_stats(kept.select("doc_id", "text")) \
+                .select("doc_id", "ttr", "token_entropy", "char_entropy")
+            kept = (kept
+                    .join(dv, "doc_id")
+                    .where((F.col("char_entropy")
+                            >= args.char_entropy_min)
+                           & (F.col("ttr") >= args.ttr_min)))
         if ppl_map is not None:
             # Join against the persisted corpus-level bucket map; the
             # ppl_bucket label rides the audit output. Zero-token docs

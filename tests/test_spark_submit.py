@@ -613,3 +613,59 @@ def test_spark_submit_run_curate_eval_bloom(tmp_path):
     assert 1 not in ids                  # verbatim copy: Bloom tier
     assert 2 in ids                      # one-word edit: exact tier passes
     assert ids == {2} | set(range(3, 13))
+
+
+@pytest.mark.skipif(not Path(SPARK_SUBMIT).exists(),
+                    reason="spark-submit not on this host")
+def test_spark_submit_run_curate_diversity_gate(tmp_path):
+    """--diversity drops the tiny-alphabet mash (char entropy 1 bit)
+    and cycled-vocab spam (ttr < 0.1) that pass every default gate
+    (>= 10 tokens, distinct lines, no dominant bigram), keeps natural
+    text, and the ttr/entropy columns ride the audit output."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    natural = ("the market and harvest of the village in the river "
+               "field for the engine credit season with the farmer "
+               "road water crop price")
+    # 30 DISTINCT {a,b}-alphabet tokens: every bigram unique, quality
+    # len/stop bands pass (stop_score 0.5 -> q = 0.8), char entropy
+    # exactly 1 bit < 2.0 -> only the diversity gate sees it.
+    mash = " ".join(
+        format(i, "05b").replace("0", "a").replace("1", "b")
+        for i in range(30))
+    other = ("a loan for the storage of grain and the trade in crop "
+             "price with a season of harvest on the road to the "
+             "village market by the river water")
+    docs = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [natural, mash, other],
+        "lang": ["en"] * 3,
+        "source": ["web"] * 3,
+    })
+    inp = tmp_path / "docs.parquet"
+    pq.write_table(docs, inp)
+
+    zip_path = tmp_path / "document_ai_spark.zip"
+    import zipfile as _zf
+    with _zf.ZipFile(zip_path, "w") as z:
+        for f in sorted((REPO / "document_ai_spark").rglob("*.py")):
+            z.write(f, f.relative_to(REPO))
+
+    out = tmp_path / "out"
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--py-files", str(zip_path),
+           str(REPO / "scripts" / "run_curate.py"),
+           "--input", str(inp), "--output", str(out),
+           "--buckets", "1", "--run-id", "dv1", "--diversity"]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    assert p.returncode == 0, p.stderr[-2000:]
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, ttr, token_entropy, char_entropy "
+        f"FROM '{out}/data/**/*.parquet' ORDER BY doc_id").fetchall()
+    ids = {r[0] for r in rows}
+    assert 2 not in ids, "mash doc survived the char-entropy floor"
+    assert {1, 3} <= ids
+    for r in rows:
+        assert r[3] > 2.0 and r[1] >= 0.1
