@@ -4080,6 +4080,40 @@ def _q_containment_pairs(spark, sf):
             .orderBy("doc_a", "doc_b"))
 
 
+def _q_incremental_containment(spark, sf):
+    """k-batch INCREMENTAL containment via the persisted winnowed-fp
+    index (operators/winnow_index.py): the oracle is the plain
+    corpus-wide containment recompute (the same planted-container SQL
+    as `containment_pairs`), so a green row proves incremental ==
+    batch — each (inner, container) pair surfaces when its later
+    member's batch lands, with identical shared counts and scores."""
+    import shutil
+    import tempfile
+
+    from document_ai_spark.operators.winnow_index import WinnowIndex
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    planted = (d.where(F.expr("substring(md5(doc_id), 1, 1) = '0'"))
+               .select(F.concat(F.lit("c-"), "doc_id").alias("doc_id"),
+                       F.concat(F.lit(_CONTAIN_PREFIX), "text",
+                                F.lit(_CONTAIN_SUFFIX)).alias("text")))
+    docs = d.unionByName(planted)
+    root = tempfile.mkdtemp(prefix="winnow_idx_")
+    try:
+        idx = WinnowIndex(root)
+        parts = [docs.where(
+            F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i)
+            for i in range(3)]
+        out = None
+        for i, b in enumerate(parts):
+            p = idx.append_and_find(spark, b, batch_id=f"b{i}")
+            out = p if out is None else out.unionByName(p)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.orderBy("doc_a", "doc_b")
+
+
 _SQL_CONTAINMENT = f"""
 WITH docs2 AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
@@ -4259,6 +4293,8 @@ _REGISTRY: dict[str, tuple] = {
     "winnow_fps": (_q_winnow_fps, _SQL_WINNOW_FPS),
     "winnow_hot_spans": (_q_winnow_hot_spans, _SQL_WINNOW_HOT_SPANS),
     "containment_pairs": (_q_containment_pairs, _SQL_CONTAINMENT),
+    "incremental_containment": (_q_incremental_containment,
+                                _SQL_CONTAINMENT),
 }
 
 

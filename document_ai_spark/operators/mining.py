@@ -269,10 +269,20 @@ def containment_pairs(docs: DataFrame, w: int = WINNOW_W,
     containment 1.0 on one fp of evidence — raise ``min_shared`` (or
     length-gate upstream) when such docs survive into the input; the
     default keeps every collision visible."""
-    from .dedup import MAX_BUCKET as _MB, _cap_bucket_items
+    from .dedup import MAX_BUCKET as _MB
     if max_bucket is None:
         max_bucket = _MB
     fps = winnow_fp_sets(docs, w, window)
+    return _containment_verdict(_containment_candidates(fps, max_bucket),
+                                containment_min, min_shared)
+
+
+def _containment_candidates(fps: DataFrame, max_bucket: int) -> DataFrame:
+    """(doc_a, doc_b, n_a, n_b, shared_fps) from (doc_id, n_fp, fp)
+    rows: fp buckets (capped, observed) -> intra-bucket pair expansion
+    -> shared-fp count aggregation. Shared by the batch operator and
+    the incremental index's intra-batch path."""
+    from .dedup import _cap_bucket_items
     grouped = (fps.groupBy("fp")
                .agg(F.collect_list(F.struct("doc_id", "n_fp"))
                     .alias("items"))
@@ -286,8 +296,15 @@ def containment_pairs(docs: DataFrame, w: int = WINNOW_W,
         "    struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
         "           x.n_fp AS n_a, y.n_fp AS n_b))))"
     )).alias("p")).select("p.*")
-    agg = (pairs.groupBy("doc_a", "doc_b", "n_a", "n_b")
-           .agg(F.count(F.lit(1)).alias("shared_fps")))
+    return (pairs.groupBy("doc_a", "doc_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("shared_fps")))
+
+
+def _containment_verdict(agg: DataFrame, containment_min: float,
+                         min_shared: int) -> DataFrame:
+    """Score and filter (doc_a, doc_b, n_a, n_b, shared_fps) candidate
+    counts. least(n_a, n_b) makes the score symmetric, so the n columns
+    need not track which side is lexicographically first."""
     return (agg.withColumn(
                 "containment",
                 F.round(F.col("shared_fps")

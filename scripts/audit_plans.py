@@ -27,7 +27,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # operator modules and covered by dedicated tests.
 SIDE_EFFECT = {"incremental_near_dup", "incremental_embed_near_dup",
                "embed_ivf_persisted", "incremental_dup_span",
-               "incremental_semdedup"}
+               "incremental_semdedup", "incremental_containment"}
 
 
 def counts(df) -> dict:

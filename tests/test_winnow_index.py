@@ -1,0 +1,113 @@
+"""Incremental containment vs the persisted winnowed-fp index: parity
+with the batch operator's full recompute, cross-batch arrival order,
+idempotent replay, parameter pinning."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_ai_spark.operators.mining import containment_pairs
+from document_ai_spark.operators.winnow_index import WinnowIndex
+
+W, WIN = 5, 4
+
+
+def _containment_corpus(spark):
+    """40 base docs + 6 chrome-wrapped containers (the containers also
+    share their chrome spans with EACH OTHER, so container-container
+    pairs exercise the non-planted path); every doc is above the
+    w + window - 1 detection floor."""
+    rows = []
+    for i in range(40):
+        rows.append((f"d{i:03d}", " ".join(
+            f"w{i}x{j}" for j in range(12 + i % 9))))
+    chrome_pre = " ".join(f"nav{i}" for i in range(20))
+    chrome_suf = " ".join(f"foot{i}" for i in range(20))
+    for i in range(6):
+        inner = " ".join(f"w{i}x{j}" for j in range(12 + i % 9))
+        rows.append((f"c{i:03d}", f"{chrome_pre} {inner} {chrome_suf}"))
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _batches(df, k=3):
+    b = F.pmod(F.xxhash64("doc_id"), F.lit(k))
+    return [df.where(b == i) for i in range(k)]
+
+
+def _pairset(df):
+    return {(r["doc_a"], r["doc_b"], r["shared_fps"], r["containment"])
+            for r in df.collect()}
+
+
+def test_incremental_parity_with_batch_recompute(spark, tmp_path):
+    docs = _containment_corpus(spark)
+    batches = _batches(docs, 3)
+    idx = WinnowIndex(str(tmp_path / "win_idx"), w=W, window=WIN)
+    incremental = set()
+    for i, b in enumerate(batches):
+        incremental |= _pairset(idx.append_and_find(
+            spark, b, batch_id=f"batch-{i}"))
+
+    full = _pairset(containment_pairs(docs, w=W, window=WIN))
+    assert full, "corpus must contain containment pairs"
+    assert incremental == full
+    # every planted (inner, container) pair is present and at least one
+    # crosses a batch boundary
+    planted = {(f"c{i:03d}", f"d{i:03d}") for i in range(6)}
+    got = {(min(a, b), max(a, b)) for a, b, _, _ in full}
+    assert planted <= got
+    assignment = {r["doc_id"]: r["b"] for r in docs.withColumn(
+        "b", F.pmod(F.xxhash64("doc_id"), F.lit(3))).collect()}
+    assert any(assignment[a] != assignment[b] for a, b, _, _ in full)
+
+
+def test_rerun_batch_is_idempotent(spark, tmp_path):
+    docs = _containment_corpus(spark)
+    batches = _batches(docs, 3)
+    idx = WinnowIndex(str(tmp_path / "win_idx2"), w=W, window=WIN)
+    out = []
+    for i, b in enumerate(batches):
+        out.append(_pairset(idx.append_and_find(
+            spark, b, batch_id=f"batch-{i}")))
+    n_batches = len(idx.committed_batches())
+    replay = _pairset(idx.append_and_find(
+        spark, batches[1], batch_id="batch-1"))
+    assert replay == out[1]
+    assert len(idx.committed_batches()) == n_batches
+
+
+def test_cross_batch_container_surfaces_on_arrival(spark, tmp_path):
+    """The op's raison d'etre: the canonical doc lands first, the
+    syndicated container arrives later and is flagged AT ARRIVAL."""
+    inner = " ".join(f"s{j}" for j in range(30))
+    chrome = " ".join(f"p{j}" for j in range(60))
+    b1 = spark.createDataFrame(
+        [("orig", inner), ("other", " ".join(f"u{j}" for j in range(25)))],
+        "doc_id string, text string")
+    b2 = spark.createDataFrame(
+        [("copy", f"{chrome} {inner} {chrome}")],
+        "doc_id string, text string")
+    idx = WinnowIndex(str(tmp_path / "win_idx3"), w=W, window=WIN)
+    p1 = _pairset(idx.append_and_find(spark, b1, batch_id="b1"))
+    assert p1 == set()
+    p2 = idx.append_and_find(spark, b2, batch_id="b2").collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in p2} == {("copy", "orig")}
+    assert all(r["containment"] >= 0.8 for r in p2)
+
+
+def test_param_pinning(spark, tmp_path):
+    root = str(tmp_path / "win_idx4")
+    WinnowIndex(root, w=W, window=WIN)
+    with pytest.raises(ValueError, match="cannot append"):
+        WinnowIndex(root, w=W + 1, window=WIN)
+
+
+def test_reingested_doc_id_no_self_pair(spark, tmp_path):
+    """Committing the same doc_id twice must not emit a self-pair."""
+    doc = spark.createDataFrame(
+        [("same", " ".join(f"q{j}" for j in range(30)))],
+        "doc_id string, text string")
+    idx = WinnowIndex(str(tmp_path / "win_idx5"), w=W, window=WIN)
+    assert _pairset(idx.append_and_find(spark, doc, batch_id="b1")) == set()
+    p = idx.append_and_find(spark, doc, batch_id="b2").collect()
+    assert p == []
