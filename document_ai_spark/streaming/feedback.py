@@ -100,6 +100,46 @@ def stream_dedup(spark: SparkSession, in_dir: str, index_root: str,
     )
 
 
+def stream_containment(spark: SparkSession, in_dir: str, index_root: str,
+                       pairs_dir: str, checkpoint_dir: str,
+                       containment_min: float = 0.5,
+                       min_shared: int = 1):
+    """Incremental CONTAINMENT detection over a document stream — the
+    stream_dedup twin for subset-duplication: each micro-batch is
+    probed against the persisted winnowed-fp index
+    (operators/winnow_index.py), so a syndicated copy arriving after
+    its canonical source is flagged at arrival even though its jaccard
+    (~ |A|/|B|) never trips the sketch-index path. Same exactly-once
+    shape: idempotent append_and_find per batch_id + per-batch output
+    overwrite. Returns the StreamingQuery."""
+    from ..operators.winnow_index import WinnowIndex
+
+    idx = WinnowIndex(index_root)
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = idx.append_and_find(
+            spark, batch_df.select("doc_id", "text"),
+            batch_id=f"stream-{batch_id}",
+            containment_min=containment_min, min_shared=min_shared)
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_dir}/batch={batch_id}")
+
+    return (
+        stream.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_extract(spark: SparkSession, in_dir: str, out_dir: str,
                    checkpoint_dir: str, payloads_df: DataFrame):
     """Structured Streaming ingest: watch in_dir for new interleaved-doc

@@ -111,3 +111,29 @@ def test_reingested_doc_id_no_self_pair(spark, tmp_path):
     assert _pairset(idx.append_and_find(spark, doc, batch_id="b1")) == set()
     p = idx.append_and_find(spark, doc, batch_id="b2").collect()
     assert p == []
+
+
+def test_stream_containment_parity(spark, tmp_path):
+    """Streamed micro-batches through the winnow index == batch
+    recompute (the stream_dedup twin for subset-duplication)."""
+    import glob
+
+    from document_ai_spark.streaming.feedback import stream_containment
+
+    docs = _containment_corpus(spark)
+    in_dir = str(tmp_path / "stream_in")
+    for b in _batches(docs, 2):
+        b.coalesce(1).write.mode("append").parquet(in_dir)
+    # module defaults (w=20, window=8): the planted containers' inners
+    # are below that floor, so stream vs batch parity is checked at the
+    # DEFAULT params over whatever pairs those params yield, while the
+    # detection-floor behavior itself is pinned by the batch tests.
+    q = stream_containment(spark, in_dir, str(tmp_path / "stream_idx"),
+                           str(tmp_path / "stream_pairs"),
+                           str(tmp_path / "stream_ckpt"))
+    q.awaitTermination()
+    got = set()
+    for d in glob.glob(str(tmp_path / "stream_pairs" / "batch=*")):
+        got |= _pairset(spark.read.parquet(d))
+    full = _pairset(containment_pairs(docs))
+    assert got == full
