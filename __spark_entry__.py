@@ -4059,6 +4059,18 @@ _CONTAIN_SUFFIX = (" copyright all rights reserved sitemap terms "
                    "privacy help")
 
 
+def _planted_containment_union(d):
+    """docs(doc_id:string, text) + a 'c-' chrome-wrapped container for
+    the deterministic ~1/16 of docs whose md5(doc_id) starts '0' — the
+    ONE Python-side construction mirrored verbatim by _SQL_CONTAINMENT's
+    docs2 CTE (keep the two in lockstep)."""
+    planted = (d.where(F.expr("substring(md5(doc_id), 1, 1) = '0'"))
+               .select(F.concat(F.lit("c-"), "doc_id").alias("doc_id"),
+                       F.concat(F.lit(_CONTAIN_PREFIX), "text",
+                                F.lit(_CONTAIN_SUFFIX)).alias("text")))
+    return d.unionByName(planted)
+
+
 def _q_containment_pairs(spark, sf):
     """Subset-duplication pairs (operators/mining.py containment_pairs):
     winnowed-fingerprint-set containment — catches a document embedded
@@ -4072,11 +4084,7 @@ def _q_containment_pairs(spark, sf):
 
     d = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text")
-    planted = (d.where(F.expr("substring(md5(doc_id), 1, 1) = '0'"))
-               .select(F.concat(F.lit("c-"), "doc_id").alias("doc_id"),
-                       F.concat(F.lit(_CONTAIN_PREFIX), "text",
-                                F.lit(_CONTAIN_SUFFIX)).alias("text")))
-    return (containment_pairs(d.unionByName(planted))
+    return (containment_pairs(_planted_containment_union(d))
             .orderBy("doc_a", "doc_b"))
 
 
@@ -4094,11 +4102,7 @@ def _q_incremental_containment(spark, sf):
 
     d = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text")
-    planted = (d.where(F.expr("substring(md5(doc_id), 1, 1) = '0'"))
-               .select(F.concat(F.lit("c-"), "doc_id").alias("doc_id"),
-                       F.concat(F.lit(_CONTAIN_PREFIX), "text",
-                                F.lit(_CONTAIN_SUFFIX)).alias("text")))
-    docs = d.unionByName(planted)
+    docs = _planted_containment_union(d)
     root = tempfile.mkdtemp(prefix="winnow_idx_")
     try:
         idx = WinnowIndex(root)

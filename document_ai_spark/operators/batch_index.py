@@ -105,3 +105,43 @@ class AtomicBatchIndex:
         import shutil
         shutil.rmtree(final, ignore_errors=True)
         os.rename(stage, final)
+
+    # -- shared append skeleton ------------------------------------------
+    # Every incremental index follows the same prologue/epilogue around
+    # its find/score logic; subclasses compose these three instead of
+    # re-spelling the replay discipline (a fix to the shared protocol
+    # lands once, not per index).
+
+    def _open_batch(self, spark: SparkSession, batch_id: str, build_fn):
+        """Stage-or-replay prologue: materialize ``build_fn()`` (the
+        batch's index rows) into staging — the parquet write IS the
+        one-time materialization the find logic re-reads — or, on
+        replay of a committed batch_id, reuse the committed files and
+        the seq they were stamped with. Returns
+        (rows_df, seq, replay, stage, final)."""
+        stage, final = self._stage_paths(batch_id)
+        replay = self._is_committed(batch_id)
+        if replay:
+            src, seq = final, self._batch_seq(batch_id)
+        else:
+            build_fn().write.mode("overwrite").parquet(stage)
+            src = stage
+            seq = self._next_seq()
+            self._stamp_seq(stage, seq)
+        return spark.read.parquet(src), seq, replay, stage, final
+
+    def _has_prior(self, seq: int) -> bool:
+        """Any batch committed strictly before ``seq`` (what a replayed
+        or fresh batch may probe)."""
+        return any(self._batch_seq(d) < seq
+                   for d in self.committed_batches())
+
+    def _close_batch(self, result_df: DataFrame, replay: bool,
+                     stage: str, final: str) -> DataFrame:
+        """Epilogue: materialize the result BEFORE the commit rename
+        invalidates the staging path its lazy plan reads from, then
+        commit (no-op on replay)."""
+        out = result_df.localCheckpoint()
+        if not replay:
+            self._commit(stage, final)
+        return out

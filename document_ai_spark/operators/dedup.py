@@ -350,7 +350,10 @@ def near_dup_pairs(df: DataFrame, jaccard_min: float = 0.6,
     inter = F.size(F.array_intersect("sk_a", "sk_b"))
     union = F.size(F.array_union("sk_a", "sk_b"))
     return (
-        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        # duplicate doc_id input rows pair positionally with themselves;
+        # never emit a self-pair (doc_id-is-a-key input contract)
+        pairs.where(F.col("id_x") != F.col("id_y"))
+        .withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= jaccard_min)
         .select(F.least("id_x", "id_y").alias("doc_a"),
                 F.greatest("id_x", "id_y").alias("doc_b"),
@@ -436,7 +439,9 @@ def banded_near_dup_pairs(df: DataFrame, jaccard_min: float = 0.5,
     inter = F.size(F.array_intersect("sk_a", "sk_b"))
     union = F.size(F.array_union("sk_a", "sk_b"))
     return (
-        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        # self-pair guard: see near_dup_pairs
+        pairs.where(F.col("id_x") != F.col("id_y"))
+        .withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= jaccard_min)
         .select(F.least("id_x", "id_y").alias("doc_a"),
                 F.greatest("id_x", "id_y").alias("doc_b"),

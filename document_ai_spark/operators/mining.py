@@ -296,7 +296,14 @@ def _containment_candidates(fps: DataFrame, max_bucket: int) -> DataFrame:
         "    struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
         "           x.n_fp AS n_a, y.n_fp AS n_b))))"
     )).alias("p")).select("p.*")
-    return (pairs.groupBy("doc_a", "doc_b", "n_a", "n_b")
+    # Positional expansion pairs duplicate doc_id INPUT rows with
+    # themselves; drop those so the doc_a < doc_b contract (and the
+    # oracle's value-comparison join) holds. The family input contract
+    # remains doc_id-is-a-key — duplicated input rows also double the
+    # shared counts of their OTHER pairs, which only exact-dup
+    # upstream can own.
+    return (pairs.where(F.col("doc_a") != F.col("doc_b"))
+            .groupBy("doc_a", "doc_b", "n_a", "n_b")
             .agg(F.count(F.lit(1)).alias("shared_fps")))
 
 

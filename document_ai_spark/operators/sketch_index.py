@@ -114,7 +114,12 @@ def _verify(pairs: DataFrame, jaccard_min: float) -> DataFrame:
     multi-band pair once via the first-collision-band filter."""
     inter = F.size(F.array_intersect("sk_a", "sk_b"))
     union = F.size(F.array_union("sk_a", "sk_b"))
-    return (pairs.withColumn("jaccard", F.round(inter / union, 6))
+    return (pairs
+            # a doc_id appearing twice (duplicate input rows, or a
+            # re-ingested id meeting its own committed sketch) must
+            # not emit a self-pair
+            .where(F.col("id_x") != F.col("id_y"))
+            .withColumn("jaccard", F.round(inter / union, 6))
             .where(F.col("jaccard") >= jaccard_min)
             .select(F.least("id_x", "id_y").alias("doc_a"),
                     F.greatest("id_x", "id_y").alias("doc_b"),
@@ -144,20 +149,9 @@ class SketchIndex(AtomicBatchIndex):
         (batch-internal + batch-vs-index), then commit the batch's
         sketches. Re-running an already-committed batch_id returns its
         pairs again without double-appending (idempotent resume)."""
-        stage, final = self._stage_paths(batch_id)
-        replay = self._is_committed(batch_id)
-        if replay:
-            src, seq = final, self._batch_seq(batch_id)
-        else:
-            # Materialize the banded rows ONCE (parquet write is the
-            # materialization): pair-finding below reads them several
-            # times, and the same files become the committed index batch.
-            banded_sketch_rows(batch_df, self.bands, self.rows) \
-                .write.mode("overwrite").parquet(stage)
-            src = stage
-            seq = self._next_seq()
-            self._stamp_seq(stage, seq)
-        new = spark.read.parquet(src)
+        new, seq, replay, stage, final = self._open_batch(
+            spark, batch_id,
+            lambda: banded_sketch_rows(batch_df, self.bands, self.rows))
 
         # (a) batch-internal pairs: group new rows by (band, band_hash).
         new_grouped = (
@@ -176,10 +170,8 @@ class SketchIndex(AtomicBatchIndex):
         # the first time — not itself (self-pairs, duplicated intra
         # pairs) and not later-committed batches (pairs those batches
         # already emitted).
-        has_prior = any(self._batch_seq(d) < seq
-                        for d in self.committed_batches())
         cands = intra
-        if has_prior:
+        if self._has_prior(seq):
             keys = new.select("band", "band_hash").distinct()
             idx = self.index_df(spark, before_seq=seq).join(
                 F.broadcast(keys), ["band", "band_hash"], "left_semi")
@@ -199,10 +191,5 @@ class SketchIndex(AtomicBatchIndex):
                 .drop("band", "sig_a", "sig_b"))
             cands = intra.unionByName(cross)
 
-        # Materialize before the commit rename below invalidates the
-        # staging path the lazy plan reads from.
-        pairs = _verify(cands, jaccard_min).localCheckpoint()
-
-        if not replay:
-            self._commit(stage, final)
-        return pairs
+        return self._close_batch(_verify(cands, jaccard_min),
+                                 replay, stage, final)

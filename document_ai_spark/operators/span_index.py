@@ -52,20 +52,12 @@ class SpanIndex(AtomicBatchIndex):
         n_windows, n_dup_windows, dup_span_frac), one row per batch doc.
         Re-running a committed batch_id scores against exactly the index
         it saw the first time (before_seq) without double-appending."""
-        stage, final = self._stage_paths(batch_id)
-        replay = self._is_committed(batch_id)
-        if replay:
-            src, seq = final, self._batch_seq(batch_id)
-        else:
-            # span_frequencies IS the batch-local aggregate; the parquet
-            # write materializes it once for both the scoring below and
-            # the committed index batch.
-            span_frequencies(batch_df, w=self.w) \
-                .write.mode("overwrite").parquet(stage)
-            src = stage
-            seq = self._next_seq()
-            self._stamp_seq(stage, seq)
-        batch_agg = spark.read.parquet(src)
+        # span_frequencies IS the batch-local aggregate; the staging
+        # write materializes it once for both the scoring below and
+        # the committed index batch.
+        batch_agg, seq, replay, stage, final = self._open_batch(
+            spark, batch_id,
+            lambda: span_frequencies(batch_df, w=self.w))
 
         hot = (self.index_df(spark, before_seq=seq)
                .unionByName(batch_agg)
@@ -73,11 +65,6 @@ class SpanIndex(AtomicBatchIndex):
                .agg(F.sum("n_docs").alias("n_total"))
                .where(F.col("n_total") >= self.min_docs)
                .select("fp"))
-        # Materialize before the commit rename invalidates the staging
-        # path the lazy plan reads from.
-        out = dup_span_stats_against(batch_df, hot, w=self.w) \
-            .localCheckpoint()
-
-        if not replay:
-            self._commit(stage, final)
-        return out
+        return self._close_batch(
+            dup_span_stats_against(batch_df, hot, w=self.w),
+            replay, stage, final)

@@ -136,17 +136,9 @@ class EmbeddingIndex(AtomicBatchIndex):
         banded rows. Replaying a committed batch_id returns its pairs
         again without double-appending (idempotent resume): it probes
         exactly the index state it saw the first time (before_seq)."""
-        stage, final = self._stage_paths(batch_id)
-        replay = self._is_committed(batch_id)
-        if replay:
-            src, seq = final, self._batch_seq(batch_id)
-        else:
-            banded_vector_rows(batch_emb, self.bands, self.rows) \
-                .write.mode("overwrite").parquet(stage)
-            src = stage
-            seq = self._next_seq()
-            self._stamp_seq(stage, seq)
-        new = spark.read.parquet(src)
+        new, seq, replay, stage, final = self._open_batch(
+            spark, batch_id,
+            lambda: banded_vector_rows(batch_emb, self.bands, self.rows))
 
         # (a) batch-internal pairs: identical shape to
         # similarity.embedding_near_dups (items vec_id-sorted by the cap,
@@ -169,10 +161,8 @@ class EmbeddingIndex(AtomicBatchIndex):
         # (b) batch-vs-index: probe ONLY buckets the batch touches
         # (broadcast of the batch's band keys), cap the matched index
         # buckets, then equi-join — never an index scan.
-        has_prior = any(self._batch_seq(d) < seq
-                        for d in self.committed_batches())
         cands = intra
-        if has_prior:
+        if self._has_prior(seq):
             keys = new.select("band", "bucket").distinct()
             idx = self.index_df(spark, before_seq=seq).join(
                 F.broadcast(keys), ["band", "bucket"], "left_semi")
@@ -192,12 +182,8 @@ class EmbeddingIndex(AtomicBatchIndex):
                 .drop("band", "bks_a", "bks_b"))
             cands = intra.unionByName(cross)
 
-        # Materialize before the commit rename invalidates the staging
-        # path the lazy plan reads from.
-        pairs = _verify(cands, cos_min).localCheckpoint()
-        if not replay:
-            self._commit(stage, final)
-        return pairs
+        return self._close_batch(_verify(cands, cos_min),
+                                 replay, stage, final)
 
 
 class SemanticIndex(AtomicBatchIndex):
@@ -268,18 +254,12 @@ class SemanticIndex(AtomicBatchIndex):
         verdicts (probes the index state before its own seq)."""
         from .similarity import greedy_drop_expr
 
-        stage, final = self._stage_paths(batch_id)
-        replay = self._is_committed(batch_id)
-        if replay:
-            src, seq = final, self._batch_seq(batch_id)
-        else:
+        def build():
             cents = self.codebook.ensure(spark, batch_emb)
-            self._assign(batch_emb, cents) \
-                .write.mode("overwrite").parquet(stage)
-            src = stage
-            seq = self._next_seq()
-            self._stamp_seq(stage, seq)
-        new = spark.read.parquet(src)
+            return self._assign(batch_emb, cents)
+
+        new, seq, replay, stage, final = self._open_batch(
+            spark, batch_id, build)
 
         # (a) intra-batch greedy verdicts (the batch semdedup sweep).
         grouped = (new.groupBy("centroid_id")
@@ -294,9 +274,7 @@ class SemanticIndex(AtomicBatchIndex):
                          F.col("r.dropped").alias("_di")))
 
         # (b) batch-vs-index: touched clusters only, capped.
-        has_prior = any(self._batch_seq(d) < seq
-                        for d in self.committed_batches())
-        if has_prior:
+        if self._has_prior(seq):
             keys = new.select("centroid_id").distinct()
             idx = self.index_df(spark, before_seq=seq).join(
                 F.broadcast(keys), ["centroid_id"], "left_semi")
@@ -321,8 +299,5 @@ class SemanticIndex(AtomicBatchIndex):
                         "sem_keep",
                         ~(F.coalesce("_di", F.lit(False))
                           | F.coalesce("_dc", F.lit(False))))
-                    .drop("_di", "_dc")
-                    .localCheckpoint())
-        if not replay:
-            self._commit(stage, final)
-        return verdicts
+                    .drop("_di", "_dc"))
+        return self._close_batch(verdicts, replay, stage, final)

@@ -33,7 +33,15 @@ Parity contract (tested): running k batches incrementally emits
 exactly the pair set of ``containment_pairs`` recomputed over the
 union — each pair (a in batch i, b in batch j <= i) surfaces when
 batch i lands, once, with identical shared_fps and containment (the
-score is symmetric, so arrival order cannot change it).
+score is symmetric, so arrival order cannot change it). SCOPE: parity
+holds while no fp bucket exceeds ``max_bucket`` — when the cap
+engages (adversarial boilerplate fps; drops are observed, never
+silent), the incremental path caps the index and batch sides
+independently while the batch operator caps the UNION bucket, so the
+two may keep different survivors; hot fps belong to
+winnow_hot_spans/stripping before either path runs. Input contract
+(family-wide): doc_id is a key — ingest each doc once; exact-dup
+upstream owns re-crawled copies.
 """
 from __future__ import annotations
 
@@ -79,27 +87,18 @@ class WinnowIndex(AtomicBatchIndex):
         its pairs again without double-appending (idempotent resume:
         before_seq scopes the probe to exactly the index state the
         batch saw the first time)."""
-        stage, final = self._stage_paths(batch_id)
-        replay = self._is_committed(batch_id)
-        if replay:
-            src, seq = final, self._batch_seq(batch_id)
-        else:
-            # Materialize the fp-set rows ONCE (the staging write):
-            # pair-finding reads them several times, and the same files
-            # become the committed index batch. doc_id is pinned to
-            # string so heterogeneous upstream id types cannot split
-            # the index schema across batches.
-            (winnow_fp_sets(
+        # doc_id is pinned to string so heterogeneous upstream id types
+        # cannot split the index schema across batches.
+        def build():
+            return (winnow_fp_sets(
                 batch_df.select(F.col("doc_id").cast("string")
                                 .alias("doc_id"), "text"),
                 self.w, self.window)
-             .select("doc_id", F.col("n_fp").cast("long").alias("n_fp"),
-                     "fp")
-             .write.mode("overwrite").parquet(stage))
-            src = stage
-            seq = self._next_seq()
-            self._stamp_seq(stage, seq)
-        new = spark.read.parquet(src)
+                .select("doc_id",
+                        F.col("n_fp").cast("long").alias("n_fp"), "fp"))
+
+        new, seq, replay, stage, final = self._open_batch(
+            spark, batch_id, build)
 
         # (a) batch-internal pairs: the batch operator's bucket path.
         cands = _containment_candidates(new, max_bucket)
@@ -109,16 +108,25 @@ class WinnowIndex(AtomicBatchIndex):
         # first-collision trick exists for containment (the score
         # needs the COUNT), so the aggregation is the real cost —
         # its input is bounded by cap x batch fp count.
-        has_prior = any(self._batch_seq(d) < seq
-                        for d in self.committed_batches())
-        if has_prior:
+        if self._has_prior(seq):
             keys = new.select("fp").distinct()
+            # distinct BEFORE the cap: a doc_id committed in several
+            # batches (same-text re-ingestion) holds identical index
+            # rows per batch; without the dedup each copy would both
+            # eat a cap slot and multiply the shared-fp COUNT below,
+            # inflating containment past 1.0. (Changed-text
+            # re-ingestion under one doc_id stays out of contract —
+            # ingest-once per doc_id, the family rule.)
             idx = self.index_df(spark, before_seq=seq).join(
-                F.broadcast(keys), ["fp"], "left_semi")
+                F.broadcast(keys), ["fp"], "left_semi").distinct()
             w_ = Window.partitionBy("fp").orderBy("doc_id")
             idx = (idx.withColumn("_rn", F.row_number().over(w_))
                    .where(F.col("_rn") <= max_bucket).drop("_rn"))
-            cross = (new.alias("n").join(idx.alias("o"), "fp")
+            # cap the BATCH side too: a boilerplate fp shared by the
+            # whole micro-batch must not fan out unboundedly either.
+            new_capped = (new.withColumn("_rn", F.row_number().over(w_))
+                          .where(F.col("_rn") <= max_bucket).drop("_rn"))
+            cross = (new_capped.alias("n").join(idx.alias("o"), "fp")
                      # a re-ingested doc_id must not pair with itself
                      .where(F.col("n.doc_id") != F.col("o.doc_id"))
                      .groupBy(F.least("n.doc_id", "o.doc_id")
@@ -132,11 +140,6 @@ class WinnowIndex(AtomicBatchIndex):
                      .agg(F.count(F.lit(1)).alias("shared_fps")))
             cands = cands.unionByName(cross)
 
-        # Materialize before the commit rename below invalidates the
-        # staging path the lazy plan reads from.
-        pairs = _containment_verdict(
-            cands, containment_min, min_shared).localCheckpoint()
-
-        if not replay:
-            self._commit(stage, final)
-        return pairs
+        return self._close_batch(
+            _containment_verdict(cands, containment_min, min_shared),
+            replay, stage, final)

@@ -186,20 +186,15 @@ def test_containment_cross_engine_fuzz(fuzz_sdf, fuzz_ddb):
     fp-set dedup order, and pair arithmetic must agree exactly."""
     duck_rows = fuzz_ddb.execute(
         E.oracle_sql()["containment_pairs"]).fetchall()
-    # Spark side: replicate _q_containment_pairs' planted union over
-    # the SAME fuzz rows (the registry fn reads parquet, so inline it).
+    # Spark side: the registry's own planted-union builder over the
+    # SAME fuzz rows (the registry fn reads parquet, so compose here).
     from pyspark.sql import functions as F
 
     from document_ai_spark.operators.mining import containment_pairs
 
     d = fuzz_sdf.select(
         F.col("doc_id").cast("string").alias("doc_id"), "text")
-    planted = (d.where(F.expr("substring(md5(doc_id), 1, 1) = '0'"))
-               .select(F.concat(F.lit(E._CONTAIN_PREFIX), "text",
-                                F.lit(E._CONTAIN_SUFFIX)).alias("text"),
-                       F.concat(F.lit("c-"), "doc_id").alias("doc_id"))
-               .select("doc_id", "text"))
-    sdf = containment_pairs(d.unionByName(planted)) \
+    sdf = containment_pairs(E._planted_containment_union(d)) \
         .orderBy("doc_a", "doc_b")
     spark_rows = [tuple(r) for r in sdf.collect()]
     assert len(spark_rows) == len(duck_rows)

@@ -137,3 +137,27 @@ def test_stream_containment_parity(spark, tmp_path):
         got |= _pairset(spark.read.parquet(d))
     full = _pairset(containment_pairs(docs))
     assert got == full
+
+
+def test_reingested_doc_meets_container_without_inflation(spark, tmp_path):
+    """Review regression: a doc_id committed in TWO batches (same text)
+    holds duplicate index rows; a later container probing them must
+    count each shared fp ONCE — containment stays in [0, 1] and equals
+    the batch recompute's score."""
+    inner = " ".join(f"r{j}" for j in range(30))
+    chrome = " ".join(f"k{j}" for j in range(60))
+    doc = spark.createDataFrame([("same", inner)],
+                                "doc_id string, text string")
+    cont = spark.createDataFrame([("big", f"{chrome} {inner} {chrome}")],
+                                 "doc_id string, text string")
+    idx = WinnowIndex(str(tmp_path / "win_idx6"), w=W, window=WIN)
+    idx.append_and_find(spark, doc, batch_id="b1")
+    idx.append_and_find(spark, doc, batch_id="b2")
+    rows = idx.append_and_find(spark, cont, batch_id="b3").collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {("big", "same")}
+    assert all(0.0 < r["containment"] <= 1.0 for r in rows)
+    want = {(r["doc_a"], r["doc_b"], r["shared_fps"], r["containment"])
+            for r in containment_pairs(
+                doc.unionByName(cont), w=W, window=WIN).collect()}
+    assert {(r["doc_a"], r["doc_b"], r["shared_fps"], r["containment"])
+            for r in rows} == want
