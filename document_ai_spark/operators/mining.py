@@ -56,12 +56,13 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import _word_shingles
+from .dedup import MAX_BUCKET, _cap_bucket_items, _word_shingles
 
 # Misra-Gries counters per partition. 4096 counters x ~40-byte n-grams
-# is ~160 KB of task state; the guarantee bound N < min_count*(cap+1)
-# is asserted at run time, so this is a performance knob, not a
-# correctness one.
+# is ~160 KB of task state; the OBSERVED decrement total is checked
+# against min_count at run time (heavy_ngrams raises when the summaries
+# decremented too much to certify exactness), so this is a performance
+# knob, not a correctness one.
 MG_CAPACITY = 4096
 
 # Winnowing defaults: w-token fingerprints, selection window over
@@ -78,9 +79,9 @@ _POS_RADIX = 1_000_000_000
 def _mg_pass(capacity: int):
     """mapInPandas body: fold this partition's n-gram stream through a
     Misra-Gries summary of ``capacity`` counters; emit the surviving
-    (ngram, cnt) rows plus ONE sentinel row (ngram NULL, cnt = number
-    of n-grams seen) carrying the partition total for the global
-    exactness assertion."""
+    (ngram, cnt) rows plus ONE sentinel row (ngram NULL, cnt = the
+    partition's OBSERVED decrement total) — the tight per-partition
+    under-count ceiling the global exactness guard sums and checks."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
@@ -122,37 +123,52 @@ def heavy_ngrams(docs: DataFrame, n: int = 3, min_count: int = 5,
     each scan is bounded: O(partitions x capacity) summary rows after
     scan 1, O(|candidates|) partially-aggregated count rows after scan
     2. The every-distinct-n-gram shuffle of the naive groupBy never
-    happens. Raises (assert_true) if ``capacity`` is too small for the
-    observed corpus size at this threshold — never silently wrong."""
+    happens. Raises if ``capacity`` is too small for the observed
+    corpus size at this threshold — never silently wrong.
+
+    Contract note: documents shorter than ``n`` tokens contribute ONE
+    whole-document shingle (the _word_shingles fallback, mirrored by
+    the DuckDB oracle), so a heavily-repeated sub-n-token doc surfaces
+    as a "heavy n-gram" of fewer than n tokens — the useful behavior
+    for boilerplate discovery, but consumers must not assume keys are
+    exactly n tokens long."""
     grams = docs.select(F.explode(_word_shingles(n)).alias("ngram"))
-    # Summary rows are consumed twice (candidates + the exactness
-    # assertion); localCheckpoint materializes the tiny summary once
-    # instead of re-running the MG scan.
+    # localCheckpoint materializes the tiny summary once (it is read
+    # again by the candidate filter) AND lets the exactness guard below
+    # evaluate as an eager driver-side scalar.
     summ = (grams.mapInPandas(_mg_pass(capacity), schema="ngram string, cnt long")
             .localCheckpoint())
-    cands = summ.where(F.col("ngram").isNotNull()).select("ngram").distinct()
-    guard = (summ.where(F.col("ngram").isNull())
-             .agg(F.sum("cnt").alias("dec_total"))
-             .select(F.assert_true(
-                 F.col("dec_total") < min_count,
-                 F.concat(F.lit("heavy_ngrams: MG summaries decremented "),
-                          F.col("dec_total"),
-                          F.lit(f" — an n-gram with count >= {min_count} "
-                                f"could have been dropped; raise capacity "
-                                f"(currently {capacity}) above the "
-                                f"per-partition distinct-n-gram count"))
-             ).alias("ok")))
-    exact = (grams.join(F.broadcast(cands), "ngram")
-             .groupBy("ngram")
-             .agg(F.count(F.lit(1)).alias("n_count"))
-             .where(F.col("n_count") >= min_count))
-    # The assertion must ride a FILTER, not a dropped projection —
-    # Catalyst column-prunes an unused assert_true column clean out of
-    # the plan (observed), silently skipping the guarantee check.
-    # assert_true is NULL on success, so `ok IS NULL` keeps every row
-    # and forces the 1-row guard subtree to evaluate.
-    return (exact.crossJoin(guard)
-            .where(F.col("ok").isNull()).drop("ok"))
+    # Exactness guard, evaluated EAGERLY here rather than as an
+    # assert_true subtree inside the result plan: AQE's runtime
+    # empty-relation propagation elides a guard subtree joined onto an
+    # empty result (observed on Spark 4.1 — precisely the all-heavy-
+    # hitters-evicted case the guard exists to catch). A 1-row agg over
+    # the checkpointed summary is control-plane cost; coalesce-to-0
+    # covers a zero-partition (legitimately empty) corpus.
+    dec_total = int(
+        (summ.where(F.col("ngram").isNull())
+         .agg(F.sum("cnt")).first()[0]) or 0)
+    if dec_total >= min_count:
+        raise ValueError(
+            f"heavy_ngrams: MG summaries decremented {dec_total} — an "
+            f"n-gram with count >= {min_count} could have been dropped; "
+            f"raise capacity (currently {capacity}) above the "
+            f"per-partition distinct-n-gram count")
+    # Candidate floor: MG guarantees true_count <= summed surviving
+    # count + dec_total, so every true heavy hitter's summed summary
+    # count is >= min_count - dec_total (>= 1 given the guard). The
+    # filter strips the snapshot-time singleton noise each partition's
+    # summary carries, keeping the broadcast candidate-set-sized
+    # instead of Theta(partitions x capacity) — at web scale the
+    # unfiltered set would blow the broadcast limit.
+    cands = (summ.where(F.col("ngram").isNotNull())
+             .groupBy("ngram").agg(F.sum("cnt").alias("_sc"))
+             .where(F.col("_sc") >= min_count - dec_total)
+             .select("ngram"))
+    return (grams.join(F.broadcast(cands), "ngram")
+            .groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("n_count"))
+            .where(F.col("n_count") >= min_count))
 
 
 def _winnow_sel_sql(w: int, window: int) -> str:
@@ -232,7 +248,7 @@ def containment_pairs(docs: DataFrame, w: int = WINNOW_W,
                       window: int = WINNOW_WINDOW,
                       containment_min: float = 0.5,
                       min_shared: int = 1,
-                      max_bucket: int = None) -> DataFrame:
+                      max_bucket: int = MAX_BUCKET) -> DataFrame:
     """Subset-duplication detection: pairs where one document's span
     content is largely CONTAINED in the other's — the republished-
     article / quote-farm / doc-embedded-in-template case that the
@@ -269,9 +285,6 @@ def containment_pairs(docs: DataFrame, w: int = WINNOW_W,
     containment 1.0 on one fp of evidence — raise ``min_shared`` (or
     length-gate upstream) when such docs survive into the input; the
     default keeps every collision visible."""
-    from .dedup import MAX_BUCKET as _MB
-    if max_bucket is None:
-        max_bucket = _MB
     fps = winnow_fp_sets(docs, w, window)
     return _containment_verdict(_containment_candidates(fps, max_bucket),
                                 containment_min, min_shared)
@@ -282,7 +295,6 @@ def _containment_candidates(fps: DataFrame, max_bucket: int) -> DataFrame:
     rows: fp buckets (capped, observed) -> intra-bucket pair expansion
     -> shared-fp count aggregation. Shared by the batch operator and
     the incremental index's intra-batch path."""
-    from .dedup import _cap_bucket_items
     grouped = (fps.groupBy("fp")
                .agg(F.collect_list(F.struct("doc_id", "n_fp"))
                     .alias("items"))
@@ -329,8 +341,12 @@ def winnow_hot_spans(docs: DataFrame, w: int = WINNOW_W,
     Same downstream contract (join docs' winnowed fps against it to
     flag shared-span families); the aggregate's input is ~(window+1)/2 x
     smaller than the every-offset hot-span build."""
-    return (winnow_fps(docs, w, window)
+    # fp_sets (distinct per doc, map-side) rather than winnow_fps: the
+    # per-row position decode is dead weight here, and the map-side
+    # dedup turns the two-phase count_distinct into a plain count over
+    # fewer shuffled rows. Identical output by construction.
+    return (winnow_fp_sets(docs, w, window)
             .groupBy("fp")
-            .agg(F.count_distinct("doc_id").alias("nd"))
+            .agg(F.count(F.lit(1)).alias("nd"))
             .where(F.col("nd") >= min_docs)
             .select("fp"))

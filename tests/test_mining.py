@@ -173,3 +173,22 @@ def test_containment_direction_symmetric_score(spark):
     assert len(a) == len(b) == 1
     assert a[0]["containment"] == b[0]["containment"]
     assert a[0]["shared_fps"] == b[0]["shared_fps"]
+
+
+def test_heavy_ngrams_guard_raises_when_result_empty(spark):
+    """Review regression (AQE empty-relation propagation): with every
+    true heavy hitter evicted AND the exact side empty, the in-plan
+    assert_true used to be elided by AQE and the op returned [] —
+    silently wrong. The guard now evaluates eagerly at plan build and
+    must raise even though the would-be result is empty."""
+    docs = _docs(spark, [" ".join(f"u{i}x{j}" for j in range(30))
+                         for i in range(40)])          # all-unique grams
+    with pytest.raises(Exception, match="heavy_ngrams"):
+        heavy_ngrams(docs, n=3, min_count=2, capacity=4)
+
+
+def test_heavy_ngrams_empty_corpus(spark):
+    """A legitimately empty corpus yields an empty result, not a
+    spurious guard crash (sum over zero sentinel rows is NULL)."""
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    assert heavy_ngrams(empty, n=3, min_count=2).collect() == []
