@@ -2058,11 +2058,12 @@ SELECT q.doc_id, q.quality_score, rep.dup_line_frac, rep.top_bigram_frac,
        (q.quality_score >= 0.8 AND rep.dup_line_frac <= 0.3
         AND rep.top_bigram_frac <= 0.2
         AND COALESCE(lp.unigram_logprob, -1e9)
-            >= COALESCE(f.logprob_floor, -1e9)) AS keep
+            >= COALESCE(f.logprob_floor, 1e9)) AS keep
 FROM q JOIN rep ON q.doc_id = rep.doc_id
 JOIN documents d ON q.doc_id = d.doc_id
 LEFT JOIN lp ON q.doc_id = lp.doc_id
-LEFT JOIN floors f ON d.lang = f.lang AND d.source = f.source
+LEFT JOIN floors f ON d.lang IS NOT DISTINCT FROM f.lang
+                  AND d.source IS NOT DISTINCT FROM f.source
 ORDER BY q.doc_id
 """
 
@@ -2277,10 +2278,12 @@ t AS (SELECT SUM(n_docs) AS n_total FROM n),
 w AS (SELECT lang, source, 1 / sqrt(n_docs / n_total) AS w FROM n, t),
 f AS (SELECT lang, source, w / (SELECT MAX(w) FROM w) AS keep_frac FROM w)
 SELECT d.doc_id, d.lang, d.source, ROUND(f.keep_frac, 6) AS keep_frac
-FROM documents d JOIN f USING (lang, source)
+FROM documents d JOIN f ON d.lang IS NOT DISTINCT FROM f.lang
+                       AND d.source IS NOT DISTINCT FROM f.source
 WHERE f.keep_frac >= 1.0
-   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
-      < lower(lpad(hex(CAST(floor(f.keep_frac * 65536) AS INTEGER)), 4, '0'))
+   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+      < lower(lpad(hex(CAST(floor(f.keep_frac * 4294967296) AS BIGINT)),
+                   8, '0'))
 ORDER BY d.doc_id
 """
 
@@ -2547,9 +2550,9 @@ SELECT d.doc_id, fr.slice_tokens, ROUND(fr.keep_frac, 6) AS keep_frac
 FROM documents d JOIN fr ON d.lang IS NOT DISTINCT FROM fr.lang
                         AND d.source IS NOT DISTINCT FROM fr.source
 WHERE fr.keep_frac >= 1.0
-   OR substr(md5('0:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
-      < lower(lpad(hex(CAST(floor(fr.keep_frac * 65536) AS INTEGER)),
-                   4, '0'))
+   OR substr(md5('0:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+      < lower(lpad(hex(CAST(floor(fr.keep_frac * 4294967296) AS BIGINT)),
+                   8, '0'))
 ORDER BY d.doc_id
 """
 

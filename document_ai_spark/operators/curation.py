@@ -70,7 +70,14 @@ def slice_logprob_floors(docs: DataFrame, k: float = 3.0) -> DataFrame:
 
     Scale shape: the unigram pipeline's (doc_id, logprob) output — one
     row per doc — grouped by the low-cardinality slice key; the floors
-    table is slice-sized and broadcasts."""
+    table is slice-sized and broadcasts. CAVEAT at extreme slice
+    cardinality: exact percentile buffers every per-doc logprob of a
+    slice in one aggregation buffer, so a 10^9+-doc slice should
+    derive its floors from a deterministic_sample of the corpus (the
+    fence is quantile-based and sample-stable) rather than the full
+    scan; approx_percentile is NOT a drop-in because its sketch is not
+    bit-identical across engines (the oracle rows pin exact
+    percentile == DuckDB quantile_cont)."""
     lp = with_unigram_logprob(docs).select("doc_id", "unigram_logprob")
     slc = docs.select("doc_id", "lang", "source")
     return (lp.join(slc, "doc_id")
@@ -125,15 +132,30 @@ def quality_gates(docs: DataFrame, quality_min: float = 0.8,
         if logprob_min == "auto":
             floors = slice_logprob_floors(docs)
             slc = docs.select("doc_id", "lang", "source")
+            # NULL-SAFE floors join: a NULL lang/source is a real slice
+            # (the floors groupBy keeps NULL keys) — a plain equi-join
+            # would leave every such doc floorless, silently disabling
+            # the word-salad gate for exactly the lang-ID-failure docs
+            # it should scrutinize (review finding).
+            fl = floors.select(F.col("lang").alias("_fl_lang"),
+                               F.col("source").alias("_fl_source"),
+                               "logprob_floor")
             out = (out.join(slc, "doc_id")
-                   .join(F.broadcast(floors), ["lang", "source"], "left")
-                   # join keys reorder columns (lang/source jump to the
-                   # front); restore the stable gate-signal order
+                   .join(F.broadcast(fl),
+                         F.col("lang").eqNullSafe(F.col("_fl_lang"))
+                         & F.col("source").eqNullSafe(F.col("_fl_source")),
+                         "left")
+                   # restore the stable gate-signal column order
                    .select("doc_id", "quality_score", "dup_line_frac",
                            "top_bigram_frac", "unigram_logprob", "lang",
                            "source", "logprob_floor"))
+            # Missing floor coalesces to +inf, not -inf: a slice has no
+            # floor row only when it produced ZERO unigram rows (every
+            # doc zero-token), and those docs must fail CLOSED as the
+            # docstring promises — -inf >= -inf let them pass (review
+            # finding).
             keep = keep & (F.coalesce("unigram_logprob", F.lit(-1e9))
-                           >= F.coalesce("logprob_floor", F.lit(-1e9)))
+                           >= F.coalesce("logprob_floor", F.lit(1e9)))
         else:
             keep = keep & (F.coalesce("unigram_logprob", F.lit(-1e9))
                            >= logprob_min)
@@ -403,12 +425,11 @@ def hot_span_fps(docs: DataFrame, w: int = 50, min_docs: int = 2
     one (fp) row per w-token window fingerprint occurring in >= min_docs
     distinct documents. Computed ONCE per corpus and reusable — the
     checkpointed curation CLI persists it under <output>/_hot_spans and
-    scores each bucket against it (the hot_lines discipline)."""
-    return (_span_windows(docs, w)
-            .where(F.col("fp").isNotNull())
-            .groupBy("fp")
-            .agg(F.count_distinct("doc_id").alias("nd"))
-            .where(F.col("nd") >= min_docs)
+    scores each bucket against it (the hot_lines discipline). Reuses
+    span_frequencies' aggregate (the line_frequencies -> hot_lines
+    pattern) so the window-count definition lives in one place."""
+    return (span_frequencies(docs, w)
+            .where(F.col("n_docs") >= min_docs)
             .select("fp"))
 
 
@@ -440,6 +461,34 @@ def dup_span_stats_against(docs: DataFrame, hot: DataFrame, w: int = 50
          .alias("dup_span_frac"))
 
 
+def _hex_cut(frac_col):
+    """Seeded-cut literal for fraction `frac_col`: keep a row iff the
+    first 8 hex chars of its md5 draw compare below
+    floor(frac * 2^32) in hex. 2^-32 granularity — the hash_split
+    discipline; the earlier 4-hex (2^-16) cut rounded any fraction
+    below 1/65536 to ZERO, silently emptying exactly the
+    web-scale slices an absolute token budget exists to thin (review
+    finding). Shared by temperature_rebalance and budget_sample so the
+    granularity can never drift between them."""
+    return F.lower(F.lpad(F.hex(
+        F.floor(frac_col * F.lit(4294967296.0)).cast("bigint")), 8, "0"))
+
+
+def _nullsafe_slice_join(docs: DataFrame, fr: DataFrame, keys) -> tuple:
+    """LEFT-side docs joined to per-slice table `fr` with NULL-SAFE key
+    equality: a NULL lang/source is a real slice (groupBy keeps NULL
+    keys), so a plain equi-join silently drops or un-floors every such
+    doc. Returns (joined_df, fr_alias_cols) with fr's key columns
+    aliased _fr_<key> so callers can drop them."""
+    fr2 = fr.select(*[F.col(k).alias(f"_fr_{k}") for k in keys],
+                    *[c for c in fr.columns if c not in keys])
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_fr_{k}"))
+        cond = c if cond is None else (cond & c)
+    return docs.join(F.broadcast(fr2), cond), [f"_fr_{k}" for k in keys]
+
+
 def temperature_rebalance(docs: DataFrame, tau: float = 2.0,
                           keys=("lang", "source"), id_col: str = "doc_id"
                           ) -> DataFrame:
@@ -451,10 +500,12 @@ def temperature_rebalance(docs: DataFrame, tau: float = 2.0,
     rarest slice keeps everything and larger slices thin out
     deterministically — no replication, no RNG.
 
-    Keep rule: first 4 hex chars of md5(id) < floor(frac * 65536) in
-    hex (1/65536 granularity; frac >= 1.0 keeps all — same discipline as
-    deterministic_sample). A pure function of (id, slice counts):
-    identical across runs, engines, and cluster layouts.
+    Keep rule: first 8 hex chars of md5(id) < floor(frac * 2^32) in
+    hex (2^-32 granularity via the shared _hex_cut; frac >= 1.0 keeps
+    all — same discipline as deterministic_sample). A pure function of
+    (id, slice counts): identical across runs, engines, and cluster
+    layouts. ``tau`` must be positive (tau -> inf approaches uniform;
+    tau < 1 sharpens toward big slices, still downsample-only).
 
     Engine parity: tau == 2.0 evaluates w_s as 1/sqrt(p_s) — sqrt,
     division and multiplication are exactly rounded in IEEE 754, so the
@@ -470,6 +521,9 @@ def temperature_rebalance(docs: DataFrame, tau: float = 2.0,
     (counts must be global before filtering) and never shuffled.
 
     Returns the kept rows with a ``keep_frac`` audit column."""
+    if tau <= 0:
+        raise ValueError(f"temperature_rebalance: tau must be positive "
+                         f"(got {tau})")
     keys = list(keys)
     counts = docs.groupBy(*keys).agg(F.count("*").alias("n_docs"))
     total = counts.agg(F.sum("n_docs").alias("n_total"))
@@ -483,21 +537,11 @@ def temperature_rebalance(docs: DataFrame, tau: float = 2.0,
     wmax = weights.agg(F.max("w").alias("w_max"))
     fracs = (weights.crossJoin(F.broadcast(wmax))
              .select(*keys, (F.col("w") / F.col("w_max")).alias("keep_frac")))
-    cut = F.lower(F.lpad(F.hex(
-        F.floor(F.col("keep_frac") * F.lit(65536.0)).cast("int")), 4, "0"))
     keep = ((F.col("keep_frac") >= 1.0)
-            | (F.substring(F.md5(F.col(id_col).cast("string")), 1, 4) < cut))
-    # null-safe on the slice keys: a NULL lang/source is a real slice
-    # (groupBy put it in the counts), so a plain equi-join would
-    # silently drop every such doc here
-    fr = fracs.select(*[F.col(k).alias(f"_fr_{k}") for k in keys],
-                      "keep_frac")
-    cond = None
-    for k in keys:
-        c = F.col(k).eqNullSafe(F.col(f"_fr_{k}"))
-        cond = c if cond is None else (cond & c)
-    return (docs.join(F.broadcast(fr), cond)
-            .where(keep)
+            | (F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+               < _hex_cut(F.col("keep_frac"))))
+    joined, fr_cols = _nullsafe_slice_join(docs, fracs, keys)
+    return (joined.where(keep)
             .select(*docs.columns, "keep_frac"))
 
 
@@ -620,7 +664,14 @@ def pack_interleaved(docs: DataFrame, seq_len: int = 2048,
     (see pack_sequences — bucket totals, tiny carry window, bounded
     within-bucket sort). Zero-span and all-media docs pack like any
     other; a doc with 0 total tokens occupies no stream space
-    (n_chunks = 0, the pack_sequences contract)."""
+    (n_chunks = 0, the pack_sequences contract).
+
+    Span-kind contract: a NULL ``kind`` matches NEITHER filter (NULL
+    comparisons), contributing zero stream length — correct for the
+    extraction pipeline's explode_outer placeholder spans (kind NULL,
+    no content, emitted for zero-span docs), but it means a MALFORMED
+    span carrying real text under a NULL kind is silently unbudgeted;
+    upstream owns kind validity."""
     from ..functions.tokenize import tokens_sql
     span_toks = tokens_sql("coalesce(s.text, '')")
     cols = ["doc_id"] + ([order_col] if order_col != "doc_id" else [])
@@ -1048,10 +1099,13 @@ def budget_sample(docs: DataFrame, max_tokens: int,
     temperature_rebalance (relative flattening); this one takes the
     budget in the unit the training job is priced in.
 
-    Keep rule: first 4 hex chars of md5(seed ':' id) < floor(frac *
-    65536) in hex — the temperature_rebalance discipline (1/65536
-    granularity, frac >= 1.0 keeps all), with hash_split's seeded
-    preimage so re-deals are available. A pure function of (seed, id,
+    Keep rule: first 8 hex chars of md5(seed ':' id) < floor(frac *
+    2^32) in hex — the shared _hex_cut (2^-32 granularity; the old
+    2^-16 cut rounded any fraction under 1/65536 to zero, i.e. a slice
+    past 65536 x max_tokens tokens was dropped ENTIRELY instead of
+    thinned — exactly the web-scale slice an absolute budget targets),
+    with hash_split's seeded preimage so re-deals are available. A
+    pure function of (seed, id,
     slice totals): appending a crawl batch re-dilutes a slice through
     its new total only — it never flips which EXISTING docs a given
     (total, seed) kept, and the sampled (not prefix-cut) rule is what
@@ -1079,22 +1133,12 @@ def budget_sample(docs: DataFrame, max_tokens: int,
               .groupBy(*keys).agg(F.sum("_nt").alias("slice_tokens")))
     frac = F.when(F.col("slice_tokens") <= 0, F.lit(1.0)).otherwise(
         F.least(F.lit(1.0), F.lit(float(max_tokens)) / F.col("slice_tokens")))
-    fr = totals.select(
-        *[F.col(k).alias(f"_fr_{k}") for k in keys],
-        "slice_tokens", frac.alias("keep_frac"))
-    cut = F.lower(F.lpad(F.hex(
-        F.floor(F.col("keep_frac") * F.lit(65536.0)).cast("int")), 4, "0"))
+    fr = totals.select(*keys, "slice_tokens", frac.alias("keep_frac"))
     h = F.substring(F.md5(F.concat_ws(
-        ":", F.lit(str(seed)), F.col(id_col).cast("string"))), 1, 4)
-    keep = (F.col("keep_frac") >= 1.0) | (h < cut)
-    cond = None
-    for k in keys:
-        # null-safe: a NULL lang/source is a real slice (see
-        # temperature_rebalance)
-        c = F.col(k).eqNullSafe(F.col(f"_fr_{k}"))
-        cond = c if cond is None else (cond & c)
-    return (docs.join(F.broadcast(fr), cond)
-            .where(keep)
+        ":", F.lit(str(seed)), F.col(id_col).cast("string"))), 1, 8)
+    keep = (F.col("keep_frac") >= 1.0) | (h < _hex_cut(F.col("keep_frac")))
+    joined, _fr_cols = _nullsafe_slice_join(docs, fr, keys)
+    return (joined.where(keep)
             .select(*docs.columns, "slice_tokens", "keep_frac"))
 
 

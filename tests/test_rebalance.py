@@ -121,3 +121,79 @@ def test_budget_sample_null_slice_keys_survive(spark):
         "doc_id long, text string, lang string, source string")
     out = budget_sample(docs, max_tokens=100).collect()
     assert {r["doc_id"] for r in out} == {1, 2}
+
+
+def test_budget_sample_sub_2e16_fraction_not_zeroed(spark):
+    """Review regression: the old 4-hex (2^-16) cut rounded any
+    keep_frac below 1/65536 to a zero cut, DROPPING a giant slice
+    entirely instead of thinning it to the budget. At 2^-32
+    granularity the kept set equals the pure-Python md5 rule."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from document_ai_spark.operators.curation import budget_sample
+
+    n = 70_000                               # frac = 1/70000 < 1/65536
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("w").alias("text"),
+        F.lit("en").alias("lang"), F.lit("web").alias("source"))
+    got = sorted(r["doc_id"] for r in
+                 budget_sample(docs, max_tokens=1).collect())
+    cut = math.floor(1.0 / n * 4294967296)
+    want = [i for i in range(n)
+            if int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:8], 16)
+            < cut]
+    assert want, "test construction must keep a nonempty set"
+    assert got == want                       # [1004, 3208, 6479]
+
+
+def test_quality_gates_auto_null_slice_gets_floor(spark):
+    """Review regression: lang=NULL is a real slice — the floors join
+    must be null-safe so its derived floor applies (the plain equi-join
+    left such docs floorless and the salad gate silently open)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from document_ai_spark.operators.curation import quality_gates
+
+    rng = random.Random(7)
+    common = ["the", "market", "and", "harvest", "of", "river", "to",
+              "field", "in", "crop", "for", "water"]
+    rows = []
+    for i in range(40):                      # natural mass, lang NULL
+        rows.append(Row(doc_id=f"n{i:02d}",
+                        text=" ".join(rng.choice(common)
+                                      for _ in range(30)),
+                        lang=None, source="web"))
+    salad = " ".join(
+        "".join(rng.choice("bcdfgkmpqvxz") for _ in range(7)) + f"u{j}"
+        for j in range(40))                  # corpus-unique tokens
+    rows.append(Row(doc_id="salad", text=salad, lang=None, source="web"))
+    docs = spark.createDataFrame(
+        rows, "doc_id string, text string, lang string, source string")
+    out = {r["doc_id"]: r for r in
+           quality_gates(docs, logprob_min="auto").collect()}
+    assert out["salad"]["logprob_floor"] is not None
+    assert not out["salad"]["keep"]
+    kept_naturals = sum(bool(out[f"n{i:02d}"]["keep"]) for i in range(40))
+    assert kept_naturals >= 35
+
+
+def test_quality_gates_auto_floorless_slice_fails_closed(spark):
+    """Review regression: a slice whose every doc is zero-token has no
+    floor row; its docs must fail CLOSED under 'auto' (missing floor
+    coalesces to +inf, not -inf) even when every other gate passes."""
+    from pyspark.sql import Row
+
+    from document_ai_spark.operators.curation import quality_gates
+
+    docs = spark.createDataFrame([
+        Row(doc_id="e1", text="   ", lang="zz", source="void"),
+        Row(doc_id="e2", text="", lang="zz", source="void"),
+    ])
+    out = quality_gates(docs, quality_min=0.0, dup_line_max=1.0,
+                        top_bigram_max=1.0, logprob_min="auto").collect()
+    assert out and all(not r["keep"] for r in out)
