@@ -1038,9 +1038,13 @@ SELECT probe_id, doc_id, jaccard, rnk FROM (
 # -- embedding similarity ---------------------------------------------------
 
 def _cos_sql(a: str, b: str) -> str:
-    return (f"list_dot_product({a}, {b}) / "
-            f"(sqrt(list_dot_product({a}, {a})) * "
-            f"sqrt(list_dot_product({b}, {b})))")
+    # zero-norm guard mirrors similarity._cosine: cos = 0.0 when either
+    # norm is 0 (raw 0/0 is NaN and the two engines ORDER NaN
+    # differently, so unguarded parity would break on zero vectors)
+    denom = (f"(sqrt(list_dot_product({a}, {a})) * "
+             f"sqrt(list_dot_product({b}, {b})))")
+    return (f"CASE WHEN {denom} = 0 THEN 0.0 "
+            f"ELSE list_dot_product({a}, {b}) / {denom} END")
 
 
 def _q_embed_topk(spark, sf):
@@ -1263,8 +1267,11 @@ def _ivf_codebook_ctes(e_body: str) -> tuple:
     parts = [
         f"e AS ({e_body})",
         f"train AS (SELECT * FROM e WHERE vec_id % {S.IVF_SAMPLE_MOD} = 0)",
+        # k lowest-vec_id init (ORDER BY/LIMIT, not `vec_id < k`
+        # arithmetic — mirrors kmeans_codebook's TakeOrdered init,
+        # identical on dense 0-based ids, correct on any orderable id)
         f"c0 AS (SELECT vec_id AS centroid_id, emb AS cent FROM e "
-        f"WHERE vec_id < {S.IVF_K})",
+        f"ORDER BY vec_id LIMIT {S.IVF_K})",
     ]
     prev = "c0"
     for t in range(1, S.IVF_ITERS + 1):

@@ -29,16 +29,22 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import _cap_bucket_items
 
-LSH_BITS = 8
-
 
 def _cosine(a, b):
+    """Cosine similarity with a ZERO-NORM GUARD: a zero embedding (an
+    empty document's vector) makes the denominator 0 and the raw
+    division yields NaN — and Spark orders NaN ABOVE every real number,
+    so an unguarded NaN >= cos_min is TRUE and two garbage vectors
+    would count as near-dups (review finding; DuckDB's NaN ordering
+    differs, so parity would also break on such inputs). Defined as
+    cos = 0.0 when either norm is 0: zero vectors match nothing —
+    malformed upstream, exact dedup owns byte-identical empties."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+    return F.when(na * nb == 0.0, F.lit(0.0)).otherwise(dot / (na * nb))
 
 
 def brute_force_topk(emb: DataFrame, probe_ids, k: int = 5) -> DataFrame:
@@ -62,16 +68,6 @@ def brute_force_topk(emb: DataFrame, probe_ids, k: int = 5) -> DataFrame:
     )
 
 
-def with_lsh_bucket(emb: DataFrame, bits: int = LSH_BITS) -> DataFrame:
-    """Sign-pattern bucket over the first `bits` dimensions."""
-    e = F.col("embedding")
-    bucket = F.lit(0)
-    for i in range(bits):
-        bucket = bucket + F.when(F.element_at(e, i + 1) >= 0,
-                                 F.lit(1 << i)).otherwise(F.lit(0))
-    return emb.withColumn("lsh_bucket", bucket)
-
-
 # Top-k search wants recall (narrow bands, many of them); near-dup dedup
 # wants tight buckets (cos>=0.95 pairs share long sign runs). Measured at
 # sf0.01 vs brute force: 16x4 -> 0.90 recall@5, 4x8 -> 0.08 — but 4x8
@@ -89,7 +85,11 @@ def lsh_topk(emb: DataFrame, probe_ids, k: int = 5,
     between 2% and 90% measured recall — a single wide bucket demands
     agreement on every hyperplane at once, while bands only need one
     narrow agreement. Same output shape as brute_force_topk; recall < 1
-    by design."""
+    by design.
+
+    Input contract: the embedding dimension must cover bands*rows sign
+    bits — an out-of-range element_at reads NULL, degrading every
+    overflowing band to ONE bucket (a hidden full scan per probe)."""
     bands = bands if bands is not None else LSH_TOPK_BANDS
     rows = rows if rows is not None else LSH_TOPK_ROWS
     base = emb.select(
@@ -104,15 +104,18 @@ def lsh_topk(emb: DataFrame, probe_ids, k: int = 5,
     probes = banded.where(F.col("vec_id").isin(list(probe_ids))).select(
         F.col("vec_id").alias("probe_id"), "band", "bucket",
         F.col("emb").alias("probe_emb"))
-    cand = (
+    # Score BEFORE the cross-band dedup: the groupBy then exchanges one
+    # 8-byte double per surviving (probe, candidate) row instead of two
+    # full embeddings (~1 KB at 64 dims) — the same drop-the-payload
+    # discipline the near-dup path's first-band trick applies; identical
+    # output (a multi-band pair's cos is the same in every band).
+    scored = (
         banded.join(F.broadcast(probes), ["band", "bucket"])
         .where(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos_sim", F.round(_cosine("emb", "probe_emb"), 6))
         .groupBy("probe_id", "vec_id")          # dedup across bands
-        .agg(F.first("emb").alias("emb"),
-             F.first("probe_emb").alias("probe_emb"))
+        .agg(F.first("cos_sim").alias("cos_sim"))
     )
-    scored = cand.withColumn(
-        "cos_sim", F.round(_cosine("emb", "probe_emb"), 6))
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -131,29 +134,45 @@ IVF_ITERS = 2
 IVF_SAMPLE_MOD = 2   # train on vec_id % MOD == 0 (deterministic sample)
 
 
-def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
-    """Argmax-cosine centroid per vector; ties to the lowest centroid_id.
-    Centroids are a k-row DataFrame, broadcast — one corpus scan."""
+def _assign_with_cos(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmax-cosine centroid per vector, KEEPING the winning cos_c;
+    ties to the lowest centroid_id. Centroids are a k-row DataFrame,
+    broadcast — one corpus scan. The ONE assignment rule shared by
+    Lloyd training, semdedup, and the incremental SemanticIndex (a
+    tie-break or rounding change lands once, preserving their
+    batch == incremental parity contract)."""
     scored = base.crossJoin(F.broadcast(cents)).withColumn(
         "cos_c", F.round(_cosine("emb", "cent"), 6))
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cos_c"), F.asc("centroid_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1).drop("rn", "cent", "cos_c"))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "emb", "centroid_id", "cos_c"))
+
+
+def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """_assign_with_cos without the score column (Lloyd's shape)."""
+    return _assign_with_cos(base, cents).drop("cos_c")
 
 
 def kmeans_codebook(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS,
                     sample_mod: int = IVF_SAMPLE_MOD) -> DataFrame:
     """Deterministic seeded Lloyd training, pure DataFrame ops.
 
-    init = the k lowest-vec_id vectors; each iteration assigns a sampled
-    training set (vec_id % sample_mod == 0 — at 10^12 vectors the sample,
-    not the corpus, pays the extra passes) to its argmax-cosine centroid
-    and recomputes centroids as the elementwise mean (posexplode ->
-    groupBy(centroid, pos) avg -> re-assemble). Components are rounded to
-    6 decimals per iteration so the codebook is bit-stable across
-    partition orderings and engines (distributed float summation is not
-    associative). Empty clusters keep their previous centroid.
+    init = the k lowest-vec_id vectors (TakeOrdered by vec_id — ANY
+    orderable id type works; the old `vec_id < k` arithmetic silently
+    trained an undersized or empty codebook on offset/string ids,
+    review finding); each iteration assigns a sampled training set
+    (vec_id % sample_mod == 0 — at 10^12 vectors the sample, not the
+    corpus, pays the extra passes; INTEGER-id contract — when the
+    modulo sample comes back EMPTY, e.g. all-odd ids, training falls
+    back to the full input instead of silently keeping the raw init
+    vectors) to its argmax-cosine centroid and recomputes centroids as
+    the elementwise mean (posexplode -> groupBy(centroid, pos) avg ->
+    re-assemble). Components are rounded to 6 decimals per iteration so
+    the codebook is bit-stable across partition orderings and engines
+    (distributed float summation is not associative). Empty clusters
+    keep their previous centroid.
 
     Returns a k-row DataFrame (centroid_id, cent: array<double>).
     """
@@ -166,7 +185,10 @@ def kmeans_codebook(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS,
     # codebook is eagerly localCheckpoint()ed each round — executor-side,
     # no driver collect — truncating the lineage to a constant.
     train = base.where(F.col("vec_id") % sample_mod == 0).persist()
-    cents = base.where(F.col("vec_id") < k).select(
+    if sample_mod > 1 and train.isEmpty():
+        train.unpersist()
+        train = base.persist()
+    cents = base.orderBy("vec_id").limit(k).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cent"))
     try:
         for _ in range(iters):
@@ -188,18 +210,6 @@ def kmeans_codebook(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS,
     finally:
         train.unpersist()
     return cents
-
-
-def with_ivf_cluster(emb: DataFrame, k: int = IVF_K,
-                     iters: int = IVF_ITERS) -> DataFrame:
-    """IVF coarse quantization against the trained codebook: assign each
-    vector to its max-cosine centroid (ties break to the lowest id)."""
-    cents = kmeans_codebook(emb, k, iters)
-    base = emb.select("vec_id",
-                      F.col("embedding").cast("array<double>").alias("emb"),
-                      "embedding", *[c for c in emb.columns
-                                     if c not in ("vec_id", "embedding")])
-    return _assign(base, cents)
 
 
 IVF_NPROBE = 2
@@ -317,7 +327,11 @@ def embedding_near_dups(emb: DataFrame, cos_min: float = 0.95,
         "           x.emb AS emb_a, y.emb AS emb_b))))"
     )).alias("p")).select("p.*")
     return (
-        pairs.withColumn("cos_sim", F.round(_cosine("emb_a", "emb_b"), 6))
+        # duplicate vec_id input rows pair positionally with themselves;
+        # never emit a self-pair (vec_id-is-a-key input contract — the
+        # dedup.near_dup_pairs guard, mirrored here)
+        pairs.where(F.col("id_a") != F.col("id_b"))
+        .withColumn("cos_sim", F.round(_cosine("emb_a", "emb_b"), 6))
         .where(F.col("cos_sim") >= cos_min)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -331,24 +345,37 @@ SEM_MAX_CLUSTER = 4096   # per-cluster item cap (observed drops, as LSH)
 SEM_MEAN_CLUSTER = 2500  # auto-k target mean (sits well under the cap)
 
 
+def item_norm(emb_col):
+    """Per-item L2 norm carried INSIDE the cluster items struct (field
+    ``nrm``): the greedy sweep then computes each norm once per ITEM
+    instead of once per PAIR (the sweep is O(n^2) pairs), and the
+    zero-norm guard below costs one multiply instead of two extra
+    aggregate folds. sqrt-then-multiply matches the old inline order,
+    so rounded cosines are bit-identical."""
+    return F.sqrt(F.aggregate(emb_col, F.lit(0.0),
+                              lambda acc, v: acc + v * v))
+
+
 def greedy_drop_expr(cos_min: float):
     """The SemDeDup greedy verdict over a sorted `items`
-    array<struct<c,v,e>> column: per item y at 0-based position j,
+    array<struct<c,v,e,nrm>> column: per item y at 0-based position j,
     dropped iff ANY of the j earlier items is >= cos_min
     cosine-similar. exists() short-circuits; the first item of every
     cluster is always kept (empty slice). Shared by semdedup and the
-    incremental SemanticIndex."""
+    incremental SemanticIndex. Zero-norm guard: a raw 0/0 cosine is
+    NaN, which Spark orders ABOVE every real number — unguarded,
+    NaN >= cos_min is TRUE and a zero (empty-doc) vector would drop
+    against anything; guarded, zero vectors match nothing (the
+    _cosine convention)."""
     return F.expr(
         "transform(items, (y, j) -> struct("
         "  y.v AS vec_id, "
         "  exists(slice(items, 1, j), x -> "
+        "    CASE WHEN x.nrm * y.nrm = 0.0D THEN false ELSE "
         "    round(aggregate(zip_with(x.e, y.e, (a, b) -> a * b), "
         "                    cast(0.0 as double), (acc, p) -> acc + p) "
-        "          / (sqrt(aggregate(x.e, cast(0.0 as double), "
-        "                            (acc, p) -> acc + p * p)) "
-        "           * sqrt(aggregate(y.e, cast(0.0 as double), "
-        "                            (acc, p) -> acc + p * p))), 6) "
-        f"    >= {cos_min}) AS dropped))")
+        "          / (x.nrm * y.nrm), 6) "
+        f"    >= {cos_min} END) AS dropped))")
 
 
 def semdedup(emb: DataFrame, cos_min: float = 0.95,
@@ -392,24 +419,20 @@ def semdedup(emb: DataFrame, cos_min: float = 0.95,
     if codebook is None and k is None:
         k = max(IVF_K, emb.count() // SEM_MEAN_CLUSTER)
     cents = codebook if codebook is not None \
-        else kmeans_codebook(emb, k if k is not None else IVF_K, iters)
+        else kmeans_codebook(emb, k, iters)
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    scored = base.crossJoin(F.broadcast(cents)).withColumn(
-        "cos_c", F.round(_cosine("emb", "cent"), 6))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_c"), F.asc("centroid_id"))
-    assigned = (scored.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .select("vec_id", "emb", "centroid_id", "cos_c"))
-    # array_sort on struct(c, v, e) orders lexicographically by
-    # (cos_c ASC, vec_id ASC); vec_id is unique so the array field is
+    assigned = _assign_with_cos(base, cents)
+    # array_sort on struct(c, v, e, nrm) orders lexicographically by
+    # (cos_c ASC, vec_id ASC); vec_id is unique so the later fields are
     # never compared. The sorted prefix IS the keep order.
     grouped = (assigned.groupBy("centroid_id")
                .agg(F.array_sort(F.collect_list(F.struct(
                    F.col("cos_c").alias("c"),
                    F.col("vec_id").alias("v"),
-                   F.col("emb").alias("e")))).alias("items")))
+                   F.col("emb").alias("e"),
+                   item_norm(F.col("emb")).alias("nrm"))))
+                   .alias("items")))
     grouped = _cap_bucket_items(grouped, max_cluster)
     judged = (grouped.select(F.explode(greedy_drop_expr(cos_min))
                              .alias("r"))

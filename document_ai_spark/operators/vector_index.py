@@ -236,16 +236,12 @@ class SemanticIndex(AtomicBatchIndex):
                                       iters=iters)
 
     def _assign(self, batch_emb: DataFrame, cents: DataFrame) -> DataFrame:
+        # the ONE shared assignment rule — see similarity._assign_with_cos
+        from .similarity import _assign_with_cos
         base = batch_emb.select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("emb"))
-        scored = base.crossJoin(F.broadcast(cents)).withColumn(
-            "cos_c", F.round(_cosine("emb", "cent"), 6))
-        w = Window.partitionBy("vec_id").orderBy(
-            F.desc("cos_c"), F.asc("centroid_id"))
-        return (scored.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .select("vec_id", "emb", "centroid_id", "cos_c"))
+        return _assign_with_cos(base, cents)
 
     def append_and_find(self, spark: SparkSession, batch_emb: DataFrame,
                         batch_id: str) -> DataFrame:
@@ -262,11 +258,14 @@ class SemanticIndex(AtomicBatchIndex):
             spark, batch_id, build)
 
         # (a) intra-batch greedy verdicts (the batch semdedup sweep).
+        from .similarity import item_norm
         grouped = (new.groupBy("centroid_id")
                    .agg(F.array_sort(F.collect_list(F.struct(
                        F.col("cos_c").alias("c"),
                        F.col("vec_id").alias("v"),
-                       F.col("emb").alias("e")))).alias("items")))
+                       F.col("emb").alias("e"),
+                       item_norm(F.col("emb")).alias("nrm"))))
+                       .alias("items")))
         grouped = _cap_bucket_items(grouped, self.max_cluster)
         intra = (grouped.select(F.explode(
                     greedy_drop_expr(self.cos_min)).alias("r"))

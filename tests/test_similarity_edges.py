@@ -1,0 +1,86 @@
+"""Review regressions for the similarity/IVF family: zero-norm
+vectors, non-dense vec_ids, duplicate-id inputs."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from document_ai_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dups,
+    kmeans_codebook,
+    semdedup,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v])
+         for i, v in rows],
+        "vec_id long, embedding array<double>")
+
+
+def test_zero_norm_vectors_never_match(spark):
+    """cos(0-vector, anything) = 0.0, never NaN: Spark orders NaN above
+    every real number, so unguarded NaN >= cos_min was TRUE and two
+    empty-doc vectors counted as near-dups (and engine parity broke —
+    DuckDB orders NaN differently)."""
+    rows = [(0, [0.0] * 8), (1, [0.0] * 8),
+            (2, [1.0, 2.0] + [0.0] * 6), (3, [1.0, 2.0] + [0.0] * 6)]
+    pairs = embedding_near_dups(_emb(spark, rows), cos_min=0.9,
+                                bands=2, rows=4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) not in got               # zero pair must NOT match
+    assert (2, 3) in got                   # identical real pair must
+    # brute force: zero probe scores 0.0 against everything, never NaN
+    bf = brute_force_topk(_emb(spark, rows), probe_ids=[0], k=3).collect()
+    assert bf and all(r["cos_sim"] == 0.0 for r in bf)
+
+
+def test_semdedup_zero_vectors_kept_not_nan_dropped(spark):
+    """A zero vector inside a cluster must not drop (or be dropped by)
+    anything via NaN comparisons."""
+    rows = [(i, [float(i + 1), 1.0, 0.0, 0.0]) for i in range(6)]
+    rows += [(10, [0.0] * 4), (11, [0.0] * 4)]
+    out = {r["vec_id"]: r["sem_keep"]
+           for r in semdedup(_emb(spark, rows), cos_min=0.99,
+                             k=2).collect()}
+    assert out[10] and out[11]             # zero vectors match nothing
+
+
+def test_kmeans_codebook_offset_ids(spark):
+    """Non-dense / offset vec_ids (the planted-copy convention uses
+    base+1000000) must still train k centroids: the old `vec_id < k`
+    init silently produced an EMPTY codebook and semdedup returned an
+    empty frame."""
+    rows = [(1_000_000 + i,
+             [float((i * 7 + j * 3) % 5 - 2) for j in range(8)])
+            for i in range(40)]
+    cents = kmeans_codebook(_emb(spark, rows), k=4).collect()
+    assert len(cents) == 4
+    out = semdedup(_emb(spark, rows), cos_min=0.999, k=4).collect()
+    assert len(out) == 40                  # every vector gets a verdict
+
+
+def test_kmeans_codebook_all_odd_ids_trains(spark):
+    """vec_id % 2 == 0 over all-odd ids is an EMPTY training sample;
+    the fallback must train on the full input instead of silently
+    keeping the raw init vectors."""
+    rows = [(2 * i + 1,
+             [float((i * 5 + j) % 7 - 3) for j in range(8)])
+            for i in range(30)]
+    df = _emb(spark, rows)
+    cents = {r["centroid_id"]: r["cent"]
+             for r in kmeans_codebook(df, k=3, iters=1).collect()}
+    assert len(cents) == 3
+    init = {r["vec_id"]: [float(v) for v in r["embedding"]]
+            for r in df.orderBy("vec_id").limit(3).collect()}
+    # at least one centroid moved off its raw init vector
+    assert any(cents[i] != init[i] for i in init)
+
+
+def test_embedding_near_dups_duplicate_id_no_self_pair(spark):
+    rows = [(5, [1.0, 2.0, 3.0, 4.0] * 2), (5, [1.0, 2.0, 3.0, 4.0] * 2)]
+    pairs = embedding_near_dups(_emb(spark, rows), cos_min=0.5,
+                                bands=2, rows=4).collect()
+    assert pairs == []
