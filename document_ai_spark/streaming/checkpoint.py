@@ -51,13 +51,12 @@ class JobKilled(RuntimeError):
 
 def _observed(obs: Observation, key: str):
     """An Observation metric, or None when the metrics row never
-    materialized — Spark's AQE PropagateEmptyRelation may replace the
-    observed subtree with an empty LocalTableScan when a runtime filter
-    empties it, and Observation.get then fails inside toPyRow."""
-    try:
-        return obs.get[key]
-    except Exception:
-        return None
+    materialized — AQE empty-relation elision, or (the hang case) an
+    extract_fn whose output plan never executed the observed subtree
+    at all: a bare obs.get would BLOCK forever there, so this rides
+    the bounded store.observed_value poll."""
+    from .store import observed_value
+    return observed_value(obs, key)
 
 
 def ingest_bucketed(docs_df: DataFrame, path: str, buckets: int) -> str:
@@ -95,6 +94,13 @@ def run_checkpointed(
     partitioned by a ``bucket`` column matching this run's bucket count
     (e.g. a previous ingest_bucketed output); ``docs_df`` is then unused.
     Otherwise ``docs_df`` is ingested once under ``out_root``/_input.
+
+    Scan discipline caveat: the DOCS side is ingested bucketed (each
+    bucket reads 1/B of files), but ``payloads_df`` is joined whole per
+    bucket — B scans of the payload source. At scale, use the bucketed
+    storage layout (sources/bucketed.py, run_extract.py
+    --bucketed-layout), which co-partitions payloads by the same key
+    and removes both the scans and the join exchanges.
     """
     from ..plans.pipeline import extract as default_extract
 
@@ -135,15 +141,22 @@ def run_checkpointed(
     # is immutable after ingest, so a resume re-derives the same K;
     # reassembly output is byte-identical for any K (pinned by
     # test_skew), making this purely a cost change.
-    if extract_fn is default_extract:
-        from ..plans.pipeline import derive_salt_buckets
-        k_salt = derive_salt_buckets(spark.read.parquet(docs_path))
-
-        def extract_fn(d, p):                       # noqa: E731
-            return default_extract(d, p, salt_buckets=k_salt)
-
     done = store.committed_buckets()
     committed_this_run = 0
+
+    if extract_fn is default_extract:
+        from ..plans.pipeline import derive_salt_buckets
+
+        # Derived AFTER the committed-buckets check and only when work
+        # remains: a fully-committed no-op resume must not pay the
+        # corpus-wide approxQuantile scan (review finding). The input
+        # is immutable after ingest, so any resume that does have
+        # pending buckets re-derives the identical K.
+        if len(done) < buckets:
+            k_salt = derive_salt_buckets(spark.read.parquet(docs_path))
+
+            def extract_fn(d, p):                   # noqa: E731
+                return default_extract(d, p, salt_buckets=k_salt)
 
     from ..operators.dedup import collect_cap_metrics
 

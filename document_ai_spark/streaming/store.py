@@ -63,6 +63,29 @@ class IcebergUnavailable(RuntimeError):
     """Raised when the Iceberg Spark runtime is not on the classpath."""
 
 
+def observed_value(obs: Observation, key: str,
+                   timeout_sec: float = 5.0):
+    """Bounded Observation read: the metric value, or None when the
+    observed subtree never materialized. Two failure modes a bare
+    ``obs.get`` does not survive: AQE's PropagateEmptyRelation can
+    collapse the observed subtree to an empty LocalTableScan (get then
+    throws inside toPyRow), and a plan whose CollectMetrics node never
+    executed leaves get BLOCKING forever (the dedup._CapCollector
+    lesson — e.g. an extract_fn whose output does not derive from the
+    observed input). Polls the JVM getRowOrEmpty, which resolves on the
+    first check in the normal already-fired case."""
+    deadline = time.monotonic() + timeout_sec
+    while True:
+        jo = getattr(obs, "_jo", None)
+        if jo is not None and jo.getRowOrEmpty().isDefined():
+            try:
+                return obs.get.get(key)
+            except Exception:          # noqa: BLE001 — telemetry only
+                return None
+        if time.monotonic() >= deadline:
+            return None
+
+
 class SnapshotStore(abc.ABC):
     """Commit/visibility contract for bucket-at-a-time checkpointed runs."""
 
@@ -84,8 +107,22 @@ class SnapshotStore(abc.ABC):
     @abc.abstractmethod
     def read_committed(self, spark: SparkSession) -> DataFrame: ...
 
-    @abc.abstractmethod
-    def lineage_df(self, spark: SparkSession) -> DataFrame: ...
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        """The checkpoint/metrics table as a DataFrame — one shared
+        implementation over committed_buckets() (the two stores'
+        copies had drifted; setdefault covers pre-seq/metrics legacy
+        manifest rows)."""
+        rows = list(self.committed_buckets().values())
+        if not rows:
+            return spark.createDataFrame([], _LINEAGE_SCHEMA)
+        for r in rows:
+            r.setdefault("seq", 0)
+            if r.get("metrics") is None:
+                r["metrics"] = "{}"
+            r.setdefault("metrics", "{}")
+        return spark.createDataFrame(rows).select(
+            "run_id", "partition_id", "snapshot_id", "rows_in", "rows_out",
+            "latency_ms", "committed_at", "seq", "metrics")
 
     @abc.abstractmethod
     def delete_docs(self, spark: SparkSession, doc_ids: Iterable[str],
@@ -154,7 +191,12 @@ class ManifestStore(SnapshotStore):
     def committed_buckets(self) -> Dict[int, dict]:
         out = {}
         for name in os.listdir(self.manifest_dir):
-            if name.endswith(".json"):
+            # dot-prefixed names are in-flight temps (.tmp-<b>.json): a
+            # crash mid-commit leaves one behind, and reading it would
+            # either raise on the partial JSON (bricking every resume)
+            # or fabricate a commit record — both violate the
+            # manifests-are-created-whole contract.
+            if name.endswith(".json") and not name.startswith("."):
                 with open(os.path.join(self.manifest_dir, name)) as f:
                     m = json.load(f)
                 out[int(m["partition_id"])] = m
@@ -194,45 +236,66 @@ class ManifestStore(SnapshotStore):
 
     def write_bucket(self, bucket: int, out_df: DataFrame) -> int:
         """Stage the bucket's parquet; rows_out comes from an Observation
-        riding the same write job — no second count() pass."""
+        riding the same write job — no second count() pass. When AQE
+        elides the observed subtree (runtime-empty bucket), fall back to
+        counting the STAGED files just written — never a recompute of
+        the plan, and telemetry must not kill the run."""
         obs = Observation()
         (out_df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
          .write.mode("overwrite").parquet(self.staged_path(bucket)))
-        return int(obs.get["rows_out"])
+        rows = observed_value(obs, "rows_out")
+        if rows is None:
+            rows = out_df.sparkSession.read.parquet(
+                self.staged_path(bucket)).count()
+        return int(rows)
 
     def commit(self, lineage: Lineage) -> None:
         """Promote staging -> data, then write the manifest atomically.
-        Crash between the two leaves the bucket uncommitted (manifest
-        absent) and the re-run overwrites staging + re-renames: idempotent."""
-        seq_next = self._seq() + 1   # read BEFORE the new manifest lands
+
+        Crash-window discipline (each step leaves a resumable state):
+          1. counter FIRST — a crash after it leaves a seq gap, never a
+             duplicate (seq is the documented latest-wins key; writing
+             it last could reissue the same seq to two commits);
+          2. on RE-commit, the old manifest is removed before the data
+             swap — the bucket reads as uncommitted for the swap window,
+             so a crash inside it means redo, never a manifest pointing
+             at missing/half-swapped data (the old rmtree-before-rename
+             left exactly that: manifest committed, directory gone);
+          3. old data renamed ASIDE (bucket=<b>.old), new renamed in,
+             aside deleted — no point where the committed path is
+             missing while a manifest references it;
+          4. manifest written whole + renamed (atomic publish).
+        A leftover .old directory is swept on the next commit of the
+        same bucket; .old paths are never read (reads go through
+        committed_path only)."""
+        import shutil
+        seq_next = self._seq() + 1
         lineage.seq = seq_next       # monotone 'latest commit wins' key
+        # The id of the snapshot that CONTAINS this commit (the counter
+        # value after it) — mirrors the Iceberg path, which records the
+        # post-write table snapshot; recording the pre-commit id was
+        # off by one (review finding).
+        lineage.snapshot_id = f"snap-{seq_next:06d}"
+        self._write_seq(seq_next)
         src, dst = self.staged_path(lineage.partition_id), \
             self.committed_path(lineage.partition_id)
+        man = os.path.join(self.manifest_dir,
+                           f"{lineage.partition_id}.json")
+        if os.path.exists(man):
+            os.remove(man)
         if os.path.exists(dst):
-            import shutil
-            shutil.rmtree(dst)
-        os.rename(src, dst)
+            aside = dst + ".old"
+            shutil.rmtree(aside, ignore_errors=True)
+            os.rename(dst, aside)
+            os.rename(src, dst)
+            shutil.rmtree(aside, ignore_errors=True)
+        else:
+            os.rename(src, dst)
         tmp = os.path.join(self.manifest_dir,
                            f".tmp-{lineage.partition_id}.json")
         with open(tmp, "w") as f:
             json.dump(lineage.__dict__, f)
-        os.rename(tmp, os.path.join(self.manifest_dir,
-                                    f"{lineage.partition_id}.json"))
-        self._write_seq(seq_next)
-
-    # -- reads ---------------------------------------------------------------
-
-    def lineage_df(self, spark: SparkSession) -> DataFrame:
-        """The checkpoint/metrics table as a DataFrame."""
-        rows = list(self.committed_buckets().values())
-        if not rows:
-            return spark.createDataFrame([], _LINEAGE_SCHEMA)
-        for r in rows:
-            r.setdefault("seq", 0)
-            r.setdefault("metrics", "{}")
-        return spark.createDataFrame(rows).select(
-            "run_id", "partition_id", "snapshot_id", "rows_in", "rows_out",
-            "latency_ms", "committed_at", "seq", "metrics")
+        os.rename(tmp, man)
 
     # -- tombstones -----------------------------------------------------------
 
@@ -377,12 +440,25 @@ class IcebergStore(SnapshotStore):
         obs = Observation()
         tagged = (out_df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
                   .withColumn("bucket", F.lit(bucket)))
-        if self.spark.catalog.tableExists(self.table):
+        existed = self.spark.catalog.tableExists(self.table)
+        if existed:
             tagged.writeTo(self.table).overwritePartitions()
         else:
             (tagged.writeTo(self.table).partitionedBy("bucket")
              .using("iceberg").create())
-        return int(obs.get["rows_out"])
+        rows = observed_value(obs, "rows_out")
+        if rows is None:
+            rows = (self.spark.table(self.table)
+                    .where(F.col("bucket") == bucket).count())
+        # Dynamic overwritePartitions with an EMPTY input replaces
+        # nothing — stale rows from a crashed prior write of this
+        # bucket would stay visible (resurrecting tombstone-deleted
+        # docs). Truncate the partition explicitly when this write
+        # produced zero rows.
+        if int(rows) == 0 and existed:
+            self.spark.sql(f"DELETE FROM {self.table} "
+                           f"WHERE bucket = {int(bucket)}")
+        return int(rows)
 
     def commit(self, lineage: Lineage) -> None:
         lineage.seq = self._next_seq()
@@ -395,17 +471,6 @@ class IcebergStore(SnapshotStore):
             raise ValueError("no committed buckets")
         return (spark.table(self.table)
                 .where(F.col("bucket").isin(committed)).drop("bucket"))
-
-    def lineage_df(self, spark: SparkSession) -> DataFrame:
-        rows = list(self.committed_buckets().values())
-        if not rows:
-            return spark.createDataFrame([], _LINEAGE_SCHEMA)
-        for r in rows:
-            r.setdefault("seq", 0)
-            r.setdefault("metrics", "{}")
-        return spark.createDataFrame(rows).select(
-            "run_id", "partition_id", "snapshot_id", "rows_in", "rows_out",
-            "latency_ms", "committed_at", "seq", "metrics")
 
     def pending_tombstones(self, bucket: int) -> List[str]:
         if not self.spark.catalog.tableExists(self.tombstone_table):

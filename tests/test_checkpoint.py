@@ -67,9 +67,11 @@ def test_lineage_metrics_recorded(spark, corpus_dfs, tmp_path):
     assert sum(r["rows_out"] for r in lin) == docs_df.count()
     assert all(r["latency_ms"] > 0 for r in lin)
     assert all(r["run_id"] == "run-x" for r in lin)
-    # Snapshot ids are monotone commit counters.
+    # Snapshot ids are monotone commit counters recording the snapshot
+    # that CONTAINS each commit (post-commit counter value, mirroring
+    # the Iceberg path's post-write table snapshot).
     snaps = sorted(r["snapshot_id"] for r in lin)
-    assert snaps == [f"snap-{i:06d}" for i in range(4)]
+    assert snaps == [f"snap-{i:06d}" for i in range(1, 5)]
 
 
 def test_observe_metrics_persisted_in_lineage(spark, corpus_dfs, tmp_path):
@@ -143,3 +145,59 @@ def test_runtime_empty_bucket_commits(spark, corpus_dfs, tmp_path):
     assert len(lin) == 3
     assert sum(r["rows_in"] for r in lin) == docs_df.count()
     assert all(r["rows_out"] == 0 for r in lin)
+
+
+def test_leftover_tmp_manifest_is_ignored(spark, tmp_path):
+    """Review regression: a crash mid-commit leaves a partial
+    .tmp-<b>.json in _manifests; committed_buckets must skip it (it
+    previously either raised on the partial JSON — bricking every
+    resume — or fabricated a commit record)."""
+    from document_ai_spark.streaming.store import ManifestStore
+
+    store = ManifestStore(str(tmp_path / "st_tmp"))
+    with open(f"{store.manifest_dir}/.tmp-3.json", "w") as f:
+        f.write('{"partition_id": 3, "run_id"')      # truncated write
+    assert store.committed_buckets() == {}
+
+
+def test_recommit_sweeps_aside_and_serves_new_data(spark, tmp_path):
+    """Re-committing a bucket swaps via a rename-aside (never a window
+    where the manifest points at a missing directory); the aside dir is
+    swept and reads serve the new data."""
+    import os
+
+    from document_ai_spark.streaming.store import Lineage, ManifestStore
+
+    store = ManifestStore(str(tmp_path / "st_re"))
+
+    def commit_rows(vals, snap):
+        df = spark.createDataFrame([(v,) for v in vals], "doc_id string")
+        rows = store.write_bucket(0, df)
+        store.commit(Lineage(
+            run_id="r", partition_id=0, snapshot_id=snap,
+            rows_in=len(vals), rows_out=rows, latency_ms=1.0,
+            committed_at="t"))
+
+    commit_rows(["a", "b"], "x")
+    commit_rows(["c"], "y")
+    assert not os.path.exists(store.committed_path(0) + ".old")
+    got = {r["doc_id"] for r in store.read_committed(spark).collect()}
+    assert got == {"c"}
+    # post-commit snapshot ids: second commit is snap-000002
+    assert store.committed_buckets()[0]["snapshot_id"] == "snap-000002"
+    assert store.snapshot_id() == "snap-000002"
+
+
+def test_write_bucket_empty_output_returns_zero(spark, tmp_path):
+    """Telemetry must not kill the run when AQE elides the observed
+    subtree of a runtime-empty bucket: rows_out falls back to counting
+    the staged files."""
+    from pyspark.sql import functions as F
+
+    from document_ai_spark.streaming.store import ManifestStore
+
+    store = ManifestStore(str(tmp_path / "st_empty"))
+    df = (spark.range(100).select(F.col("id").cast("string")
+                                  .alias("doc_id"))
+          .where(F.length("doc_id") > 10))           # runtime-empty
+    assert store.write_bucket(1, df) == 0
