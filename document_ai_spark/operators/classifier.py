@@ -19,9 +19,11 @@ Scale shape (the part that matters at 10^12 docs):
 - Scoring joins exploded tokens to the model on the word key. The model
   is NOT broadcast by default: at web scale the vocabulary is 10^8+
   rows (same sizing note as textquality.with_unigram_logprob). The
-  per-doc sum benefits from partial aggregation because exploded rows
-  stay clustered by doc_id within a partition, so the shuffle after
-  scoring is ~1 row per document.
+  word-key join clusters rows BY WORD, so the per-doc sum's map-side
+  partials emit up to one row per (doc, partition) — not ~1 per doc;
+  the post-score shuffle is bounded by docs x shuffle-partitions, the
+  same shape with_unigram_logprob pays and the price of not
+  broadcasting a 10^8-row model.
 - Unseen-at-train-time words score the smoothed default
   ln((n_neg+V)/(n_pos+V)) via a left join + coalesce — the operator is
   honest when the model is trained on a reference slice and applied to
@@ -55,20 +57,23 @@ __all__ = ["nb_train", "nb_score", "nb_quality"]
 
 def _doc_words(docs: DataFrame, extra_cols: list[str] | None = None
                ) -> DataFrame:
-    """One row per (doc_id, lowercased token); empty tokens dropped.
-
-    Same normalization as with_unigram_logprob so the two corpus-model
-    scores are comparable feature-for-feature."""
-    extra = [F.col(c) for c in (extra_cols or [])]
-    return (docs.select("doc_id", *extra,
-                        F.explode(tokens_col()).alias("word"))
-            .where(F.col("word") != "")
-            .select("doc_id", *extra, F.lower("word").alias("word")))
+    """THE shared word normalization (textquality.doc_words) — one
+    definition keeps the NB features comparable with the unigram-LM
+    and TF-IDF corpus scores, structurally rather than by comment."""
+    from .textquality import doc_words
+    return doc_words(docs, extra_cols)
 
 
 def nb_train(labeled: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Train a two-class multinomial NB from `labeled(doc_id, text,
     label:boolean)`.
+
+    NULL labels are EXCLUDED from training: a NULL predicate result
+    (e.g. lang IS NULL under `lang == 'en'`) means "label unknown",
+    and the when/otherwise counting would otherwise silently train
+    every such doc as a confident NEGATIVE example — systematically
+    mislabeled data on exactly the undetected-language crawl slice a
+    quality classifier is pointed at (review finding).
 
     Returns (model, params):
     - model(word, delta): delta = ln P(w|pos) - ln P(w|neg) under
@@ -78,6 +83,7 @@ def nb_train(labeled: DataFrame) -> tuple[DataFrame, DataFrame]:
       prior_logodds = ln((D_pos+1)/(D_neg+1)) over labeled docs and
       default_delta is the smoothed delta of a word neither class saw.
     """
+    labeled = labeled.where(F.col("label").isNotNull())
     words = _doc_words(labeled, ["label"])
     counts = words.groupBy("word").agg(
         F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("c_pos"),

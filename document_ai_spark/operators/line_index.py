@@ -55,21 +55,12 @@ class LineIndex(AtomicBatchIndex):
         one row per batch doc. Re-running a committed batch_id strips
         against exactly the index it saw the first time (before_seq)
         without double-appending."""
-        stage, final = self._stage_paths(batch_id)
-        replay = self._is_committed(batch_id)
-        if replay:
-            src, seq = final, self._batch_seq(batch_id)
-        else:
-            # line_frequencies IS the batch-local per-line aggregate
-            # (count-distinct docs + min doc_id, blank lines
-            # excluded); the parquet write materializes it once for
-            # both the strip below and the committed index batch.
-            line_frequencies(batch_df) \
-                .write.mode("overwrite").parquet(stage)
-            src = stage
-            seq = self._next_seq()
-            self._stamp_seq(stage, seq)
-        batch_agg = spark.read.parquet(src)
+        # line_frequencies IS the batch-local per-line aggregate
+        # (count-distinct docs + min doc_id, blank lines excluded);
+        # the staging write materializes it once for both the strip
+        # below and the committed index batch.
+        batch_agg, seq, replay, stage, final = self._open_batch(
+            spark, batch_id, lambda: line_frequencies(batch_df))
 
         # Accrete: earlier-committed counts + this batch's. min() over
         # keep_doc_id implements first-seen-wins under the ascending-
@@ -81,10 +72,5 @@ class LineIndex(AtomicBatchIndex):
                          F.min("keep_doc_id").alias("keep_doc_id")))
         hot = (combined.where(F.col("n_total") >= self.min_docs)
                .select("lk", "keep_doc_id"))
-        # Materialize before the commit rename invalidates the staging
-        # path the lazy plan reads from.
-        out = strip_hot_lines(batch_df, hot).localCheckpoint()
-
-        if not replay:
-            self._commit(stage, final)
-        return out
+        return self._close_batch(strip_hot_lines(batch_df, hot),
+                                 replay, stage, final)

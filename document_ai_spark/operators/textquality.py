@@ -275,6 +275,18 @@ def token_budget(df: DataFrame) -> DataFrame:
             .orderBy("lang", "source"))
 
 
+def doc_words(df, extra_cols=None):
+    """One row per (doc_id, lowercased token); empty tokens dropped.
+    THE shared word-normalization for every corpus-model score
+    (tfidf doc freqs, the unigram LM, the NB classifier) — one
+    definition so the scores stay comparable feature-for-feature."""
+    extra = [F.col(c) for c in (extra_cols or [])]
+    return (df.select("doc_id", *extra,
+                      F.explode(tokens_col()).alias("word"))
+            .where(F.col("word") != "")
+            .select("doc_id", *extra, F.lower("word").alias("word")))
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 20) -> DataFrame:
     """Corpus-level TF-IDF term ranking: per word, document frequency,
     total term frequency, idf = ln((N+1)/(df+1)), ranked by summed
@@ -285,10 +297,7 @@ def tfidf_top_terms(df: DataFrame, k: int = 20) -> DataFrame:
     lazy and whole). The word->agg shuffle is the only data movement;
     at 10^12 docs the groupBy(word) benefits from partial map-side
     aggregation (word cardinality << row count)."""
-    words = (df.select("doc_id",
-                       F.explode(tokens_col()).alias("word"))
-             .where(F.col("word") != "")
-             .select("doc_id", F.lower("word").alias("word")))
+    words = doc_words(df)
     n_docs = df.select(
         F.count("*").cast("double").alias("n_docs"))   # 1 row, broadcast
     stats = words.groupBy("word").agg(
@@ -490,10 +499,7 @@ def with_unigram_logprob(df: DataFrame) -> DataFrame:
     vocabulary is 10^8+ rows), then one groupBy(doc_id) mean. Corpus
     totals ride along as a broadcast 1-row aggregate, never a driver
     scalar."""
-    words = (df.select("doc_id",
-                       F.explode(tokens_col()).alias("word"))
-             .where(F.col("word") != "")
-             .select("doc_id", F.lower("word").alias("word")))
+    words = doc_words(df)
     freqs = words.groupBy("word").agg(F.count("*").alias("wc"))
     totals = freqs.agg(
         F.sum("wc").cast("double").alias("n_tokens_corpus"),

@@ -10,7 +10,7 @@ media_ref hash so the payload-resolve join never shuffles.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def write_bucketed(df: DataFrame, table: str, key: str,
@@ -29,12 +29,18 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the executed plan."""
+    """Number of shuffle exchanges (hash, range, AND single-partition)
+    in the executed plan — a substring match on 'Exchange hash' alone
+    under-counted, letting a zero-exchange assertion pass while the
+    plan still shuffled every row through a range or single-partition
+    exchange (review finding)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange hashpartitioning")
+    return (plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange SinglePartition"))
 
 
-def ingest_extraction_tables(spark: SparkSession, docs_df: DataFrame,
+def ingest_extraction_tables(docs_df: DataFrame,
                              payloads_df: DataFrame, prefix: str,
                              buckets: int = 16) -> tuple:
     """Persist the extraction inputs in the exchange-free storage layout:
@@ -77,8 +83,6 @@ def write_range_layout(df: DataFrame, path: str, partitions: int = 32,
     reservoir sampling of the key distribution, so skewed key spaces
     still split into ~equal files (north_rule: repartitionByRange on
     doc_id)."""
-    from pyspark.sql import functions as F
-
     (df.repartitionByRange(partitions, F.col(key))
        .sortWithinPartitions(key)
        .write.mode("overwrite").parquet(path))
@@ -87,8 +91,6 @@ def write_range_layout(df: DataFrame, path: str, partitions: int = 32,
 def file_key_ranges(spark: SparkSession, path: str, key: str = "doc_id"):
     """(file, min_key, max_key) per parquet file — the layout audit the
     range-layout test asserts disjointness on."""
-    from pyspark.sql import functions as F
-
     return (spark.read.parquet(path)
             .groupBy(F.input_file_name().alias("file"))
             .agg(F.min(key).alias("min_key"), F.max(key).alias("max_key"))

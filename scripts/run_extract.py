@@ -70,7 +70,7 @@ def main() -> None:
             ingest_extraction_tables,
         )
 
-        ingest_extraction_tables(spark, docs, payloads, "extract_run",
+        ingest_extraction_tables(docs, payloads, "extract_run",
                                  buckets=args.buckets)
         out = extract_bucketed(spark, "extract_run")
         from pyspark.sql import functions as F

@@ -60,7 +60,7 @@ def test_bucketed_extraction_drops_two_exchanges(spark, corpus_dfs):
     )
 
     docs_df, payloads_df = corpus_dfs
-    ingest_extraction_tables(spark, docs_df, payloads_df,
+    ingest_extraction_tables(docs_df, payloads_df,
                              "t_extract_b", buckets=8)
     try:
         plain = extract(docs_df, payloads_df)

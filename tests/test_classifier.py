@@ -170,3 +170,29 @@ def test_nb_matches_pure_python_reference(spark):
         assert got[i][0] == want, (i, got[i][0], want)
         assert got[i][1] == (want > 0)
         assert got[i][2] == len(words)
+
+
+def test_nb_train_null_labels_excluded(spark):
+    """Review regression: a NULL label predicate (lang IS NULL under
+    lang == 'en') means 'unknown', and when/otherwise counting used to
+    train every such doc as a confident NEGATIVE example."""
+    from pyspark.sql import functions as F
+
+    from document_ai_spark.operators.classifier import nb_quality
+
+    rows = ([("p%d" % i, "good words here always", "en")
+             for i in range(6)]
+            + [("n%d" % i, "bad junk tokens everywhere", "de")
+               for i in range(6)]
+            + [("u%d" % i, "good words here always", None)
+               for i in range(20)])      # unknown-lang POSITIVE-looking
+    docs = spark.createDataFrame(
+        rows, "doc_id string, text string, lang string")
+    out = {r["doc_id"]: r["nb_logodds"]
+           for r in nb_quality(docs, F.col("lang") == "en").collect()}
+    # the unknown-language docs share the POSITIVE class's exact text;
+    # with NULL labels excluded from training they must score positive
+    # (trained as negatives, they would drag their own text negative)
+    assert all(out[f"u{i}"] > 0 for i in range(20))
+    assert all(out[f"p{i}"] > 0 for i in range(6))
+    assert all(out[f"n{i}"] < 0 for i in range(6))
