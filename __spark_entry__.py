@@ -32,6 +32,7 @@ from document_ai_spark.functions.tokenize import (                # noqa: E402
 from document_ai_spark.operators import dedup as D               # noqa: E402
 from document_ai_spark.operators import similarity as S          # noqa: E402
 from document_ai_spark.operators import textquality as TQ        # noqa: E402
+from document_ai_spark.session import fan_out                    # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -51,6 +52,27 @@ def _dtrim(e: str) -> str:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) pre-sorted by doc_id — the round-6 shape for the
+    per-document map-heavy queries (tokenize/md5/HOF families): sorting
+    the RAW rows first and computing ABOVE the range exchange (the final
+    select keeps the heavy projection over the Sort) fixes two measured
+    costs of `compute().orderBy(doc_id)` at once. (1) Double compute:
+    range partitioning SAMPLES its child by executing it in full, so a
+    heavy projection below the sort runs twice per query (guide §7.2 —
+    measured 2x on simhash at sf1.0). (2) Serial compute: the bench
+    tables are single-row-group parquet files, so the pre-exchange
+    projection runs in ONE scan task regardless of split config; above
+    the range exchange it runs once per post-shuffle partition (all
+    cores). Sorting (doc_id, text) instead of (doc_id, tiny-result)
+    shuffles ~300 B/row more — orders of magnitude cheaper than the
+    per-row compute it parallelizes, at bench scale and at cluster
+    scale alike. Output ordering is unchanged: a projection above a
+    sort preserves both intra- and inter-partition order."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", "text").orderBy("doc_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -602,9 +624,9 @@ SELECT doc_id, ROUND(m, 2) AS cost FROM (
 
 
 def _q_token_stats(spark, sf):
-    d = TQ.with_token_stats(_t(spark, sf, "documents"))
+    d = TQ.with_token_stats(_docs_sorted(spark, sf))
     return d.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
-                    "stopword_ratio", "mean_word_len").orderBy("doc_id")
+                    "stopword_ratio", "mean_word_len")
 
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in C.STOPWORDS) + "]"
@@ -623,9 +645,9 @@ FROM (SELECT doc_id, {_DUCK_TOKS} AS toks
 
 
 def _q_diversity_stats(spark, sf):
-    d = TQ.with_diversity_stats(_t(spark, sf, "documents"))
+    d = TQ.with_diversity_stats(_docs_sorted(spark, sf))
     return d.select("doc_id", "n_types", "ttr",
-                    "token_entropy", "char_entropy").orderBy("doc_id")
+                    "token_entropy", "char_entropy")
 
 
 def _duck_entropy_terms(st: str, n: str) -> str:
@@ -665,8 +687,8 @@ ORDER BY doc_id
 
 
 def _q_quality_score(spark, sf):
-    d = TQ.with_quality_score(_t(spark, sf, "documents"))
-    return d.select("doc_id", "quality_score").orderBy("doc_id")
+    d = TQ.with_quality_score(_docs_sorted(spark, sf))
+    return d.select("doc_id", "quality_score")
 
 
 _SQL_QUALITY = f"""
@@ -717,8 +739,8 @@ GROUP BY lang_guess ORDER BY lang_guess
 
 
 def _q_fingerprint(spark, sf):
-    d = TQ.with_fingerprint(_t(spark, sf, "documents"))
-    return d.select("doc_id", "content_hash", "min_shingle").orderBy("doc_id")
+    d = TQ.with_fingerprint(_docs_sorted(spark, sf))
+    return d.select("doc_id", "content_hash", "min_shingle")
 
 
 _SQL_FINGERPRINT = """
@@ -733,13 +755,19 @@ FROM documents ORDER BY doc_id
 # -- dedup family (near-dups planted by unioning a mutated copy) -----------
 
 def _dup_docs(spark, sf):
-    """documents UNION a near-dup copy (first word dropped, id + 1000000)."""
+    """documents UNION a near-dup copy (first word dropped, id + 1000000).
+
+    fan_out (round 6): the union of two single-row-group scans arrives
+    in 2 partitions, serializing the expensive downstream sketch
+    pipeline (tokenize -> shingle -> md5 -> sort) on a 32-core box; the
+    round-robin repartition moves ~2x6 MB of text once so that work
+    runs on every core. No-op on real multi-split inputs."""
     d = _t(spark, sf, "documents").select("doc_id", "text")
     mut = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.expr(f"array_join(slice(split({ws_trim_sql('text')}, '\\\\s+'), 2, "
                f"size(split({ws_trim_sql('text')}, '\\\\s+'))), ' ')").alias("text"))
-    return d.unionByName(mut)
+    return fan_out(d.unionByName(mut))
 
 
 _DUP_DOCS_SQL = """
@@ -779,14 +807,14 @@ _SHINGLE_SQL = (
 
 
 def _q_minhash_sketch(spark, sf):
-    d = D.with_minhash_sketch(_t(spark, sf, "documents"))
+    d = D.with_minhash_sketch(_docs_sorted(spark, sf))
     # NULL (not '') sketch string for zero-token docs: DuckDB's
     # array_to_string on an empty list is NULL, so mirror that here.
     return d.select(
         "doc_id", "minhash_bucket",
         F.when(F.size("minhash_sketch") > 0,
                F.array_join("minhash_sketch", "|")).alias("sketch")
-    ).orderBy("doc_id")
+    )
 
 
 _SQL_MINHASH = f"""
@@ -986,8 +1014,8 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 def _q_simhash(spark, sf):
-    d = D.with_simhash(_t(spark, sf, "documents"))
-    return d.select("doc_id", "simhash").orderBy("doc_id")
+    d = D.with_simhash(_docs_sorted(spark, sf))
+    return d.select("doc_id", "simhash")
 
 
 def _sql_simhash():

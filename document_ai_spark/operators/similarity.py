@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..session import fan_out
 from .dedup import _cap_bucket_items
 
 
@@ -47,17 +48,34 @@ def _cosine(a, b):
     return F.when(na * nb == 0.0, F.lit(0.0)).otherwise(dot / (na * nb))
 
 
+def _cosine_pre(a, b, na, nb):
+    """_cosine with both norms PRECOMPUTED (round-6 optimization, guide
+    §1.2 per-task work): every scoring path here evaluates O(pairs)
+    cosines, and _cosine's two inline norm folds tripled the per-pair
+    array work — precomputing item_norm once per ITEM leaves one
+    zip_with+aggregate fold per pair. The norm expression is the same
+    sqrt(aggregate(acc + v*v)) fold, so na*nb and dot/(na*nb) see
+    bit-identical inputs and results are unchanged (oracle-verified)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(na * nb == 0.0, F.lit(0.0)).otherwise(dot / (na * nb))
+
+
 def brute_force_topk(emb: DataFrame, probe_ids, k: int = 5) -> DataFrame:
     """Exact top-k cosine neighbors per probe id.
     Returns (probe_id, vec_id, cos_sim, rank) — ties broken by vec_id."""
-    base = emb.select("vec_id",
-                      F.col("embedding").cast("array<double>").alias("emb"))
+    base = fan_out(emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))) \
+        .withColumn("nrm", item_norm(F.col("emb")))
     probes = base.where(F.col("vec_id").isin(list(probe_ids))).select(
-        F.col("vec_id").alias("probe_id"), F.col("emb").alias("probe_emb"))
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("probe_emb"),
+        F.col("nrm").alias("probe_nrm"))
     scored = (
         base.crossJoin(F.broadcast(probes))
         .where(F.col("vec_id") != F.col("probe_id"))
-        .withColumn("cos_sim", F.round(_cosine("emb", "probe_emb"), 6))
+        .withColumn("cos_sim", F.round(_cosine_pre(
+            "emb", "probe_emb", F.col("nrm"), F.col("probe_nrm")), 6))
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id"))
@@ -92,18 +110,19 @@ def lsh_topk(emb: DataFrame, probe_ids, k: int = 5,
     overflowing band to ONE bucket (a hidden full scan per probe)."""
     bands = bands if bands is not None else LSH_TOPK_BANDS
     rows = rows if rows is not None else LSH_TOPK_ROWS
-    base = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    base = fan_out(emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))) \
+        .withColumn("nrm", item_norm(F.col("emb")))
     band_keys = F.array(*[
         F.struct(F.lit(band).alias("band"),
                  _band_bucket(F.col("emb"), band, rows).alias("bucket"))
         for band in range(bands)])
-    banded = (base.select("vec_id", "emb",
+    banded = (base.select("vec_id", "emb", "nrm",
                           F.explode(band_keys).alias("bk"))
-              .select("vec_id", "emb", "bk.band", "bk.bucket"))
+              .select("vec_id", "emb", "nrm", "bk.band", "bk.bucket"))
     probes = banded.where(F.col("vec_id").isin(list(probe_ids))).select(
         F.col("vec_id").alias("probe_id"), "band", "bucket",
-        F.col("emb").alias("probe_emb"))
+        F.col("emb").alias("probe_emb"), F.col("nrm").alias("probe_nrm"))
     # Score BEFORE the cross-band dedup: the groupBy then exchanges one
     # 8-byte double per surviving (probe, candidate) row instead of two
     # full embeddings (~1 KB at 64 dims) — the same drop-the-payload
@@ -112,7 +131,8 @@ def lsh_topk(emb: DataFrame, probe_ids, k: int = 5,
     scored = (
         banded.join(F.broadcast(probes), ["band", "bucket"])
         .where(F.col("vec_id") != F.col("probe_id"))
-        .withColumn("cos_sim", F.round(_cosine("emb", "probe_emb"), 6))
+        .withColumn("cos_sim", F.round(_cosine_pre(
+            "emb", "probe_emb", F.col("nrm"), F.col("probe_nrm")), 6))
         .groupBy("probe_id", "vec_id")          # dedup across bands
         .agg(F.first("cos_sim").alias("cos_sim"))
     )
@@ -141,8 +161,11 @@ def _assign_with_cos(base: DataFrame, cents: DataFrame) -> DataFrame:
     Lloyd training, semdedup, and the incremental SemanticIndex (a
     tie-break or rounding change lands once, preserving their
     batch == incremental parity contract)."""
-    scored = base.crossJoin(F.broadcast(cents)).withColumn(
-        "cos_c", F.round(_cosine("emb", "cent"), 6))
+    scored = (base.withColumn("_nrm", item_norm(F.col("emb")))
+              .crossJoin(F.broadcast(
+                  cents.withColumn("_cnrm", item_norm(F.col("cent")))))
+              .withColumn("cos_c", F.round(_cosine_pre(
+                  "emb", "cent", F.col("_nrm"), F.col("_cnrm")), 6)))
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("cos_c"), F.asc("centroid_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -242,11 +265,14 @@ def ivf_topk(emb: DataFrame, probe_ids, k: int = 5,
     probes = (probe_scored.withColumn("rn", F.row_number().over(wp))
               .where(F.col("rn") <= nprobe)
               .select(F.col("vec_id").alias("probe_id"), "centroid_id",
-                      F.col("emb").alias("probe_emb")))
+                      F.col("emb").alias("probe_emb"),
+                      item_norm(F.col("emb")).alias("probe_nrm")))
     scored = (
-        assigned.join(F.broadcast(probes), "centroid_id")
+        assigned.withColumn("nrm", item_norm(F.col("emb")))
+        .join(F.broadcast(probes), "centroid_id")
         .where(F.col("vec_id") != F.col("probe_id"))
-        .withColumn("cos_sim", F.round(_cosine("emb", "probe_emb"), 6))
+        .withColumn("cos_sim", F.round(_cosine_pre(
+            "emb", "probe_emb", F.col("nrm"), F.col("probe_nrm")), 6))
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id"))
@@ -296,21 +322,27 @@ def embedding_near_dups(emb: DataFrame, cos_min: float = 0.95,
     whose first-collision band was truncated is dropped even if
     co-present later; caps engage only on adversarial buckets and the
     drop is observed."""
-    base = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    base = fan_out(emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")))
     bucket_vec = F.array(*[
         _band_bucket(F.col("emb"), band, rows) for band in range(bands)])
     band_keys = F.array(*[
         F.struct(F.lit(band).alias("band"),
                  F.element_at("bks", band + 1).alias("bucket"))
         for band in range(bands)])
+    # Per-item L2 norm computed ONCE map-side (round 6, guide §1.2): the
+    # sweep below is O(pairs) and the old inline _cosine re-folded both
+    # norms per PAIR — 3 array folds/pair down to 1. Same sqrt(fold)
+    # expression, so rounded cosines are bit-identical.
     banded = (base.withColumn("bks", bucket_vec)
-              .select("vec_id", "emb", "bks",
+              .withColumn("nrm", item_norm(F.col("emb")))
+              .select("vec_id", "emb", "bks", "nrm",
                       F.explode(band_keys).alias("bk"))
-              .select("vec_id", "emb", "bks", "bk.band", "bk.bucket"))
+              .select("vec_id", "emb", "bks", "nrm", "bk.band", "bk.bucket"))
     grouped = (
         banded.groupBy("band", "bucket")
-        .agg(F.collect_list(F.struct("vec_id", "emb", "bks")).alias("items"))
+        .agg(F.collect_list(F.struct("vec_id", "emb", "bks", "nrm"))
+             .alias("items"))
         .where(F.size("items") > 1)
     )
     grouped = _cap_bucket_items(grouped, max_bucket)
@@ -319,22 +351,27 @@ def embedding_near_dups(emb: DataFrame, cos_min: float = 0.95,
         "  slice(zip_with(x.bks, y.bks, (a, c) -> a = c), 1, band), "
         "  t -> t) END"
     )
-    pairs = grouped.select(F.explode(F.expr(
+    # Round-6 sweep shape (guide §1.2/§2.3): score and threshold INSIDE
+    # the per-bucket HOF — the old form materialized a struct carrying
+    # BOTH full embeddings for every candidate pair, exploded all of
+    # them, and only then scored and filtered; now only surviving
+    # (id_a, id_b, cos_sim) triples are ever materialized/exploded.
+    # Self-pair guard (duplicate vec_id input rows) moved into the
+    # candidate filter; cosine/round/threshold expressions are the same
+    # ops in the same order, so output rows are bit-identical.
+    pair_expr = (
         "flatten(transform(items, (x, i) -> "
-        "  transform(filter(slice(items, i + 2, size(items)), "
-        f"            y -> {first_band}), y -> "
-        "    struct(x.vec_id AS id_a, y.vec_id AS id_b, "
-        "           x.emb AS emb_a, y.emb AS emb_b))))"
-    )).alias("p")).select("p.*")
-    return (
-        # duplicate vec_id input rows pair positionally with themselves;
-        # never emit a self-pair (vec_id-is-a-key input contract — the
-        # dedup.near_dup_pairs guard, mirrored here)
-        pairs.where(F.col("id_a") != F.col("id_b"))
-        .withColumn("cos_sim", F.round(_cosine("emb_a", "emb_b"), 6))
-        .where(F.col("cos_sim") >= cos_min)
-        .select("id_a", "id_b", "cos_sim")
+        "  filter(transform(filter(slice(items, i + 2, size(items)), "
+        f"           y -> x.vec_id != y.vec_id AND ({first_band})), y -> "
+        "     struct(x.vec_id AS id_a, y.vec_id AS id_b, "
+        "            round(CASE WHEN x.nrm * y.nrm = 0.0D THEN 0.0D ELSE "
+        "              aggregate(zip_with(x.emb, y.emb, (a, b) -> a * b), "
+        "                        cast(0.0 as double), (acc, v) -> acc + v) "
+        "              / (x.nrm * y.nrm) END, 6) AS cos_sim)), "
+        f"    p -> p.cos_sim >= {float(cos_min)!r})))"
     )
+    return (grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select("p.*"))
 
 
 # ---------------------------------------------------------------------------
