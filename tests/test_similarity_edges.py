@@ -84,3 +84,35 @@ def test_embedding_near_dups_duplicate_id_no_self_pair(spark):
     pairs = embedding_near_dups(_emb(spark, rows), cos_min=0.5,
                                 bands=2, rows=4).collect()
     assert pairs == []
+
+
+@pytest.mark.parametrize("cos_min", [0.999, 0.5, 0.0, -0.5])
+def test_sweep_arrow_matches_sql(spark, cos_min):
+    """Round-6 parity contract: the vectorized Arrow pair sweep must be
+    bit-identical to the pure-JVM HOF sweep on every adversarial input
+    class — NaN vectors (Spark orders NaN above all doubles, so NaN
+    cosines survive the filter in BOTH paths), zero-norm vectors
+    (scored 0.0 via the CASE short-circuit, even against a ragged
+    partner), ragged dimensions and null elements (NULL cosine ->
+    dropped), and duplicate ids (self-pair guard)."""
+    rows = [
+        (0, [1.0, 2.0] + [0.0] * 62), (1, [2.0, 4.0] + [0.0] * 62),
+        (2, [0.0] * 64), (3, [0.0] * 64),
+        (4, [float("nan")] * 64), (5, [1.0] * 64),
+        (6, [1.0] * 32),                    # ragged dims
+        (7, None),                          # null embedding
+        (8, [1.0, None] + [1.0] * 62),      # null element
+        (9, [1.0] * 64), (9, [1.0] * 64),   # duplicate id
+        (10, [-1.0] * 64), (11, [-1.0] * 64),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    sql_rows = sorted(
+        (r.id_a, r.id_b, str(r.cos_sim))
+        for r in embedding_near_dups(df, cos_min=cos_min,
+                                     sweep="sql").collect())
+    arrow_rows = sorted(
+        (r.id_a, r.id_b, str(r.cos_sim))
+        for r in embedding_near_dups(df, cos_min=cos_min,
+                                     sweep="arrow").collect())
+    assert sql_rows == arrow_rows
+    assert sql_rows                         # non-degenerate fixture
