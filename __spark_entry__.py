@@ -757,17 +757,22 @@ FROM documents ORDER BY doc_id
 def _dup_docs(spark, sf):
     """documents UNION a near-dup copy (first word dropped, id + 1000000).
 
-    fan_out (round 6): the union of two single-row-group scans arrives
-    in 2 partitions, serializing the expensive downstream sketch
-    pipeline (tokenize -> shingle -> md5 -> sort) on a 32-core box; the
-    round-robin repartition moves ~2x6 MB of text once so that work
-    runs on every core. No-op on real multi-split inputs."""
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    fan_out (round 6) runs BEFORE the union is built: a single-row-group
+    scan arrives in 1 partition, which would serialize both the mutation
+    and the expensive downstream sketch pipeline (tokenize -> shingle ->
+    md5 -> sort) on a 32-core box. Repartitioning the base once moves
+    ~6 MB of text and parallelizes both union legs; the mutation's
+    split() is evaluated once per row via the single-evaluation
+    transform idiom (dedup._word_shingles_sql discipline — the old
+    direct form re-split the text for the size() argument). No-op on
+    real multi-split inputs."""
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
     mut = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.expr(f"array_join(slice(split({ws_trim_sql('text')}, '\\\\s+'), 2, "
-               f"size(split({ws_trim_sql('text')}, '\\\\s+'))), ' ')").alias("text"))
-    return fan_out(d.unionByName(mut))
+        F.expr(f"element_at(transform(array(split({ws_trim_sql('text')}, "
+               "'\\\\s+')), w -> array_join(slice(w, 2, size(w)), ' ')), 1)"
+               ).alias("text"))
+    return d.unionByName(mut)
 
 
 _DUP_DOCS_SQL = """

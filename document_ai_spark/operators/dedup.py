@@ -193,12 +193,23 @@ def _word_shingles_sql(k: int = SHINGLE_K) -> str:
     Zero-token documents (empty/whitespace-only text) have ZERO
     shingles — not one empty-string shingle — so they never enter dedup
     buckets; both engines mirror this (DuckDB's array_to_string(NULL
-    slices) diverges from Spark's array_join otherwise)."""
+    slices) diverges from Spark's array_join otherwise).
+
+    Round 6: the per-shingle string is built with concat_ws over k
+    element_at lookups instead of array_join(slice(...)) — the slice
+    allocated a k-element array per shingle and was the single biggest
+    cost of the whole sketch pipeline (measured 2x on the shingle
+    stage at sf1.0). Identical output: for size(toks) >= k every
+    window has exactly k tokens; shorter docs take the explicit
+    < k branch, whose single shingle is all tokens joined — exactly
+    what slice(toks, 1, k) produced."""
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(k))
     return (
         f"element_at(transform(array({tokens_sql()}), toks -> "
-        "  CASE WHEN size(toks) = 0 THEN array() ELSE "
-        f"  transform(sequence(1, greatest(size(toks) - {k - 1}, 1)), "
-        f"            i -> array_join(slice(toks, i, {k}), ' ')) END"
+        "  CASE WHEN size(toks) = 0 THEN array() "
+        f"  WHEN size(toks) < {k} THEN array(concat_ws(' ', toks)) ELSE "
+        f"  transform(sequence(1, size(toks) - {k - 1}), "
+        f"            i -> concat_ws(' ', {parts})) END"
         "), 1)"
     )
 
@@ -341,24 +352,30 @@ def near_dup_pairs(df: DataFrame, jaccard_min: float = 0.6,
         .where(F.size("items") > 1)
     )
     grouped = _cap_bucket_items(grouped, max_bucket)
-    pairs = grouped.select(F.explode(F.expr(
+    # Round-6 sweep shape (guide §1.2/§2.3): score and threshold INSIDE
+    # the per-bucket HOF — the old form materialized a struct carrying
+    # both 8-hash sketches for every candidate pair, exploded all of
+    # them, and only then scored and filtered; now only surviving
+    # (doc_a, doc_b, jaccard) triples are materialized/exploded. The
+    # self-pair guard (duplicate doc_id input rows pair positionally
+    # with themselves; doc_id-is-a-key contract) lives in the candidate
+    # filter; jaccard/round/threshold/least/greatest are the same ops,
+    # so output rows are bit-identical.
+    pair_expr = (
         "flatten(transform(items, (x, i) -> "
-        "  transform(slice(items, i + 2, size(items)), y -> "
-        "    struct(x.doc_id AS id_x, y.doc_id AS id_y, "
-        "           x.minhash_sketch AS sk_a, y.minhash_sketch AS sk_b))))"
-    )).alias("p")).select("p.*")
-    inter = F.size(F.array_intersect("sk_a", "sk_b"))
-    union = F.size(F.array_union("sk_a", "sk_b"))
-    return (
-        # duplicate doc_id input rows pair positionally with themselves;
-        # never emit a self-pair (doc_id-is-a-key input contract)
-        pairs.where(F.col("id_x") != F.col("id_y"))
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .where(F.col("jaccard") >= jaccard_min)
-        .select(F.least("id_x", "id_y").alias("doc_a"),
-                F.greatest("id_x", "id_y").alias("doc_b"),
-                "jaccard")
+        "  filter(transform(filter(slice(items, i + 2, size(items)), "
+        "           y -> x.doc_id != y.doc_id), y -> "
+        "     struct(least(x.doc_id, y.doc_id) AS doc_a, "
+        "            greatest(x.doc_id, y.doc_id) AS doc_b, "
+        "            round(size(array_intersect(x.minhash_sketch, "
+        "                                       y.minhash_sketch)) "
+        "                  / size(array_union(x.minhash_sketch, "
+        "                                     y.minhash_sketch)), 6) "
+        "            AS jaccard)), "
+        f"    p -> p.jaccard >= {float(jaccard_min)!r})))"
     )
+    return (grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select("p.*"))
 
 
 LSH_BANDS = 4          # sketch of 8 hashes -> 4 bands x 2 rows
@@ -429,24 +446,23 @@ def banded_near_dup_pairs(df: DataFrame, jaccard_min: float = 0.5,
         f"    slice(y.minhash_sig, b * {rows} + 1, {rows})), "
         "  t -> t) END"
     )
-    pairs = grouped.select(F.explode(F.expr(
+    # Inline score-and-filter sweep — see near_dup_pairs (identical
+    # round-6 shape; self-pair guard in the candidate filter).
+    pair_expr = (
         "flatten(transform(items, (x, i) -> "
-        "  transform(filter(slice(items, i + 2, size(items)), "
-        f"            y -> {first_band}), y -> "
-        "    struct(x.doc_id AS id_x, y.doc_id AS id_y, "
-        "           x.minhash_sketch AS sk_a, y.minhash_sketch AS sk_b))))"
-    )).alias("p")).select("p.*")
-    inter = F.size(F.array_intersect("sk_a", "sk_b"))
-    union = F.size(F.array_union("sk_a", "sk_b"))
-    return (
-        # self-pair guard: see near_dup_pairs
-        pairs.where(F.col("id_x") != F.col("id_y"))
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .where(F.col("jaccard") >= jaccard_min)
-        .select(F.least("id_x", "id_y").alias("doc_a"),
-                F.greatest("id_x", "id_y").alias("doc_b"),
-                "jaccard")
+        "  filter(transform(filter(slice(items, i + 2, size(items)), "
+        f"           y -> x.doc_id != y.doc_id AND ({first_band})), y -> "
+        "     struct(least(x.doc_id, y.doc_id) AS doc_a, "
+        "            greatest(x.doc_id, y.doc_id) AS doc_b, "
+        "            round(size(array_intersect(x.minhash_sketch, "
+        "                                       y.minhash_sketch)) "
+        "                  / size(array_union(x.minhash_sketch, "
+        "                                     y.minhash_sketch)), 6) "
+        "            AS jaccard)), "
+        f"    p -> p.jaccard >= {float(jaccard_min)!r})))"
     )
+    return (grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select("p.*"))
 
 
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:

@@ -426,12 +426,14 @@ def _sweep_pairs_arrow(grouped: DataFrame, cos_min: float) -> DataFrame:
     identical. Cost: the O(n^2 d) sweep runs as ~d vectorized
     numpy ops per bucket instead of n^2 interpreted lambda folds —
     measured 8x on the sf1.0 sweep stage."""
-    from pyspark.sql.types import (DoubleType, LongType, StructField,
-                                   StructType)
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     thr = float(cos_min) - _SWEEP_MARGIN
+    # id type is generic (long ids in the registry, string ids in the
+    # index/streaming callers) — carry the input's own vec_id type.
+    id_type = grouped.schema["items"].dataType.elementType["vec_id"].dataType
     out_schema = StructType([
-        StructField("id_a", LongType()), StructField("id_b", LongType()),
+        StructField("id_a", id_type), StructField("id_b", id_type),
         StructField("cos_raw", DoubleType())])
 
     def sweep(batches):
@@ -507,9 +509,10 @@ def _sweep_pairs_arrow(grouped: DataFrame, cos_min: float) -> DataFrame:
                     acc_b.append(ids[ju[mask]])
                     acc_c.append(cos[iu[mask], ju[mask]])
             if acc_a:
+                pa_id = struct.field("vec_id").type
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array(np.concatenate(acc_a), type=pa.int64()),
-                     pa.array(np.concatenate(acc_b), type=pa.int64()),
+                    [pa.array(np.concatenate(acc_a)).cast(pa_id),
+                     pa.array(np.concatenate(acc_b)).cast(pa_id),
                      pa.array(np.concatenate(acc_c), type=pa.float64())],
                     names=["id_a", "id_b", "cos_raw"])
 
