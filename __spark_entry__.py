@@ -834,9 +834,21 @@ ORDER BY doc_id
 """
 
 
+def _pair_sorted(pairs, *cols):
+    """Materialize a (tiny) pair table in one hash exchange before the
+    global sort (round 6): range partitioning SAMPLES the sort's child
+    by executing it in full (guide §7.2), so sorting the sweep's output
+    directly re-executes the whole O(n^2) bucket sweep a second time —
+    measured 25% of near_dup_pairs at sf1.0. With the extra exchange
+    the sampling pass reads the few-MB shuffled pairs instead. Same
+    rows, same final order."""
+    return pairs.repartition(*cols).orderBy(*cols)
+
+
 def _q_near_dup_pairs(spark, sf):
-    return (D.near_dup_pairs(_dup_docs(spark, sf), jaccard_min=0.5)
-            .orderBy("doc_a", "doc_b"))
+    return _pair_sorted(D.near_dup_pairs(_dup_docs(spark, sf),
+                                         jaccard_min=0.5),
+                        "doc_a", "doc_b")
 
 
 _SQL_NEAR_DUP = f"""
@@ -857,8 +869,9 @@ ORDER BY doc_a, doc_b
 
 
 def _q_banded_near_dup(spark, sf):
-    return (D.banded_near_dup_pairs(_dup_docs(spark, sf), jaccard_min=0.5)
-            .orderBy("doc_a", "doc_b"))
+    return _pair_sorted(D.banded_near_dup_pairs(_dup_docs(spark, sf),
+                                                jaccard_min=0.5),
+                        "doc_a", "doc_b")
 
 
 # k-permutation MinHash mirror of dedup.with_minhash_signature: one md5
@@ -927,9 +940,10 @@ def _q_banded_near_dup_k64(spark, sf):
     """Production-resolution banding: 64 permutations in 16 bands x 4
     rows — the k the round-4 verdict asked for (k=8's sketch-jaccard
     quantizes to 1/8 steps; 16x4's S-curve is usably steep at j~0.5)."""
-    return (D.banded_near_dup_pairs(_dup_docs(spark, sf), jaccard_min=0.5,
-                                    bands=16, rows=4)
-            .orderBy("doc_a", "doc_b"))
+    return _pair_sorted(D.banded_near_dup_pairs(_dup_docs(spark, sf),
+                                                jaccard_min=0.5,
+                                                bands=16, rows=4),
+                        "doc_a", "doc_b")
 
 
 _SQL_BANDED_NEAR_DUP_K64 = _banded_near_dup_sql(16, 4)
@@ -1149,8 +1163,8 @@ def _q_embed_near_dups(spark, sf):
          .alias("embedding"),
         F.col("label"))
     both = emb.unionByName(dup)
-    return (S.embedding_near_dups(both, cos_min=0.999)
-            .orderBy("id_a", "id_b"))
+    return _pair_sorted(S.embedding_near_dups(both, cos_min=0.999),
+                        "id_a", "id_b")
 
 
 def _sql_embed_near_dups():
@@ -1785,7 +1799,7 @@ FROM documents ORDER BY doc_id
 
 
 def _q_token_budget(spark, sf):
-    return TQ.token_budget(_t(spark, sf, "documents"))
+    return TQ.token_budget(fan_out(_t(spark, sf, "documents")))
 
 
 _SQL_TOKEN_BUDGET = f"""
@@ -1809,11 +1823,14 @@ def _q_curation_budget(spark, sf):
     over the dup-planted corpus (mutated copies keep lang/source)."""
     from document_ai_spark.operators.curation import curate
 
-    d = _t(spark, sf, "documents").select("doc_id", "text", "lang", "source")
+    # fan_out before the union + single-eval split — see _dup_docs.
+    d = fan_out(_t(spark, sf, "documents")
+                .select("doc_id", "text", "lang", "source"))
     mut = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.expr(f"array_join(slice(split({ws_trim_sql('text')}, '\\\\s+'), 2, "
-               f"size(split({ws_trim_sql('text')}, '\\\\s+'))), ' ')").alias("text"),
+        F.expr(f"element_at(transform(array(split({ws_trim_sql('text')}, "
+               "'\\\\s+')), w -> array_join(slice(w, 2, size(w)), ' ')), 1)"
+               ).alias("text"),
         "lang", "source")
     return curate(d.unionByName(mut), quality_min=0.8, jaccard_min=0.5)
 
@@ -1931,7 +1948,7 @@ def _q_quality_gates(spark, sf):
     calibrated on the labeled micro-corpus (CALIBRATION.md)."""
     from document_ai_spark.operators.curation import quality_gates
 
-    return (quality_gates(_t(spark, sf, "documents"), logprob_min=-8.0)
+    return (quality_gates(fan_out(_t(spark, sf, "documents")), logprob_min=-8.0)
             .orderBy("doc_id"))
 
 
@@ -2032,7 +2049,7 @@ def _q_logprob_floors(spark, sf):
     the manual corpus-relative logprob_min constant."""
     from document_ai_spark.operators.curation import slice_logprob_floors
 
-    return (slice_logprob_floors(_t(spark, sf, "documents"))
+    return (slice_logprob_floors(fan_out(_t(spark, sf, "documents")))
             .orderBy("lang", "source"))
 
 
@@ -2047,7 +2064,7 @@ def _q_quality_gates_auto(spark, sf):
     the per-slice derived floor instead of a global constant."""
     from document_ai_spark.operators.curation import quality_gates
 
-    return (quality_gates(_t(spark, sf, "documents"), logprob_min="auto")
+    return (quality_gates(fan_out(_t(spark, sf, "documents")), logprob_min="auto")
             .orderBy("doc_id"))
 
 
@@ -2115,7 +2132,7 @@ def _q_line_dedup(spark, sf):
     everywhere except their canonical (min doc_id) source."""
     from document_ai_spark.operators.curation import line_dedup
 
-    base = _t(spark, sf, "documents").select("doc_id", "text")
+    base = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
     dup = (base.where(F.col("doc_id") % 10 == 0)
            .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
     return line_dedup(base.unionByName(dup)).orderBy("doc_id")
@@ -2191,12 +2208,14 @@ def _q_pii_scrub(spark, sf):
     text so the oracle checks the REPLACEMENT bytes, not just counts."""
     from document_ai_spark.operators.web import scrub_pii
 
-    d = _t(spark, sf, "documents").select(
-        "doc_id", F.expr(_PII_PLANT).alias("text"))
+    # Sort-first: the plant + scrub are zero-exchange per-row work (see
+    # gopher_rules note); the sort moves only the raw (doc_id, text).
+    d = (_t(spark, sf, "documents").select("doc_id", "text")
+         .orderBy("doc_id")
+         .select("doc_id", F.expr(_PII_PLANT).alias("text")))
     return (scrub_pii(d)
             .select("doc_id", F.md5("text").alias("clean_md5"),
-                    "n_email", "n_phone", "n_ipv4")
-            .orderBy("doc_id"))
+                    "n_email", "n_phone", "n_ipv4"))
 
 
 def _sql_pii_scrub():
@@ -2253,7 +2272,7 @@ def _q_dup_span_frac(spark, sf):
     default is 50)."""
     from document_ai_spark.operators.curation import dup_span_stats
 
-    return (dup_span_stats(_t(spark, sf, "documents"), w=_DUP_SPAN_W)
+    return (dup_span_stats(fan_out(_t(spark, sf, "documents")), w=_DUP_SPAN_W)
             .orderBy("doc_id"))
 
 
@@ -2505,11 +2524,13 @@ def _q_corpus_overlap(spark, sf):
     mutation reports (n_b_matches, max_jaccard). Both sides shuffle
     once on banded keys into a shuffle-hash equi join — the
     two-big-corpora member of the contamination family."""
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    # fan_out before deriving corpus B + single-eval split (_dup_docs).
+    d = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
     b = d.where(F.col("doc_id") % 3 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.expr(f"array_join(slice(split({ws_trim_sql('text')}, '\\\\s+'), 2, "
-               f"size(split({ws_trim_sql('text')}, '\\\\s+'))), ' ')").alias("text"))
+        F.expr(f"element_at(transform(array(split({ws_trim_sql('text')}, "
+               "'\\\\s+')), w -> array_join(slice(w, 2, size(w)), ' ')), 1)"
+               ).alias("text"))
     return D.corpus_overlap(d, b, jaccard_min=0.5).orderBy("doc_id")
 
 
@@ -2904,7 +2925,7 @@ def _q_repetition_stats(spark, sf):
     counts), never a per-row distinct-count loop."""
     from document_ai_spark.operators.textquality import repetition_stats
 
-    return repetition_stats(_t(spark, sf, "documents")).orderBy("doc_id")
+    return repetition_stats(fan_out(_t(spark, sf, "documents"))).orderBy("doc_id")
 
 
 _SQL_REPETITION = f"""
@@ -3109,7 +3130,7 @@ def _q_unigram_logprob(spark, sf):
     add-one-smoothed unigram model — the cheap perplexity-proxy filter."""
     from document_ai_spark.operators.textquality import with_unigram_logprob
 
-    return (with_unigram_logprob(_t(spark, sf, "documents"))
+    return (with_unigram_logprob(fan_out(_t(spark, sf, "documents")))
             .orderBy("doc_id"))
 
 
@@ -3139,7 +3160,7 @@ def _q_nb_quality(spark, sf):
     count shuffle to train, one word-key join + per-doc sum to score."""
     from document_ai_spark.operators.classifier import nb_quality
 
-    return (nb_quality(_t(spark, sf, "documents"),
+    return (nb_quality(fan_out(_t(spark, sf, "documents")),
                        F.col("lang") == "en")
             .orderBy("doc_id"))
 
@@ -3224,7 +3245,7 @@ def _q_intra_doc_line_dedup(spark, sf):
     stripped, the blank and the prefix line survive."""
     from document_ai_spark.operators.curation import strip_repeated_lines
 
-    d = _t(spark, sf, "documents").select(
+    d = fan_out(_t(spark, sf, "documents")).select(
         "doc_id",
         F.expr("concat(text, '\\n', text, '\\n\\n', "
                "substring(text, 1, 40), '\\n', text)").alias("text"))
@@ -3261,7 +3282,11 @@ def _q_gopher_rules(spark, sf):
     gopher_keep, in ONE corpus scan (two single-eval structs)."""
     from document_ai_spark.operators.selection import gopher_rules
 
-    return gopher_rules(_t(spark, sf, "documents")).orderBy("doc_id")
+    # Sort-first (see _docs_sorted): gopher_rules is a zero-exchange
+    # per-row projection, so computing it ABOVE the range exchange
+    # parallelizes it and skips the sampling re-execution; ordering is
+    # preserved through the projection.
+    return gopher_rules(_t(spark, sf, "documents").orderBy("doc_id"))
 
 
 _SQL_GOPHER_RULES = f"""
@@ -3315,7 +3340,7 @@ def _q_perplexity_buckets(spark, sf):
     thresholds from exact percentiles (quantile_cont parity)."""
     from document_ai_spark.operators.selection import perplexity_buckets
 
-    return perplexity_buckets(_t(spark, sf, "documents")).orderBy("doc_id")
+    return perplexity_buckets(fan_out(_t(spark, sf, "documents"))).orderBy("doc_id")
 
 
 _SQL_PERPLEXITY_BUCKETS = f"""
@@ -3385,7 +3410,7 @@ def _q_dsir_weights(spark, sf):
     bucket log-ratios (Xie et al. 2023)."""
     from document_ai_spark.operators.selection import dsir_logweights
 
-    return dsir_logweights(_t(spark, sf, "documents")).orderBy("doc_id")
+    return dsir_logweights(fan_out(_t(spark, sf, "documents"))).orderBy("doc_id")
 
 
 _SQL_DSIR_WEIGHTS = f"""
@@ -3401,7 +3426,7 @@ def _q_dsir_sample(spark, sf):
     deterministic and engine-independent."""
     from document_ai_spark.operators.selection import dsir_sample
 
-    return dsir_sample(_t(spark, sf, "documents"), k=25)
+    return dsir_sample(fan_out(_t(spark, sf, "documents")), k=25)
 
 
 _SQL_DSIR_SAMPLE = f"""
@@ -3422,7 +3447,7 @@ def _q_ngram_repetition(spark, sf):
     thresholds. All nine n values ride one explode."""
     from document_ai_spark.operators.textquality import ngram_repetition
 
-    return ngram_repetition(_t(spark, sf, "documents")).orderBy("doc_id")
+    return ngram_repetition(fan_out(_t(spark, sf, "documents"))).orderBy("doc_id")
 
 
 def _sql_ngram_repetition() -> str:
@@ -3479,7 +3504,8 @@ def _q_c4_clean(spark, sf):
     page verdict. Map-side only — zero exchanges."""
     from document_ai_spark.operators.web import c4_clean
 
-    return c4_clean(_t(spark, sf, "documents")).orderBy("doc_id")
+    # Sort-first: zero-exchange per-row op (see gopher_rules note).
+    return c4_clean(_t(spark, sf, "documents").orderBy("doc_id"))
 
 
 def _sql_c4_clean() -> str:
@@ -3527,7 +3553,7 @@ def _q_fineweb_filters(spark, sf):
     aggs shuffling (doc_id, md5(line)) keys + small ints only."""
     from document_ai_spark.operators.web import fineweb_filters
 
-    return fineweb_filters(_t(spark, sf, "documents")).orderBy("doc_id")
+    return fineweb_filters(fan_out(_t(spark, sf, "documents"))).orderBy("doc_id")
 
 
 def _sql_fineweb_filters() -> str:
@@ -3592,7 +3618,8 @@ def _q_refinedweb_lines(spark, sf):
     drop the doc when >5% of chars were removed. Map-side only."""
     from document_ai_spark.operators.web import refinedweb_lines
 
-    return refinedweb_lines(_t(spark, sf, "documents")).orderBy("doc_id")
+    # Sort-first: zero-exchange per-row op (see gopher_rules note).
+    return refinedweb_lines(_t(spark, sf, "documents").orderBy("doc_id"))
 
 
 def _sql_refinedweb_lines() -> str:
@@ -3847,7 +3874,7 @@ def _q_strip_dup_spans(spark, sf):
     corpus exactly as dup_span_frac."""
     from document_ai_spark.operators.curation import strip_dup_spans
 
-    return (strip_dup_spans(_t(spark, sf, "documents"), w=_DUP_SPAN_W)
+    return (strip_dup_spans(fan_out(_t(spark, sf, "documents")), w=_DUP_SPAN_W)
             .orderBy("doc_id"))
 
 
@@ -4006,12 +4033,13 @@ def _q_heavy_ngrams(spark, sf):
     GROUP BY/HAVING oracle grade it."""
     from document_ai_spark.operators.mining import heavy_ngrams
 
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
     # capacity sits above the per-partition distinct-3-gram count at the
-    # test SFs (sf0.01 single-partition scan: ~26k distinct), so the
-    # summaries are decrement-free and the exactness guard passes; at
-    # production thresholds (min_count in the thousands) the default
-    # capacity suffices and the guard is the safety net.
+    # test SFs (sf0.01 single-partition scan: ~26k distinct; fan_out
+    # only lowers the per-partition count), so the summaries are
+    # decrement-free and the exactness guard passes; at production
+    # thresholds (min_count in the thousands) the default capacity
+    # suffices and the guard is the safety net.
     return (heavy_ngrams(docs, n=3, min_count=3, capacity=1 << 17)
             .orderBy("ngram"))
 
@@ -4040,7 +4068,7 @@ def _q_winnow_fps(spark, sf):
     DuckDB list functions."""
     from document_ai_spark.operators.mining import winnow_fps
 
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
     return winnow_fps(docs).orderBy("doc_id", "s")
 
 
@@ -4053,7 +4081,7 @@ def _q_winnow_hot_spans(spark, sf):
     shared spans are shorter than the 20-token default) populate it."""
     from document_ai_spark.operators.mining import winnow_hot_spans
 
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = fan_out(_t(spark, sf, "documents").select("doc_id", "text"))
     return winnow_hot_spans(docs, w=10, window=6, min_docs=2).orderBy("fp")
 
 
@@ -4107,6 +4135,7 @@ def _planted_containment_union(d):
     the deterministic ~1/16 of docs whose md5(doc_id) starts '0' — the
     ONE Python-side construction mirrored verbatim by _SQL_CONTAINMENT's
     docs2 CTE (keep the two in lockstep)."""
+    d = fan_out(d)      # parallelize the winnow pipeline downstream
     planted = (d.where(F.expr("substring(md5(doc_id), 1, 1) = '0'"))
                .select(F.concat(F.lit("c-"), "doc_id").alias("doc_id"),
                        F.concat(F.lit(_CONTAIN_PREFIX), "text",
