@@ -860,6 +860,61 @@ def bloom_bitmap(keys: DataFrame, key_col: str = "text",
     return words
 
 
+def bloom_bitmap_df(keys: DataFrame, key_col: str = "text",
+                    m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+                    ) -> DataFrame:
+    """EXECUTOR-built Bloom bitmap: a ONE-ROW DataFrame whose `_bm`
+    column is the dense array<bigint> of m_bits/64 words.
+
+    Round-6 replacement for shipping bloom_bitmap()'s Python list as a
+    plan literal: `F.lit(words)` builds one py4j/Catalyst expression
+    node PER ELEMENT — measured 6.6 s of pure driver time at the 2^20
+    default and effectively unbounded at the 2^26+ bits a 10^8-key
+    eval registry needs — so the advertised scale path was closed at
+    plan build. Here the words never leave the executors: the same
+    relational (word, bits) aggregate is collect_list'ed into a map
+    and densified with a transform over sequence(0, n-1), and the one
+    row reaches the corpus as a single BroadcastExchange (~m_bits/8
+    bytes once per executor, the same bytes the literal would have
+    shipped inside every task binary). Probe with bloom_hit_col.
+
+    An empty eval set yields one row of all-zero words (element_at on
+    the empty map is NULL -> coalesce 0), so every probe misses —
+    same contract as the list form."""
+    assert m_bits >= 64 and m_bits & (m_bits - 1) == 0, \
+        "m_bits must be a power of two >= 64"
+    pos = (keys.where(F.col(key_col).isNotNull())
+           .select(F.explode(
+               _bloom_positions(F.col(key_col), m_bits, k)).alias("p"))
+           .distinct())
+    words = (pos.select(F.shiftright("p", 6).cast("int").alias("w"),
+                        F.pmod("p", F.lit(64)).alias("b"))
+             .groupBy("w")
+             .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), "
+                         "cast(b as int)))").alias("bits")))
+    n_words = m_bits // 64
+    return (words.agg(F.map_from_arrays(
+                F.collect_list("w"), F.collect_list("bits")).alias("m"))
+            .select(F.expr(
+                f"transform(sequence(0, {n_words - 1}), "
+                "i -> coalesce(element_at(m, i), cast(0 as bigint)))")
+                .alias("_bm")))
+
+
+def bloom_hit_col(key, bm, m_bits: int, k: int = BLOOM_K):
+    """bloom_hit against a bitmap COLUMN (the `_bm` array from
+    bloom_bitmap_df, attached via one broadcast cross join) instead of
+    a plan-literal list. Identical probe math; m_bits must match the
+    bitmap's 64 * size(_bm)."""
+    return F.forall(
+        _bloom_positions(key, m_bits, k),
+        lambda p: F.call_function(
+            "shiftright",
+            F.element_at(bm, F.shiftright(p, 6).cast("int") + F.lit(1)),
+            F.pmod(p, F.lit(64)).cast("int"))
+        .bitwiseAND(F.lit(1)) == F.lit(1))
+
+
 def bloom_eval_texts(eval_docs: DataFrame,
                      text_col: str = "text") -> DataFrame:
     """The canonical eval-text frame every bloom caller shares: the
@@ -902,14 +957,18 @@ def bloom_decontaminate(docs: DataFrame, eval_docs: DataFrame,
     the production alternative: a Bloom filter over the eval texts.
 
     Scale shape, in order:
-      1. bitmap build — one pass over the eval side, one control-plane
-         collect of <= m_bits/64 longs; with ``m_bits=None`` (default)
-         the size derives from the eval count via bloom_size() —
-         ~16 bits/key, so 128 KiB for 10^5 eval docs and 200 MB for
-         10^8 (shipped once per executor inside the plan);
-      2. candidate filter — the CORPUS NEVER SHUFFLES: the bitmap rides
-         the plan as a literal and the membership test is a map-side
-         integer expression (one xxhash64 of the text + k probe ops);
+      1. bitmap build — one pass over the eval side, fully ON the
+         executors (bloom_bitmap_df: the words are never collected to
+         the driver — round 6; the old plan-literal list cost 6.6 s of
+         driver time at the 2^20 default and never finished at the
+         2^26+ bits a 10^8-key registry needs); with ``m_bits=None``
+         (default) the size derives from the eval count via
+         bloom_size() — ~16 bits/key, 128 KiB for 10^5 eval docs,
+         200 MB for 10^8, broadcast once per executor;
+      2. candidate filter — the CORPUS NEVER SHUFFLES: the one-row
+         bitmap arrives via a single BroadcastExchange cross join and
+         the membership test is a map-side integer expression (one
+         xxhash64 of the text + k probe ops against the array column);
       3. exact confirm — only Bloom-POSITIVE rows (true hits + the ~fp
          fraction) join the eval texts on the 8-byte hash key with a
          text-equality filter behind it, so a 64-bit collision can
@@ -927,26 +986,42 @@ def bloom_decontaminate(docs: DataFrame, eval_docs: DataFrame,
     ev = bloom_eval_texts(eval_docs, text_col)
     if m_bits is None:
         m_bits = bloom_size(ev.count())
-    words = bloom_bitmap(ev, "_etext", m_bits=m_bits, k=k)
-    contaminated = bloom_contaminated(docs, ev, words,
-                                      text_col=text_col, k=k)
+    bitmap = bloom_bitmap_df(ev, "_etext", m_bits=m_bits, k=k)
+    contaminated = bloom_contaminated(docs, ev, bitmap,
+                                      text_col=text_col, k=k,
+                                      m_bits=m_bits)
     return (docs.join(F.broadcast(contaminated.withColumn(
                 "_hit", F.lit(True))), "doc_id", "left")
             .select("doc_id", F.col("_hit").isNull().alias("keep")))
 
 
 def bloom_contaminated(docs: DataFrame, eval_texts: DataFrame,
-                       words: list, text_col: str = "text",
-                       k: int = BLOOM_K) -> DataFrame:
+                       bitmap, text_col: str = "text",
+                       k: int = BLOOM_K, m_bits: int = None) -> DataFrame:
     """The reusable core of bloom_decontaminate: distinct doc_ids whose
     text appears verbatim in ``eval_texts`` (one `_etext` column),
     using a PREBUILT bitmap — for callers that amortize the bitmap
     across buckets/batches (the curation CLI builds it once per run).
     Bloom-positive rows join on the 8-byte text hash with a
-    text-equality filter behind it, so the result is exact."""
-    cand = (docs.where(F.col(text_col).isNotNull()
-                       & bloom_hit(F.col(text_col), words, k=k))
-            .select("doc_id", F.col(text_col).alias("_ctext")))
+    text-equality filter behind it, so the result is exact.
+
+    ``bitmap``: the one-row frame from bloom_bitmap_df (pass its
+    ``m_bits`` too) — attached to the corpus via one broadcast cross
+    join, so the corpus side still never shuffles before the confirm
+    join. A Python list (legacy bloom_bitmap output) is still accepted
+    for small filters, where the plan-literal cost is negligible."""
+    if isinstance(bitmap, DataFrame):
+        if m_bits is None:
+            raise ValueError("m_bits is required with a bitmap frame")
+        cand = (docs.where(F.col(text_col).isNotNull())
+                .crossJoin(F.broadcast(bitmap))
+                .where(bloom_hit_col(F.col(text_col), F.col("_bm"),
+                                     m_bits, k=k))
+                .select("doc_id", F.col(text_col).alias("_ctext")))
+    else:
+        cand = (docs.where(F.col(text_col).isNotNull()
+                           & bloom_hit(F.col(text_col), bitmap, k=k))
+                .select("doc_id", F.col(text_col).alias("_ctext")))
     return (cand.alias("c")
             .join(eval_texts.alias("e"),
                   F.xxhash64("c._ctext") == F.xxhash64("e._etext"))

@@ -438,7 +438,7 @@ def stream_decontaminate(spark: SparkSession, in_dir: str, eval_path: str,
     Survivors land under ``out_dir/batch=<id>/``. Returns the
     StreamingQuery."""
     from ..operators.curation import (
-        bloom_bitmap,
+        bloom_bitmap_df,
         bloom_contaminated,
         bloom_eval_texts,
         eval_ngrams,
@@ -448,16 +448,20 @@ def stream_decontaminate(spark: SparkSession, in_dir: str, eval_path: str,
 
     eval_docs = spark.read.parquet(eval_path)
     block = F.broadcast(eval_ngrams(eval_docs, n=ngram))
-    bloom_words = bloom_texts = None
+    bloom_df = bloom_texts = None
+    bloom_mbits = 0
     if bloom:
-        # cache: every micro-batch's confirm join reuses this frame —
+        # cache: every micro-batch's confirm join reuses these frames —
         # without it each batch re-scans the eval parquet and re-runs
-        # the distinct shuffle (prohibitive at registry-scale eval sets)
+        # the distinct shuffle (prohibitive at registry-scale eval
+        # sets). The bitmap is the round-6 executor-built one-row
+        # frame (never a plan literal), cached so the position
+        # explode/bit_or runs once per stream, not per micro-batch.
         from ..operators.curation import bloom_size
         bloom_texts = bloom_eval_texts(eval_docs).cache()
-        bloom_words = bloom_bitmap(
-            bloom_texts, "_etext",
-            m_bits=bloom_m or bloom_size(bloom_texts.count()))
+        bloom_mbits = bloom_m or bloom_size(bloom_texts.count())
+        bloom_df = bloom_bitmap_df(
+            bloom_texts, "_etext", m_bits=bloom_mbits).cache()
 
     stream = (
         spark.readStream.schema("doc_id string, text string")
@@ -472,9 +476,10 @@ def stream_decontaminate(spark: SparkSession, in_dir: str, eval_path: str,
             "doc_id", F.explode(_word_shingles(ngram)).alias("ngram"))
             .join(block, "ngram").select("doc_id").distinct())
         kept = batch_df.join(hits, "doc_id", "left_anti")
-        if bloom_words is not None:
+        if bloom_df is not None:
             bhits = bloom_contaminated(kept.select("doc_id", "text"),
-                                       bloom_texts, bloom_words)
+                                       bloom_texts, bloom_df,
+                                       m_bits=bloom_mbits)
             kept = kept.join(bhits, "doc_id", "left_anti")
         if fuzzy_jaccard is not None:
             fh = sketch_contamination(

@@ -84,6 +84,11 @@ def observed_value(obs: Observation, key: str,
                 return None
         if time.monotonic() >= deadline:
             return None
+        # Not fired yet: sleep between polls — a never-firing
+        # observation would otherwise spin py4j RPCs at full rate for
+        # the whole timeout (round-6 ADVICE). The already-fired fast
+        # path above still resolves on iteration one.
+        time.sleep(0.05)
 
 
 class SnapshotStore(abc.ABC):
@@ -283,9 +288,15 @@ class ManifestStore(SnapshotStore):
                            f"{lineage.partition_id}.json")
         if os.path.exists(man):
             os.remove(man)
+        # Sweep a leftover aside UNCONDITIONALLY (round-6 ADVICE): a
+        # crash between rename(dst, aside) and rename(src, dst) leaves
+        # dst absent and the aside behind, and the recovery re-commit
+        # takes the not-exists(dst) branch — which previously never
+        # swept it, leaking the directory until some later commit
+        # happened to find dst present.
+        shutil.rmtree(dst + ".old", ignore_errors=True)
         if os.path.exists(dst):
             aside = dst + ".old"
-            shutil.rmtree(aside, ignore_errors=True)
             os.rename(dst, aside)
             os.rename(src, dst)
             shutil.rmtree(aside, ignore_errors=True)
@@ -448,8 +459,14 @@ class IcebergStore(SnapshotStore):
              .using("iceberg").create())
         rows = observed_value(obs, "rows_out")
         if rows is None:
-            rows = (self.spark.table(self.table)
-                    .where(F.col("bucket") == bucket).count())
+            # AQE elides the observed subtree exactly when the write's
+            # input is empty, so None means ZERO rows written — the
+            # old fallback counted the table partition, which still
+            # holds stale rows from a crashed prior write: it returned
+            # a nonzero rows_out AND skipped the truncation below,
+            # committing resurrected (possibly tombstone-deleted) rows
+            # with a wrong lineage count (round-6 ADVICE, medium).
+            rows = 0
         # Dynamic overwritePartitions with an EMPTY input replaces
         # nothing — stale rows from a crashed prior write of this
         # bucket would stay visible (resurrecting tombstone-deleted

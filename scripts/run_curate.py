@@ -315,8 +315,9 @@ def main() -> None:
     idx = SketchIndex(f"{args.output}/_sketch_index")
     block = None
     eval_docs = None
-    bloom_words = None
+    bloom_df = None
     bloom_ev = None
+    bloom_mbits = 0
     if args.eval:
         eval_docs = spark.read.parquet(args.eval)
         block = F.broadcast(
@@ -327,13 +328,16 @@ def main() -> None:
             # cost is a map-side membership test + an exact confirm
             # join over the Bloom-positive sliver.
             from document_ai_spark.operators.curation import (
-                bloom_bitmap,
+                bloom_bitmap_df,
                 bloom_eval_texts,
             )
             from document_ai_spark.operators.curation import bloom_size
             bloom_ev = bloom_eval_texts(eval_docs).cache()
-            m = args.eval_bloom_m or bloom_size(bloom_ev.count())
-            bloom_words = bloom_bitmap(bloom_ev, "_etext", m_bits=m)
+            bloom_mbits = args.eval_bloom_m or bloom_size(bloom_ev.count())
+            # Round 6: executor-built one-row bitmap frame (never a
+            # plan literal), cached so the build runs once per run.
+            bloom_df = bloom_bitmap_df(
+                bloom_ev, "_etext", m_bits=bloom_mbits).cache()
 
     hot = None
     if args.line_dedup:
@@ -580,12 +584,13 @@ def main() -> None:
                 F.explode(_word_shingles(args.eval_ngram)).alias("ngram"))
                 .join(block, "ngram").select("doc_id").distinct())
             kept = kept.join(hits, "doc_id", "left_anti")
-        if bloom_words is not None:
+        if bloom_df is not None:
             from document_ai_spark.operators.curation import (
                 bloom_contaminated,
             )
             bhits = bloom_contaminated(kept.select("doc_id", "text"),
-                                       bloom_ev, bloom_words)
+                                       bloom_ev, bloom_df,
+                                       m_bits=bloom_mbits)
             kept = kept.join(bhits, "doc_id", "left_anti")
         if args.eval_fuzzy is not None:
             from document_ai_spark.operators.curation import (
