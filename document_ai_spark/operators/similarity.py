@@ -608,10 +608,170 @@ def greedy_drop_expr(cos_min: float):
         f"    >= {cos_min} END) AS dropped))")
 
 
+def greedy_verdicts(grouped: DataFrame, cos_min: float,
+                    sweep: str | None = None) -> DataFrame:
+    """(vec_id, dropped) for every item of every sorted cluster in
+    ``grouped`` (the capped `items: array<struct<c, v, e, nrm>>` frame)
+    under the SemDeDup greedy rule — item j is dropped iff ANY earlier
+    item scores round(cos, 6) >= cos_min against it.
+
+    One seam shared by semdedup and the incremental SemanticIndex so
+    their batch == incremental parity holds by construction. `sweep`
+    picks the implementation: "arrow" (vectorized NumPy, default) or
+    "sql" (the pure-JVM greedy_drop_expr). Verdict equivalence note:
+    the SQL exists() can return NULL for a pair whose cosine is NULL
+    (null elements / ragged dims) — both consumers coalesce NULL to
+    false/keep, and the Arrow path emits false directly; the parity
+    test compares post-coalesce semantics."""
+    if sweep is None:
+        sweep = EMB_SWEEP_DEFAULT
+    if sweep == "arrow":
+        return _greedy_arrow(grouped, cos_min)
+    return (grouped.select(F.explode(greedy_drop_expr(cos_min)).alias("r"))
+            .select(F.col("r.vec_id").alias("vec_id"),
+                    F.col("r.dropped").alias("dropped")))
+
+
+def _greedy_arrow(grouped: DataFrame, cos_min: float) -> DataFrame:
+    """Vectorized greedy sweep: mapInArrow + NumPy (guide §4.2), same
+    kernel discipline as _sweep_pairs_arrow — exact left-fold dot
+    products, JVM-computed norms reused, NO Python rounding anywhere.
+
+    Round-exactness without a Python round: each item returns a
+    DEFINITE verdict when every relevant cosine is at least 1e-6 away
+    from cos_min (round(x, 6) moves x by < 1e-6, so the comparison is
+    decided), plus an `amb` array of the raw cosines inside the
+    ambiguous band (width 2e-6 — empty for any real corpus). The final
+    verdict is `definite OR exists(amb, c -> round(c, 6) >= cos_min)`,
+    evaluated in the JVM — bit-exactly the SQL sweep's comparison.
+    Pairs the SQL CASE scores as false (zero-norm sides) or NULL
+    (null/ragged vectors — see greedy_verdicts) contribute nothing;
+    NaN cosines drop (Spark orders NaN above all doubles)."""
+    from pyspark.sql.types import (ArrayType, BooleanType, DoubleType,
+                                   StructField, StructType)
+
+    lo = float(cos_min) - _SWEEP_MARGIN
+    hi = float(cos_min) + _SWEEP_MARGIN
+    id_type = grouped.schema["items"].dataType.elementType["v"].dataType
+    out_schema = StructType([
+        StructField("vec_id", id_type),
+        StructField("dropped_def", BooleanType()),
+        StructField("amb", ArrayType(DoubleType()))])
+
+    def sweep(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            items = batch.column("items")
+            if isinstance(items, pa.ChunkedArray):
+                items = items.combine_chunks()
+            offs = items.offsets.to_numpy()
+            struct = items.values
+            vec_ids = struct.field("v").to_numpy(zero_copy_only=False)
+            nrms = struct.field("nrm").to_numpy(zero_copy_only=False)
+            embl = struct.field("e")
+            emb_offs = embl.offsets.to_numpy()
+            slow = (embl.null_count > 0 or embl.values.null_count > 0
+                    or struct.field("nrm").null_count > 0)
+            if not slow:
+                emb_vals = embl.values.to_numpy(zero_copy_only=False)
+            out_ids, out_def, out_amb = [], [], []
+            for r in range(len(items)):
+                i0, i1 = offs[r], offs[r + 1]
+                n = i1 - i0
+                if n == 0:
+                    continue
+                ids = vec_ids[i0:i1]
+                nr = nrms[i0:i1]
+                dims = np.diff(emb_offs[i0:i1 + 1])
+                uniform = dims.min() == dims.max()
+                if slow or not uniform:
+                    dd, amb = _greedy_cluster_slow(embl, int(i0), n, nr,
+                                                   lo, hi)
+                else:
+                    d = int(dims[0])
+                    if d == 0:
+                        X = np.zeros((n, 0))
+                    else:
+                        X = emb_vals[emb_offs[i0]:emb_offs[i1]] \
+                            .reshape(n, d)
+                    G = np.zeros((n, n))
+                    tmp = np.empty((n, n))
+                    for kk in range(d):
+                        col = np.ascontiguousarray(X[:, kk])
+                        np.multiply.outer(col, col, out=tmp)
+                        G += tmp
+                    den = nr[:, None] * nr[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        raw = G / den
+                    live = den != 0.0          # zero-norm pairs -> false
+                    T = np.triu(live & ((raw >= hi) | np.isnan(raw)), 1)
+                    A = np.triu(live & ~np.isnan(raw)
+                                & (raw >= lo) & (raw < hi), 1)
+                    dd = T.any(axis=0)
+                    amb = [raw[A[:, j], j].tolist()
+                           if (A[:, j].any() and not dd[j]) else []
+                           for j in range(n)]
+                out_ids.append(ids)
+                out_def.append(dd)
+                out_amb.extend(amb)
+            if out_ids:
+                pa_id = struct.field("v").type
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(out_ids)).cast(pa_id),
+                     pa.array(np.concatenate(out_def),
+                              type=pa.bool_()),
+                     pa.array(out_amb,
+                              type=pa.list_(pa.float64()))],
+                    names=["vec_id", "dropped_def", "amb"])
+
+    judged = grouped.select("items").mapInArrow(sweep, out_schema)
+    return judged.select(
+        "vec_id",
+        (F.col("dropped_def")
+         | F.exists("amb", lambda c: F.round(c, 6) >= F.lit(cos_min)))
+        .alias("dropped"))
+
+
+def _greedy_cluster_slow(embl, i0, n, nr, lo, hi):
+    """Per-pair fallback for clusters with null/ragged vectors.
+    NULL-cosine pairs (ragged dims, null elements, null norms) score
+    NULL in the SQL sweep, which both consumers treat as keep — so
+    they contribute nothing here."""
+    import math
+
+    pyrows = [embl[i0 + j].as_py() for j in range(n)]
+    dd = [False] * n
+    amb = [[] for _ in range(n)]
+    for j in range(1, n):
+        for i in range(j):
+            den = nr[i] * nr[j]
+            if den == 0.0:
+                continue                    # CASE -> false
+            a, b = pyrows[i], pyrows[j]
+            if a is None or b is None or len(a) != len(b) \
+                    or any(v is None for v in a) \
+                    or any(v is None for v in b):
+                continue                    # NULL cosine -> keep
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            raw = acc / den
+            if math.isnan(raw) or raw >= hi:
+                dd[j] = True
+            elif lo <= raw < hi:
+                amb[j].append(raw)
+        if dd[j]:
+            amb[j] = []
+    return dd, amb
+
+
 def semdedup(emb: DataFrame, cos_min: float = 0.95,
              k: int = None, iters: int = IVF_ITERS,
              codebook: DataFrame = None,
-             max_cluster: int = SEM_MAX_CLUSTER) -> DataFrame:
+             max_cluster: int = SEM_MAX_CLUSTER,
+             sweep: str | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means-cluster the
     embeddings, then inside each cluster drop every vector that is
@@ -664,10 +824,8 @@ def semdedup(emb: DataFrame, cos_min: float = 0.95,
                    item_norm(F.col("emb")).alias("nrm"))))
                    .alias("items")))
     grouped = _cap_bucket_items(grouped, max_cluster)
-    judged = (grouped.select(F.explode(greedy_drop_expr(cos_min))
-                             .alias("r"))
-              .select(F.col("r.vec_id").alias("vec_id"),
-                      (~F.col("r.dropped")).alias("_sk")))
+    judged = (greedy_verdicts(grouped, cos_min, sweep=sweep)
+              .select("vec_id", (~F.col("dropped")).alias("_sk")))
     # Row-completeness under the cap: a truncated item vanishes from
     # `items`, so its verdict must not vanish with it — every assigned
     # vector gets a row, beyond-cap items default to KEPT (uncompared;

@@ -248,8 +248,6 @@ class SemanticIndex(AtomicBatchIndex):
         """Verdicts (vec_id, centroid_id, cos_c, sem_keep) for the
         batch, then commit its assigned rows. Replay returns the same
         verdicts (probes the index state before its own seq)."""
-        from .similarity import greedy_drop_expr
-
         def build():
             cents = self.codebook.ensure(spark, batch_emb)
             return self._assign(batch_emb, cents)
@@ -257,8 +255,11 @@ class SemanticIndex(AtomicBatchIndex):
         new, seq, replay, stage, final = self._open_batch(
             spark, batch_id, build)
 
-        # (a) intra-batch greedy verdicts (the batch semdedup sweep).
-        from .similarity import item_norm
+        # (a) intra-batch greedy verdicts (the batch semdedup sweep) —
+        # through the SAME greedy_verdicts seam semdedup uses, so the
+        # batch == incremental parity holds whichever sweep
+        # implementation (arrow/sql) is active.
+        from .similarity import greedy_verdicts, item_norm
         grouped = (new.groupBy("centroid_id")
                    .agg(F.array_sort(F.collect_list(F.struct(
                        F.col("cos_c").alias("c"),
@@ -267,10 +268,8 @@ class SemanticIndex(AtomicBatchIndex):
                        item_norm(F.col("emb")).alias("nrm"))))
                        .alias("items")))
         grouped = _cap_bucket_items(grouped, self.max_cluster)
-        intra = (grouped.select(F.explode(
-                    greedy_drop_expr(self.cos_min)).alias("r"))
-                 .select(F.col("r.vec_id").alias("vec_id"),
-                         F.col("r.dropped").alias("_di")))
+        intra = (greedy_verdicts(grouped, self.cos_min)
+                 .select("vec_id", F.col("dropped").alias("_di")))
 
         # (b) batch-vs-index: touched clusters only, capped.
         if self._has_prior(seq):

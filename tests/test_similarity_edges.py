@@ -116,3 +116,39 @@ def test_sweep_arrow_matches_sql(spark, cos_min):
                                      sweep="arrow").collect())
     assert sql_rows == arrow_rows
     assert sql_rows                         # non-degenerate fixture
+
+
+@pytest.mark.parametrize("cos_min", [0.95, 0.5, 0.999])
+def test_semdedup_sweep_arrow_matches_sql(spark, cos_min):
+    """greedy_verdicts parity: the vectorized Arrow greedy sweep must
+    agree with the pure-JVM greedy_drop_expr on every verdict,
+    including NaN vectors (drop — Spark orders NaN above all doubles),
+    zero-norm vectors (keep — the CASE scores them false), ragged/null
+    vectors (NULL cosine -> keep post-coalesce), duplicate ids, and
+    near-threshold cosines (the ambiguous band resolves via a JVM
+    round, never a Python one)."""
+    from document_ai_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 2.0] + [0.0] * 62), (1, [2.0, 4.0] + [0.0] * 62),
+        (2, [0.0] * 64), (3, [0.0] * 64),
+        (4, [float("nan")] * 64), (5, [1.0] * 64),
+        (6, [1.0] * 32),
+        (7, None),
+        (8, [1.0, None] + [1.0] * 62),
+        (9, [1.0] * 64), (9, [1.0] * 64),
+        (10, [-1.0] * 64), (11, [-1.0] * 64),
+        (12, [1.0, 0.1] + [0.0] * 62), (13, [1.0, 0.11] + [0.0] * 62),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    def norm(out):
+        d = {}
+        for r in out.collect():
+            d.setdefault(r.vec_id, []).append(
+                (r.centroid_id, str(r.cos_c), r.sem_keep))
+        return {k: sorted(v) for k, v in d.items()}
+
+    a = norm(semdedup(df, cos_min=cos_min, k=3, sweep="sql"))
+    b = norm(semdedup(df, cos_min=cos_min, k=3, sweep="arrow"))
+    assert a == b
