@@ -39,7 +39,7 @@ def counts(df) -> dict:
         "scans": len(re.findall(r"Scan parquet|FileScan parquet", plan)),
         "python": len(re.findall(
             r"ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas"
-            r"|MapInPandas|PythonMapInArrow", plan)),
+            r"|MapInPandas|MapInArrow", plan)),
         "sorts": len(re.findall(r"(?<!_)Sort ", plan)),
     }
 
