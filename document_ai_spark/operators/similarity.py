@@ -154,13 +154,22 @@ IVF_ITERS = 2
 IVF_SAMPLE_MOD = 2   # train on vec_id % MOD == 0 (deterministic sample)
 
 
-def _assign_with_cos(base: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_with_cos(base: DataFrame, cents: DataFrame,
+                     impl: str | None = None) -> DataFrame:
     """Argmax-cosine centroid per vector, KEEPING the winning cos_c;
-    ties to the lowest centroid_id. Centroids are a k-row DataFrame,
-    broadcast — one corpus scan. The ONE assignment rule shared by
+    ties to the lowest centroid_id. The ONE assignment rule shared by
     Lloyd training, semdedup, and the incremental SemanticIndex (a
     tie-break or rounding change lands once, preserving their
-    batch == incremental parity contract)."""
+    batch == incremental parity contract).
+
+    Implementations (parity-tested equal): "arrow" (default) — BLAS
+    candidate scoring + JVM argmax over ~1 candidate/row; "window" —
+    the k-way broadcast cross join + row_number window, which shuffles
+    every vector k times with its embedding aboard."""
+    if impl is None:
+        impl = EMB_SWEEP_DEFAULT
+    if impl == "arrow":
+        return _assign_arrow(base, cents)
     scored = (base.withColumn("_nrm", item_norm(F.col("emb")))
               .crossJoin(F.broadcast(
                   cents.withColumn("_cnrm", item_norm(F.col("cent")))))
@@ -171,6 +180,239 @@ def _assign_with_cos(base: DataFrame, cents: DataFrame) -> DataFrame:
     return (scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("vec_id", "emb", "centroid_id", "cos_c"))
+
+
+def _assign_arrow(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Vectorized argmax-cosine assignment (guide §4.2 + §2.3).
+
+    The codebook is collected to the driver (k rows — control-plane
+    sized, like the convergence scalars) and shipped in the task
+    closure. Per Arrow batch, a BLAS gram X @ C.T scores every
+    (vector, centroid) pair; per row, every centroid within 2e-6 of
+    the row's best BLAS score (margin = the 1e-6 rounding quantum the
+    JVM argmax compares at, doubled for the ~1.4e-14 BLAS-vs-fold
+    error) is emitted as a CANDIDATE with its EXACT left-fold cosine,
+    and the JVM resolves `round(cos, 6) DESC, centroid_id ASC` over
+    the ~1.05 candidates/row — so rounding and the final ordering stay
+    in the JVM, bit-equal to the window form, while the exchange
+    carries each embedding ~once instead of k times and the per-pair
+    fold work collapses into dgemm.
+
+    SQL-semantics edges mirrored exactly: zero-norm sides score 0.0
+    (the CASE guard); NaN cosines win (Spark orders NaN above all
+    doubles, desc NULLS LAST below them); vectors whose dimension
+    differs from the codebook's, or with null elements / null arrays,
+    get NULL cosines against every centroid, and the window rule then
+    picks the LOWEST centroid_id with cos_c NULL — emitted directly."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    crows = cents.select("centroid_id", "cent").collect()
+    if not crows:
+        return base.sparkSession.createDataFrame(
+            [], StructType(list(base.schema.fields) + [
+                StructField("centroid_id",
+                            cents.schema["centroid_id"].dataType),
+                StructField("cos_c", DoubleType())]))
+    cids = [r["centroid_id"] for r in crows]
+    cvecs = [r["cent"] for r in crows]
+    min_cid = min(cids)
+    clean = all(v is not None and all(x is not None for x in v)
+                and len(v) == len(cvecs[0]) for v in cvecs)
+
+    id_type = base.schema["vec_id"].dataType
+    cid_type = cents.schema["centroid_id"].dataType
+    out_schema = StructType([
+        StructField("vec_id", id_type),
+        StructField("emb", base.schema["emb"].dataType),
+        StructField("centroid_id", cid_type),
+        StructField("cos_raw", DoubleType())])
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        if not clean:
+            # Degenerate codebook (null/ragged centroids): defer to the
+            # per-row Python mirror of the zip_with semantics.
+            yield from _assign_batches_slow(batches, cids, cvecs, pa)
+            return
+        CM = np.array([[float(x) for x in v] for v in cvecs])
+        k, dc = CM.shape
+        cn = np.zeros(k)
+        for t in range(dc):
+            cn += CM[:, t] * CM[:, t]       # exact fold
+        cn = np.sqrt(cn)
+        CMT = CM.T.copy()
+
+        for batch in batches:
+            vec_col = batch.column("vec_id")
+            embl = batch.column("emb")
+            if isinstance(embl, pa.ChunkedArray):
+                embl = embl.combine_chunks()
+            m = len(embl)
+            if m == 0:
+                continue
+            offs = embl.offsets.to_numpy()
+            dims = np.diff(offs)
+            has_null = embl.null_count > 0 or embl.values.null_count > 0
+            uniform = (not has_null and dims.min() == dims.max()
+                       and int(dims[0]) == dc)
+            if not uniform:
+                # Split: rows that can't score (wrong dim / nulls) get
+                # the NULL-cos verdict (lowest centroid_id); clean
+                # dc-dim rows are scored below, row by row.
+                yield from _assign_mixed(batch, embl, offs, dims, dc,
+                                         CM, cn, cids, min_cid, pa, np)
+                continue
+            X = embl.values.to_numpy(zero_copy_only=False) \
+                .reshape(m, dc)
+            nx = np.zeros(m)
+            for t in range(dc):
+                nx += X[:, t] * X[:, t]     # exact fold
+            nx = np.sqrt(nx)
+            B = X @ CMT
+            den = nx[:, None] * cn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                B /= den
+            np.copyto(B, 0.0, where=(den == 0.0))
+            nanm = np.isnan(B)
+            Bf = np.where(nanm, np.inf, B)
+            best = Bf.max(axis=1)
+            cand = nanm | (Bf >= (best - 2e-6)[:, None])
+            ri, ci = np.nonzero(cand)
+            acc = np.zeros(len(ri))
+            for t in range(dc):
+                acc += X[ri, t] * CM[ci, t]     # exact left fold
+            dend = nx[ri] * cn[ci]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / dend
+            cos = np.where(dend == 0.0, 0.0, cos)
+            yield pa.RecordBatch.from_arrays(
+                [vec_col.take(pa.array(ri)),
+                 embl.take(pa.array(ri)),
+                 pa.array([cids[c] for c in ci]),
+                 pa.array(cos, type=pa.float64())],
+                names=["vec_id", "emb", "centroid_id", "cos_raw"])
+
+    cand_df = base.select("vec_id", "emb").mapInArrow(assign, out_schema)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round("cos_raw", 6)), F.asc("centroid_id"))
+    return (cand_df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "emb", "centroid_id",
+                    F.round("cos_raw", 6).alias("cos_c")))
+
+
+def _assign_mixed(batch, embl, offs, dims, dc, CM, cn, cids, min_cid,
+                  pa, np):
+    """Per-row scoring for batches with ragged/null rows, mirroring
+    the SQL CASE order exactly: a NULL norm (null array / null
+    elements) makes every cosine NULL (lowest-centroid_id verdict);
+    a REAL zero den scores 0.0 via the CASE short-circuit EVEN when
+    the dimensions are ragged (the dot is never evaluated); only then
+    does a ragged dot become NULL."""
+    vec_col = batch.column("vec_id")
+    ri_out, cid_out, cos_out = [], [], []
+    for r in range(len(embl)):
+        row = embl[r].as_py()
+        if row is None or any(v is None for v in row):
+            # NULL norm -> NULL against every centroid.
+            ri_out.append(r)
+            cid_out.append(min_cid)
+            cos_out.append(None)
+            continue
+        x = np.array(row) if row else np.zeros(0)
+        nx = 0.0
+        for v in row:
+            nx = nx + v * v
+        nx = nx ** 0.5
+        if len(row) != dc:
+            # Ragged vs the codebook: zero-den pairs score 0.0 (CASE
+            # short-circuit); every other cosine is NULL (padded dot).
+            zero = [c for c in range(CM.shape[0])
+                    if nx * cn[c] == 0.0]
+            if zero:
+                for c in zero:
+                    ri_out.append(r)
+                    cid_out.append(cids[c])
+                    cos_out.append(0.0)
+            else:
+                ri_out.append(r)
+                cid_out.append(min_cid)
+                cos_out.append(None)
+            continue
+        # exact fold against every centroid; tiny k
+        for c in range(CM.shape[0]):
+            den = nx * cn[c]
+            if den == 0.0:
+                cos = 0.0
+            else:
+                acc = 0.0
+                for t in range(dc):
+                    acc = acc + x[t] * CM[c, t]
+                cos = acc / den
+            ri_out.append(r)
+            cid_out.append(cids[c])
+            cos_out.append(float(cos))
+    if ri_out:
+        yield pa.RecordBatch.from_arrays(
+            [vec_col.take(pa.array(ri_out)),
+             embl.take(pa.array(ri_out)),
+             pa.array(cid_out),
+             pa.array(cos_out, type=pa.float64())],
+            names=["vec_id", "emb", "centroid_id", "cos_raw"])
+
+
+def _assign_batches_slow(batches, cids, cvecs, pa):
+    """Whole-input fallback for degenerate (null/ragged) codebooks:
+    reproduce zip_with's NULL-pad cosine per (row, centroid) and let
+    the JVM argmax sort it out. Correctness-only path."""
+    for batch in batches:
+        vec_col = batch.column("vec_id")
+        embl = batch.column("emb")
+        if isinstance(embl, pa.ChunkedArray):
+            embl = embl.combine_chunks()
+        ri_out, cid_out, cos_out = [], [], []
+        for r in range(len(embl)):
+            row = embl[r].as_py()
+            for cid, cv in zip(cids, cvecs):
+                cos = _py_zipwith_cos(row, cv)
+                ri_out.append(r)
+                cid_out.append(cid)
+                cos_out.append(cos)
+        if ri_out:
+            yield pa.RecordBatch.from_arrays(
+                [vec_col.take(pa.array(ri_out)),
+                 embl.take(pa.array(ri_out)),
+                 pa.array(cid_out),
+                 pa.array(cos_out, type=pa.float64())],
+                names=["vec_id", "emb", "centroid_id", "cos_raw"])
+
+
+def _py_zipwith_cos(a, b):
+    """Python mirror of round-free _cosine_pre over possibly null /
+    ragged lists, in the SQL CASE's evaluation order: NULL norms first
+    (-> NULL), then the zero-den short-circuit (-> 0.0, even ragged),
+    then the padded dot (ragged -> NULL)."""
+    if a is None or any(v is None for v in a):
+        return None
+    if b is None or any(v is None for v in b):
+        return None
+    na = 0.0
+    for v in a:
+        na = na + v * v
+    nb = 0.0
+    for v in b:
+        nb = nb + v * v
+    den = (na ** 0.5) * (nb ** 0.5)
+    if den == 0.0:
+        return 0.0
+    if len(a) != len(b):
+        return None                     # padded dot -> NULL
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc / den
 
 
 def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
@@ -398,6 +640,45 @@ def _sweep_pairs_sql(grouped: DataFrame, cos_min: float) -> DataFrame:
 _SWEEP_MARGIN = 1e-6
 
 
+def _cand_cos_exact(np, X, nr, floor, extra_mask=None):
+    """(ii, jj, cos) for every strict-upper-triangle pair whose EXACT
+    cosine could reach ``floor``: a BLAS gram matrix (X @ X.T) finds
+    candidates with 1e-9 slack, then the exact left-fold dot product
+    is recomputed for candidates only.
+
+    Soundness of the slack: |fl_blas(dot) - fl_fold(dot)| <=
+    2*d*u*sum|x_k y_k| <= 2*64*1.1e-16*(na*nb), i.e. the BLAS cosine
+    is within ~1.4e-14 of the fold cosine — 5 orders under the 1e-9
+    slack — and non-finite BLAS entries are unconditionally candidates.
+    The returned cos values are the bit-exact fold (one rounded
+    multiply + one rounded add per dimension, ascending — identical to
+    aggregate(zip_with(...))); NaN cosines are included (callers
+    decide their fate). Zero-norm pairs are EXCLUDED (den == 0);
+    callers that can accept them (thresholds <= 0 score them 0.0 via
+    the CASE guard) must add them separately.
+
+    Why BLAS at all: the previous kernel materialized the full n x n
+    fold via d outer-product passes — ~25 GB of memory traffic for a
+    4096-item cluster — while dgemm is cache-blocked; the exact fold
+    is then paid only for the (rare) candidate pairs."""
+    n, d = X.shape
+    den = nr[:, None] * nr[None, :]
+    C = X @ X.T if d else np.zeros((n, n))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        C /= den
+    cand = (den != 0.0) & (~np.isfinite(C) | (C >= floor - 1e-9))
+    cand &= ~np.tri(n, dtype=bool)          # strict upper triangle
+    if extra_mask is not None:
+        cand &= extra_mask
+    ii, jj = np.nonzero(cand)
+    if len(ii) == 0:
+        return ii, jj, np.zeros(0)
+    acc = np.zeros(len(ii))
+    for k in range(d):
+        acc += X[ii, k] * X[jj, k]          # exact left fold
+    return ii, jj, acc / (nr[ii] * nr[jj])
+
+
 def _sweep_pairs_arrow(grouped: DataFrame, cos_min: float) -> DataFrame:
     """Vectorized per-bucket pair sweep: mapInArrow + NumPy (guide §4.2
     "hand whole batches to vectorized native libraries").
@@ -484,30 +765,31 @@ def _sweep_pairs_arrow(grouped: DataFrame, cos_min: float) -> DataFrame:
                     X = np.zeros((n, 0))
                 else:
                     X = emb_vals[e0:e1].reshape(n, d)
-                # Exact left-fold dot products: one rounded multiply +
-                # one rounded add per dimension, ascending — bit-equal
-                # to aggregate(zip_with(...)).
-                G = np.zeros((n, n))
-                tmp = np.empty((n, n))
-                for k in range(d):
-                    col = np.ascontiguousarray(X[:, k])
-                    np.multiply.outer(col, col, out=tmp)
-                    G += tmp
-                den = nr[:, None] * nr[None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = np.where(den == 0.0, 0.0, G / den)
-                keep = (cos >= thr) | np.isnan(cos)
-                iu, ju = np.triu_indices(n, k=1)
-                mask = keep[iu, ju] & (ids[iu] != ids[ju])
+                # Candidate mask: self-pair guard + first-collision-
+                # band rule, applied BEFORE any cosine work.
+                pm = ids[:, None] != ids[None, :]
                 band = int(bands_col[r])
                 if band > 0:
                     B = bks_vals[bks_offs[i0]:bks_offs[i1]] \
                         .reshape(n, -1)[:, :band]
-                    mask &= (B[iu] != B[ju]).all(axis=1)
-                if mask.any():
-                    acc_a.append(ids[iu[mask]])
-                    acc_b.append(ids[ju[mask]])
-                    acc_c.append(cos[iu[mask], ju[mask]])
+                    pm &= (B[:, None, :] != B[None, :, :]).all(axis=2)
+                ii, jj, cos = _cand_cos_exact(np, X, nr, thr, pm)
+                keep = (cos >= thr) | np.isnan(cos)
+                if keep.any():
+                    acc_a.append(ids[ii[keep]])
+                    acc_b.append(ids[jj[keep]])
+                    acc_c.append(cos[keep])
+                if thr <= 0.0:
+                    # zero-norm pairs score exactly 0.0 (the CASE
+                    # guard) and pass a non-positive threshold.
+                    den0 = (nr[:, None] * nr[None, :]) == 0.0
+                    den0 &= ~np.tri(n, dtype=bool)
+                    den0 &= pm
+                    zi, zj = np.nonzero(den0)
+                    if len(zi):
+                        acc_a.append(ids[zi])
+                        acc_b.append(ids[zj])
+                        acc_c.append(np.zeros(len(zi)))
             if acc_a:
                 pa_id = struct.field("vec_id").type
                 yield pa.RecordBatch.from_arrays(
@@ -696,23 +978,20 @@ def _greedy_arrow(grouped: DataFrame, cos_min: float) -> DataFrame:
                     else:
                         X = emb_vals[emb_offs[i0]:emb_offs[i1]] \
                             .reshape(n, d)
-                    G = np.zeros((n, n))
-                    tmp = np.empty((n, n))
-                    for kk in range(d):
-                        col = np.ascontiguousarray(X[:, kk])
-                        np.multiply.outer(col, col, out=tmp)
-                        G += tmp
-                    den = nr[:, None] * nr[None, :]
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        raw = G / den
-                    live = den != 0.0          # zero-norm pairs -> false
-                    T = np.triu(live & ((raw >= hi) | np.isnan(raw)), 1)
-                    A = np.triu(live & ~np.isnan(raw)
-                                & (raw >= lo) & (raw < hi), 1)
-                    dd = T.any(axis=0)
-                    amb = [raw[A[:, j], j].tolist()
-                           if (A[:, j].any() and not dd[j]) else []
-                           for j in range(n)]
+                    # zero-norm pairs are excluded by the kernel —
+                    # exactly the CASE -> false rule of the SQL sweep.
+                    ii, jj, cos = _cand_cos_exact(np, X, nr, lo)
+                    dd = np.zeros(n, dtype=bool)
+                    amb = [[] for _ in range(n)]
+                    if len(ii):
+                        t = np.isnan(cos) | (cos >= hi)
+                        dd[jj[t]] = True
+                        am = ~t & (cos >= lo)
+                        for j, c in zip(jj[am], cos[am]):
+                            if not dd[j]:
+                                amb[int(j)].append(float(c))
+                        for j in np.nonzero(dd)[0]:
+                            amb[int(j)] = []
                 out_ids.append(ids)
                 out_def.append(dd)
                 out_amb.extend(amb)
@@ -812,7 +1091,14 @@ def semdedup(emb: DataFrame, cos_min: float = 0.95,
         else kmeans_codebook(emb, k, iters)
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    assigned = _assign_with_cos(base, cents)
+    # assigned feeds TWO plan branches (the cluster sweep and the
+    # row-completeness join below); without materialization Catalyst
+    # plans them as independent subtrees and the broadcast-argmax
+    # assignment runs twice per query (measured: 2.5 s per pass at
+    # 40k x 64d — round 6). A LAZY localCheckpoint computes it once
+    # and shares the partitions; same lineage-truncation discipline
+    # as duplicate_clusters.
+    assigned = _assign_with_cos(base, cents).localCheckpoint(eager=False)
     # array_sort on struct(c, v, e, nrm) orders lexicographically by
     # (cos_c ASC, vec_id ASC); vec_id is unique so the later fields are
     # never compared. The sorted prefix IS the keep order.

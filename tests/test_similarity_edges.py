@@ -152,3 +152,42 @@ def test_semdedup_sweep_arrow_matches_sql(spark, cos_min):
     a = norm(semdedup(df, cos_min=cos_min, k=3, sweep="sql"))
     b = norm(semdedup(df, cos_min=cos_min, k=3, sweep="arrow"))
     assert a == b
+
+
+def test_assign_arrow_matches_window(spark):
+    """_assign_with_cos parity: the BLAS-candidate + JVM-argmax
+    assignment must equal the k-way window form on every edge — NaN
+    vectors (NaN cosines win, Spark orders NaN above all), zero-norm
+    vectors and zero-norm CENTROIDS (0.0 via the CASE short-circuit,
+    even against ragged rows — the dot is never evaluated), ragged
+    dims and null elements (NULL cosines -> lowest centroid_id), and
+    round-boundary near-ties (resolved by the JVM round, never a
+    Python one)."""
+    from pyspark.sql import functions as F
+
+    from document_ai_spark.operators.similarity import (
+        _assign_with_cos,
+        kmeans_codebook,
+    )
+
+    rows = [
+        (0, [1.0, 2.0] + [0.0] * 62), (1, [2.0, 4.0] + [0.0] * 62),
+        (2, [0.0] * 64), (3, [0.0] * 64),
+        (4, [float("nan")] * 64), (5, [1.0] * 64),
+        (6, [1.0] * 32),                    # ragged
+        (7, None),
+        (8, [1.0, None] + [1.0] * 62),
+        (9, [1.0] * 64), (10, [-1.0] * 64), (11, [-1.0] * 64),
+        (12, [1.0, 0.1] + [0.0] * 62), (13, [1.0, 0.11] + [0.0] * 62),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    base = df.select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("emb"))
+    cents = kmeans_codebook(df, 4)
+    a = sorted((r.vec_id, r.centroid_id, str(r.cos_c))
+               for r in _assign_with_cos(base, cents,
+                                         impl="window").collect())
+    b = sorted((r.vec_id, r.centroid_id, str(r.cos_c))
+               for r in _assign_with_cos(base, cents,
+                                         impl="arrow").collect())
+    assert a == b and a
