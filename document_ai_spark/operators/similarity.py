@@ -890,6 +890,194 @@ def greedy_drop_expr(cos_min: float):
         f"    >= {cos_min} END) AS dropped))")
 
 
+def batch_vs_index_dropped(new: DataFrame, idx: DataFrame,
+                           cos_min: float,
+                           sweep: str | None = None) -> DataFrame:
+    """Distinct `vec_id`s of ``new`` rows scoring round(cos, 6) >=
+    cos_min against ANY ``idx`` row of the same centroid — the
+    incremental SemanticIndex's batch-vs-index leg.
+
+    Semantics are the old join-filter's, mirrored exactly: NULL
+    cosines (ragged/null vectors) fail the filter -> keep; NaN drops
+    (Spark orders NaN above all doubles); a zero-norm pair scores 0.0
+    via the CASE short-circuit and drops only when cos_min <= 0. The
+    "sql" form is that join (with per-side norms precomputed — one
+    fold per pair instead of three); the default "arrow" form groups
+    both sides by centroid and runs the rectangular BLAS-prefiltered
+    exact kernel (_cand_cos_exact's discipline: dgemm candidates at
+    1e-9 slack, bit-exact left-fold recompute, definite verdicts 1e-6
+    away from the threshold, JVM exists(round(...)) over the ambiguous
+    band). Old-side order inside a cluster is irrelevant (the verdict
+    is an ANY), so collect_list nondeterminism cannot change results."""
+    if sweep is None:
+        sweep = EMB_SWEEP_DEFAULT
+    if sweep != "arrow":
+        cross = (new.alias("n").withColumn("_nn", item_norm(F.col("emb")))
+                 .join(idx.alias("o")
+                       .withColumn("_on", item_norm(F.col("emb"))),
+                       ["centroid_id"])
+                 .where(F.round(_cosine_pre(F.col("n.emb"), F.col("o.emb"),
+                                            F.col("_nn"), F.col("_on")), 6)
+                        >= cos_min))
+        return cross.select(F.col("n.vec_id").alias("vec_id")).distinct()
+
+    from pyspark.sql.types import (ArrayType, BooleanType, DoubleType,
+                                   StructField, StructType)
+
+    lo = float(cos_min) - _SWEEP_MARGIN
+    hi = float(cos_min) + _SWEEP_MARGIN
+    gn = (new.groupBy("centroid_id")
+          .agg(F.collect_list(F.struct(
+              F.col("vec_id").alias("v"), F.col("emb").alias("e"),
+              item_norm(F.col("emb")).alias("nrm"))).alias("n_items")))
+    go = (idx.groupBy("centroid_id")
+          .agg(F.collect_list(F.struct(
+              F.col("emb").alias("e"),
+              item_norm(F.col("emb")).alias("nrm"))).alias("o_items")))
+    both = gn.join(go, "centroid_id").select("n_items", "o_items")
+    id_type = new.schema["vec_id"].dataType
+    out_schema = StructType([
+        StructField("vec_id", id_type),
+        StructField("dropped_def", BooleanType()),
+        StructField("amb", ArrayType(DoubleType()))])
+
+    def sweep_fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            nl = batch.column("n_items")
+            ol = batch.column("o_items")
+            if isinstance(nl, pa.ChunkedArray):
+                nl = nl.combine_chunks()
+            if isinstance(ol, pa.ChunkedArray):
+                ol = ol.combine_chunks()
+            n_offs, o_offs = nl.offsets.to_numpy(), ol.offsets.to_numpy()
+            ns, os_ = nl.values, ol.values
+            n_ids = ns.field("v").to_numpy(zero_copy_only=False)
+            n_nrm = ns.field("nrm").to_numpy(zero_copy_only=False)
+            o_nrm = os_.field("nrm").to_numpy(zero_copy_only=False)
+            nel, oel = ns.field("e"), os_.field("e")
+            ne_offs, oe_offs = nel.offsets.to_numpy(), \
+                oel.offsets.to_numpy()
+            dirty = (nel.null_count > 0 or nel.values.null_count > 0
+                     or oel.null_count > 0 or oel.values.null_count > 0)
+            if not dirty:
+                ne_vals = nel.values.to_numpy(zero_copy_only=False)
+                oe_vals = oel.values.to_numpy(zero_copy_only=False)
+            out_ids, out_def, out_amb = [], [], []
+            for r in range(len(nl)):
+                a0, a1 = n_offs[r], n_offs[r + 1]
+                b0, b1 = o_offs[r], o_offs[r + 1]
+                m, p = a1 - a0, b1 - b0
+                if m == 0 or p == 0:
+                    continue
+                ids = n_ids[a0:a1]
+                nx = n_nrm[a0:a1]
+                ny = o_nrm[b0:b1]
+                ndims = np.diff(ne_offs[a0:a1 + 1])
+                odims = np.diff(oe_offs[b0:b1 + 1])
+                if dirty or ndims.min() != ndims.max() \
+                        or odims.min() != odims.max() \
+                        or (m and p and ndims[0] != odims[0]):
+                    dd, amb = _rect_slow(np, nel, oel, int(a0), m,
+                                         int(b0), p, nx, ny, lo, hi)
+                else:
+                    d = int(ndims[0])
+                    X = ne_vals[ne_offs[a0]:ne_offs[a1]].reshape(m, d) \
+                        if d else np.zeros((m, 0))
+                    Y = oe_vals[oe_offs[b0]:oe_offs[b1]].reshape(p, d) \
+                        if d else np.zeros((p, 0))
+                    den = nx[:, None] * ny[None, :]
+                    B = X @ Y.T if d else np.zeros((m, p))
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        B /= den
+                    np.copyto(B, 0.0, where=(den == 0.0))
+                    cand = ~np.isfinite(B) | (B >= lo - 1e-9)
+                    ri, ci = np.nonzero(cand)
+                    dd = np.zeros(m, dtype=bool)
+                    amb = [[] for _ in range(m)]
+                    if len(ri):
+                        acc = np.zeros(len(ri))
+                        for t in range(d):
+                            acc += X[ri, t] * Y[ci, t]   # exact fold
+                        dend = nx[ri] * ny[ci]
+                        with np.errstate(divide="ignore",
+                                         invalid="ignore"):
+                            cos = acc / dend
+                        cos = np.where(dend == 0.0, 0.0, cos)
+                        t_ = np.isnan(cos) | (cos >= hi)
+                        dd[ri[t_]] = True
+                        am = ~t_ & (cos >= lo) & (cos < hi)
+                        for j, c in zip(ri[am], cos[am]):
+                            if not dd[j]:
+                                amb[int(j)].append(float(c))
+                        for j in np.nonzero(dd)[0]:
+                            amb[int(j)] = []
+                out_ids.append(ids)
+                out_def.append(np.asarray(dd, dtype=bool))
+                out_amb.extend(amb)
+            if out_ids:
+                pa_id = ns.field("v").type
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(out_ids)).cast(pa_id),
+                     pa.array(np.concatenate(out_def), type=pa.bool_()),
+                     pa.array(out_amb, type=pa.list_(pa.float64()))],
+                    names=["vec_id", "dropped_def", "amb"])
+
+    judged = both.mapInArrow(sweep_fn, out_schema)
+    return (judged.where(
+        F.col("dropped_def")
+        | F.exists("amb", lambda c: F.round(c, 6) >= F.lit(cos_min)))
+        .select("vec_id").distinct())
+
+
+def _rect_slow(np, nel, oel, a0, m, b0, p, nx, ny, lo, hi):
+    """Per-pair fallback of the rectangular kernel (null/ragged
+    vectors), in the SQL CASE order: real zero den -> 0.0 (even
+    ragged); NULL norm or padded dot -> NULL (keep); NaN -> drop."""
+    import math
+
+    nrows = [nel[a0 + j].as_py() for j in range(m)]
+    orows = [oel[b0 + j].as_py() for j in range(p)]
+    dd = [False] * m
+    amb = [[] for _ in range(m)]
+    for j in range(m):
+        for i in range(p):
+            cos = _case_cos(nrows[j], orows[i], nx[j] * ny[i])
+            if cos is None:
+                continue
+            if math.isnan(cos) or cos >= hi:
+                dd[j] = True
+                break
+            if lo <= cos < hi:
+                amb[j].append(cos)
+        if dd[j]:
+            amb[j] = []
+    return dd, amb
+
+
+def _case_cos(a, b, den):
+    """round-free _cosine over possibly null/ragged lists in the SQL
+    CASE's order: den == 0.0 (a REAL zero) short-circuits to 0.0
+    before the dot; NULL norms (NaN den from null elements is caught
+    by the null checks) or a padded dot give None."""
+    import math
+
+    if isinstance(den, float) and den == 0.0 \
+            and a is not None and b is not None \
+            and all(v is not None for v in a) \
+            and all(v is not None for v in b):
+        return 0.0
+    if a is None or b is None or len(a) != len(b) \
+            or any(v is None for v in a) or any(v is None for v in b):
+        return None
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc / den
+
+
 def greedy_verdicts(grouped: DataFrame, cos_min: float,
                     sweep: str | None = None) -> DataFrame:
     """(vec_id, dropped) for every item of every sorted cluster in

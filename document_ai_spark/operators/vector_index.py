@@ -279,13 +279,14 @@ class SemanticIndex(AtomicBatchIndex):
             w = Window.partitionBy("centroid_id").orderBy("vec_id")
             idx = (idx.withColumn("_rn", F.row_number().over(w))
                    .where(F.col("_rn") <= self.max_cluster).drop("_rn"))
-            cross = (new.alias("n")
-                     .join(idx.alias("o"), ["centroid_id"])
-                     .where(F.round(_cosine(F.col("n.emb"),
-                                            F.col("o.emb")), 6)
-                            >= self.cos_min)
-                     .select(F.col("n.vec_id").alias("vec_id"))
-                     .distinct()
+            # Vectorized batch-vs-index verdicts (round 6): the old
+            # centroid-keyed join evaluated an interpreted 3-fold
+            # cosine for every (new, indexed) pair in the cluster —
+            # O(batch x cluster) lambda work that dominated the op at
+            # scale. Same seam family as greedy_verdicts; identical
+            # join-filter semantics (parity-tested).
+            from .similarity import batch_vs_index_dropped
+            cross = (batch_vs_index_dropped(new, idx, self.cos_min)
                      .withColumn("_dc", F.lit(True)))
         else:
             cross = spark.createDataFrame([], "vec_id bigint, _dc boolean")

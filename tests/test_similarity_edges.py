@@ -191,3 +191,38 @@ def test_assign_arrow_matches_window(spark):
                for r in _assign_with_cos(base, cents,
                                          impl="arrow").collect())
     assert a == b and a
+
+
+@pytest.mark.parametrize("cos_min", [0.95, 0.5, 0.0, -0.5])
+def test_batch_vs_index_arrow_matches_sql(spark, cos_min):
+    """batch_vs_index_dropped parity: the rectangular BLAS kernel must
+    reproduce the centroid-keyed join filter's semantics exactly —
+    NULL cosines keep, NaN drops, zero-norm pairs score 0.0 (dropping
+    only at cos_min <= 0), ragged/null vectors route through the
+    per-pair fallback."""
+    from document_ai_spark.operators.similarity import (
+        batch_vs_index_dropped,
+    )
+
+    new_rows = [
+        (0, 0, [1.0, 2.0] + [0.0] * 62), (1, 0, [0.0] * 64),
+        (2, 1, [float("nan")] * 64), (3, 1, [1.0] * 64),
+        (4, 0, [1.0] * 32),
+        (5, 1, None), (6, 0, [1.0, None] + [1.0] * 62),
+        (7, 1, [1.0, 0.1] + [0.0] * 62),
+    ]
+    idx_rows = [
+        (0, [2.0, 4.0] + [0.0] * 62), (0, [0.0] * 64),
+        (1, [1.0] * 64), (1, [-1.0] * 64),
+        (0, [1.0] * 32), (1, [1.0, 0.11] + [0.0] * 62),
+        (0, None),
+    ]
+    new = spark.createDataFrame(
+        new_rows, "vec_id long, centroid_id long, emb array<double>")
+    idx = spark.createDataFrame(
+        idx_rows, "centroid_id long, emb array<double>")
+    a = sorted(r.vec_id for r in batch_vs_index_dropped(
+        new, idx, cos_min, sweep="sql").collect())
+    b = sorted(r.vec_id for r in batch_vs_index_dropped(
+        new, idx, cos_min, sweep="arrow").collect())
+    assert a == b and a
