@@ -36,7 +36,6 @@ from .similarity import (
     IVF_K,
     IVF_SAMPLE_MOD,
     _band_bucket,
-    _cosine,
     kmeans_codebook,
 )
 
@@ -109,14 +108,6 @@ def _first_band_cond(bks_x: str, bks_y: str) -> str:
             "        1, band), t -> t) END")
 
 
-def _verify(pairs: DataFrame, cos_min: float) -> DataFrame:
-    return (pairs.withColumn("cos_sim", F.round(_cosine("emb_a", "emb_b"), 6))
-            .where(F.col("cos_sim") >= cos_min)
-            .select(F.least("id_x", "id_y").alias("id_a"),
-                    F.greatest("id_x", "id_y").alias("id_b"),
-                    "cos_sim"))
-
-
 class EmbeddingIndex(AtomicBatchIndex):
     """Persisted banded sign-LSH embedding index with atomic commits."""
 
@@ -140,27 +131,44 @@ class EmbeddingIndex(AtomicBatchIndex):
             spark, batch_id,
             lambda: banded_vector_rows(batch_emb, self.bands, self.rows))
 
+        # Round 6: per-item norms once (not per pair — the old _verify
+        # re-folded both norms for every candidate) and survivors-only
+        # emission inside the HOF/join, the similarity.py sweep shape.
+        from .similarity import _cosine_pre, item_norm
+        new = new.withColumn("nrm", item_norm(F.col("emb")))
+
         # (a) batch-internal pairs: identical shape to
-        # similarity.embedding_near_dups (items vec_id-sorted by the cap,
-        # so id_x < id_y without a least/greatest pass — but _verify
-        # canonicalizes anyway for uniformity with the cross source).
+        # similarity.embedding_near_dups' SQL sweep (items vec_id-
+        # sorted by the cap; least/greatest canonicalizes for
+        # uniformity with the cross source).
         grouped = (new.groupBy("band", "bucket")
-                   .agg(F.collect_list(F.struct("vec_id", "emb", "bks"))
+                   .agg(F.collect_list(
+                        F.struct("vec_id", "emb", "bks", "nrm"))
                         .alias("items"))
                    .where(F.size("items") > 1))
         grouped = _cap_bucket_items(grouped, max_bucket)
         cond = _first_band_cond("x.bks", "y.bks")
-        intra = grouped.select(F.explode(F.expr(
+        pair_expr = (
             "flatten(transform(items, (x, i) -> "
-            "  transform(filter(slice(items, i + 2, size(items)), "
-            f"            y -> {cond}), y -> "
-            "    struct(x.vec_id AS id_x, y.vec_id AS id_y, "
-            "           x.emb AS emb_a, y.emb AS emb_b))))"
-        )).alias("p")).select("p.*")
+            "  filter(transform(filter(slice(items, i + 2, size(items)), "
+            f"           y -> {cond}), y -> "
+            "     struct(least(x.vec_id, y.vec_id) AS id_a, "
+            "            greatest(x.vec_id, y.vec_id) AS id_b, "
+            "            round(CASE WHEN x.nrm * y.nrm = 0.0D THEN 0.0D "
+            "              ELSE aggregate(zip_with(x.emb, y.emb, "
+            "                               (a, b) -> a * b), "
+            "                             cast(0.0 as double), "
+            "                             (acc, v) -> acc + v) "
+            "              / (x.nrm * y.nrm) END, 6) AS cos_sim)), "
+            f"    p -> p.cos_sim >= {float(cos_min)!r})))"
+        )
+        intra = (grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+                 .select("p.*"))
 
         # (b) batch-vs-index: probe ONLY buckets the batch touches
         # (broadcast of the batch's band keys), cap the matched index
-        # buckets, then equi-join — never an index scan.
+        # buckets, then equi-join — never an index scan. Norms for the
+        # index side are computed on the probed sliver only.
         cands = intra
         if self._has_prior(seq):
             keys = new.select("band", "bucket").distinct()
@@ -168,22 +176,21 @@ class EmbeddingIndex(AtomicBatchIndex):
                 F.broadcast(keys), ["band", "bucket"], "left_semi")
             w = Window.partitionBy("band", "bucket").orderBy("vec_id")
             idx = (idx.withColumn("_rn", F.row_number().over(w))
-                   .where(F.col("_rn") <= max_bucket).drop("_rn"))
+                   .where(F.col("_rn") <= max_bucket).drop("_rn")
+                   .withColumn("onrm", item_norm(F.col("emb"))))
             cross = (new.alias("n").join(
-                idx.alias("o"), ["band", "bucket"]).select(
-                "band",
-                F.col("n.vec_id").alias("id_x"),
-                F.col("o.vec_id").alias("id_y"),
-                F.col("n.emb").alias("emb_a"),
-                F.col("o.emb").alias("emb_b"),
-                F.col("n.bks").alias("bks_a"),
-                F.col("o.bks").alias("bks_b"))
-                .where(F.expr(_first_band_cond("bks_a", "bks_b")))
-                .drop("band", "bks_a", "bks_b"))
+                idx.alias("o"), ["band", "bucket"])
+                .where(F.expr(_first_band_cond("n.bks", "o.bks")))
+                .withColumn("cos_sim", F.round(_cosine_pre(
+                    F.col("n.emb"), F.col("o.emb"),
+                    F.col("n.nrm"), F.col("onrm")), 6))
+                .where(F.col("cos_sim") >= cos_min)
+                .select(F.least("n.vec_id", "o.vec_id").alias("id_a"),
+                        F.greatest("n.vec_id", "o.vec_id").alias("id_b"),
+                        "cos_sim"))
             cands = intra.unionByName(cross)
 
-        return self._close_batch(_verify(cands, cos_min),
-                                 replay, stage, final)
+        return self._close_batch(cands, replay, stage, final)
 
 
 class SemanticIndex(AtomicBatchIndex):
